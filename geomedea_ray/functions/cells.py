@@ -1,0 +1,92 @@
+"""Raster tile / quadkey math, vectorized.
+
+The reference's Hilbert scaling (geomedea/src/writer/hilbert.rs:70-78)
+generalizes to two tile addressing schemes used by the raster↔vector
+assignment operator (SURVEY §2.5, §7.2 step 6):
+
+- ``tile_xy_eq``: equirectangular (plate-carrée) tiles — pure
+  arithmetic, exactly reproducible in an SQL oracle (the
+  oracle-checked scheme).
+- ``tile_xy_mercator``: standard Web-Mercator slippy-map tiles —
+  the production scheme; validated in pytest against a scalar oracle
+  (transcendental functions may differ by ulps across libms, so it is
+  not hash-compared against DuckDB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def tile_xy_eq(lng, lat, zoom: int) -> tuple[np.ndarray, np.ndarray]:
+    """Equirectangular tile coords at ``zoom`` (2^z × 2^z grid).
+
+    tx = floor((lng+180)/360 * 2^z), ty = floor((90-lat)/180 * 2^z),
+    clipped to [0, 2^z - 1]. The expression order matters: the SQL
+    oracle mirrors it verbatim so doubles round identically.
+    """
+    n = float(1 << zoom)
+    lng = np.asarray(lng, np.float64)
+    lat = np.asarray(lat, np.float64)
+    tx = np.floor((lng + 180.0) / 360.0 * n)
+    ty = np.floor((90.0 - lat) / 180.0 * n)
+    hi = (1 << zoom) - 1
+    tx = np.clip(tx, 0, hi).astype(np.int32)
+    ty = np.clip(ty, 0, hi).astype(np.int32)
+    return tx, ty
+
+
+def tile_xy_mercator(lng, lat, zoom: int) -> tuple[np.ndarray, np.ndarray]:
+    """Web-Mercator XYZ tile coords (slippy-map convention)."""
+    n = float(1 << zoom)
+    lng = np.asarray(lng, np.float64)
+    lat = np.clip(np.asarray(lat, np.float64), -85.05112878, 85.05112878)
+    tx = np.floor((lng + 180.0) / 360.0 * n)
+    lat_r = np.radians(lat)
+    ty = np.floor((1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / np.pi) / 2.0 * n)
+    hi = (1 << zoom) - 1
+    return (
+        np.clip(tx, 0, hi).astype(np.int32),
+        np.clip(ty, 0, hi).astype(np.int32),
+    )
+
+
+def tile_id(tx: np.ndarray, ty: np.ndarray, zoom: int) -> np.ndarray:
+    """Pack (z, x, y) into one int64: (z << 58) | (x << 29) | y.
+
+    29 bits per axis supports zoom ≤ 29; a single sortable key so tile
+    groupbys shuffle on one int column.
+    """
+    return (
+        (np.int64(zoom) << np.int64(58))
+        | (np.asarray(tx, np.int64) << np.int64(29))
+        | np.asarray(ty, np.int64)
+    )
+
+
+def tile_id_unpack(tid) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    tid = np.asarray(tid, np.int64)
+    z = (tid >> np.int64(58)) & np.int64(0x3F)
+    x = (tid >> np.int64(29)) & np.int64((1 << 29) - 1)
+    y = tid & np.int64((1 << 29) - 1)
+    return z, x, y
+
+
+def quadkey(tx, ty, zoom: int) -> np.ndarray:
+    """Bing-style quadkey strings (one char per zoom level)."""
+    tx = np.asarray(tx, np.int64)
+    ty = np.asarray(ty, np.int64)
+    out = np.full(tx.shape, "", dtype=object)
+    for z in range(zoom, 0, -1):
+        mask = np.int64(1) << np.int64(z - 1)
+        digit = ((tx & mask) != 0).astype(np.int64) + 2 * ((ty & mask) != 0).astype(np.int64)
+        out = np.char.add(out.astype(str), digit.astype(str)).astype(object)
+    return out.astype(str)
+
+
+def parent_tile(tx, ty, levels: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Tile coords ``levels`` up the pyramid (integer halving)."""
+    return (
+        np.asarray(tx, np.int64) >> np.int64(levels),
+        np.asarray(ty, np.int64) >> np.int64(levels),
+    )

@@ -1,0 +1,108 @@
+"""Image codecs + perceptual hash — numpy + stdlib zlib only.
+
+The sandbox has no PIL/libjpeg (SURVEY §7.0), so the image+caption
+table (BASELINE.json input_hint) carries one of three self-describing
+formats in its ``fmt`` column:
+
+- ``raw``  : uint8 RGB pixels, C-order ``(h, w, 3)``.
+- ``pngz`` : zlib-deflated raw pixels — LOSSLESS (decoded pixels are
+  bit-equal; the ``np.allclose`` invariant holds exactly).
+- ``qnt``  : 6-bit-per-channel quantized then zlib-deflated — LOSSY
+  by construction with bounded error (|err| ≤ 2/channel ⇒
+  PSNR ≈ 46 dB ≥ 40 dB, the input_hint invariant).
+
+Real JPEG/WebP decode would slot in here behind the same
+``decode(bytes, fmt, w, h)`` dispatch; those branches raise
+NotImplementedError loudly (stubbed per the task brief — the Ray-side
+plumbing around them is real and tested).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+LOSSLESS_FMTS = frozenset({"raw", "pngz"})
+LOSSY_FMTS = frozenset({"qnt"})
+KNOWN_FMTS = LOSSLESS_FMTS | LOSSY_FMTS
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 array into ``fmt`` bytes."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h,w,3) uint8, got {pixels.dtype}{pixels.shape}")
+    if fmt == "raw":
+        return pixels.tobytes()
+    if fmt == "pngz":
+        return zlib.compress(pixels.tobytes(), level=6)
+    if fmt == "qnt":
+        return zlib.compress((pixels >> 2).tobytes(), level=6)
+    if fmt in ("jpeg", "webp", "png"):
+        raise NotImplementedError(
+            f"codec '{fmt}' needs an image library not present in this sandbox; "
+            "use raw/pngz/qnt"
+        )
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Decode ``fmt`` bytes back to an (h, w, 3) uint8 array."""
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "pngz":
+        return np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "qnt":
+        q = np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3)
+        # bucket center: (q << 2) | 2 keeps |err| <= 2 per channel
+        return ((q << 2) | 2).astype(np.uint8)
+    if fmt in ("jpeg", "webp", "png"):
+        raise NotImplementedError(
+            f"codec '{fmt}' needs an image library not present in this sandbox"
+        )
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def average_phash(pixels: np.ndarray) -> int:
+    """Deterministic 64-bit average-hash of an (h, w, 3) uint8 image.
+
+    Integer-only math (no float nondeterminism): grayscale =
+    (r+g+b)//3, 8×8 block means via integer division, bit i set iff
+    block mean > global mean of block means. Returned as a SIGNED
+    int64 (matches the input_hint column type ``phash:int64``).
+    """
+    h, w, _ = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"phash needs dims divisible by 8, got {w}x{h}")
+    gray = pixels.astype(np.uint32).sum(axis=2) // 3
+    bh, bw = h // 8, w // 8
+    blocks = gray.reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (bh * bw)
+    mean = int(blocks.sum()) // 64
+    bits = (blocks.ravel() > mean).astype(np.uint64)
+    val = np.uint64(0)
+    for i in range(64):
+        val |= bits[i] << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+def hamming64(a, b) -> np.ndarray:
+    """Vectorized Hamming distance between int64 hash columns."""
+    x = np.asarray(a, np.int64).astype(np.uint64) ^ np.asarray(b, np.int64).astype(np.uint64)
+    # SWAR popcount on uint64
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h01) >> np.uint64(56)).astype(np.int64)

@@ -1,0 +1,209 @@
+"""Text analysis primitives: tokenization, quality stats, language-ID,
+fingerprints, MinHash / SimHash — vectorized, deterministic across
+processes (no Python ``hash()``; stable hashes only).
+
+These back the training-data-pipeline operators (dedup, quality
+filtering, langid) layered on top of the spatial engine (task brief;
+no reference counterpart — reference has no text ops, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+
+_WORD_RE = re.compile(r"\S+")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_PUNCT_RE = re.compile(r"[^\w\s]", re.U)
+
+# tiny per-language stopword lists for the n-gram/stopword langid heuristic
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "que", "por"},
+    "de": {"der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"},
+    "zh": set(),  # no-space script: detected by CJK codepoint ratio instead
+}
+
+
+def stable_hash64(strings) -> np.ndarray:
+    """Stable, vectorized 64-bit hash of a string sequence.
+
+    Uses pandas' siphash-based hasher with a FIXED key — deterministic
+    across processes and machines (unlike Python ``hash()``)."""
+    s = pd.Series(strings, dtype="object")
+    return pd.util.hash_pandas_object(s, index=False, hash_key="geomedea_ray_0001").to_numpy(
+        dtype=np.uint64
+    )
+
+
+def token_count(texts) -> np.ndarray:
+    """Whitespace token count per text (vectorized via pandas str)."""
+    return (
+        pd.Series(texts, dtype="object").str.count(_WORD_RE.pattern).fillna(0).to_numpy(np.int64)
+    )
+
+
+def quality_stats(texts) -> dict[str, np.ndarray]:
+    """Per-text quality features: length, token count, mean token
+    length, alpha ratio, punctuation ratio, uppercase ratio."""
+    s = pd.Series(texts, dtype="object").fillna("")
+    n_chars = s.str.len().to_numpy(np.int64)
+    n_tokens = s.str.count(_WORD_RE.pattern).to_numpy(np.int64)
+    n_alpha = s.str.count(_ALPHA_RE.pattern).to_numpy(np.int64)
+    n_punct = s.str.count(_PUNCT_RE.pattern).to_numpy(np.int64)
+    n_upper = s.str.count(r"[A-Z]").to_numpy(np.int64)
+    denom = np.maximum(n_chars, 1).astype(np.float64)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": np.where(n_tokens > 0, n_chars / np.maximum(n_tokens, 1), 0.0),
+        "alpha_ratio": n_alpha / denom,
+        "punct_ratio": n_punct / denom,
+        "upper_ratio": n_upper / denom,
+    }
+
+
+def detect_lang(texts) -> np.ndarray:
+    """Heuristic language ID: CJK codepoint ratio → 'zh'; else the
+    language whose stopword list matches the most tokens; 'und' when
+    nothing matches. Deterministic; ties broken by language code."""
+    out = []
+    for t in texts:
+        t = t or ""
+        if not t:
+            out.append("und")
+            continue
+        cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+        if cjk / max(len(t), 1) > 0.2:
+            out.append("zh")
+            continue
+        toks = t.lower().split()
+        best_lang, best_score = "und", 0
+        for lang in sorted(_LANG_STOPWORDS):
+            sw = _LANG_STOPWORDS[lang]
+            if not sw:
+                continue
+            score = sum(1 for w in toks if w in sw)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        out.append(best_lang)
+    return np.array(out, dtype=object)
+
+
+def fingerprint64(texts) -> np.ndarray:
+    """Rolling polynomial fingerprint of each text's UTF-8 bytes,
+    mod 2^64 (Horner with base 1099511628211, vectorized per text via
+    precomputed power ladder). Content-identical texts collide by
+    construction; used for exact-dup detection without shipping text."""
+    base = np.uint64(1099511628211)
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) == 0:
+            out[i] = np.uint64(0xCBF29CE484222325)
+            continue
+        with np.errstate(over="ignore"):
+            pows = np.empty(len(b), dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            if len(b) > 1:
+                np.multiply.accumulate(np.full(len(b) - 1, base, dtype=np.uint64), out=pows[1:])
+            out[i] = np.uint64((b * pows[::-1]).sum()) ^ np.uint64(0xCBF29CE484222325)
+    return out.astype(np.int64)
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    """k-word shingles (k-grams over whitespace tokens)."""
+    toks = (text or "").split()
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(20260817)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_PERM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(texts, num_perm: int = 64, shingle_k: int = 3) -> np.ndarray:
+    """MinHash signatures, shape (n_texts, num_perm), dtype uint64.
+
+    Per text: k-word shingles → stable 64-bit base hashes →
+    ``num_perm`` universal-hash permutations ``(a*h + b) mod 2^61-1``
+    evaluated as one vectorized outer product, min over shingles."""
+    if num_perm not in _PERM_CACHE:
+        _PERM_CACHE[num_perm] = _perm_params(num_perm)
+    a, b = _PERM_CACHE[num_perm]
+    out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = word_shingles(t, shingle_k)
+        if not sh:
+            continue
+        h = stable_hash64(sh) & _MERSENNE61
+        with np.errstate(over="ignore"):
+            vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
+        out[i] = vals.min(axis=0)
+    return out
+
+
+def minhash_bands(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """Collapse a (n, num_perm) signature into (n, num_bands) band
+    hashes for LSH bucketing (hash of each band's rows)."""
+    n, p = sig.shape
+    r = p // num_bands
+    assert r * num_bands == p, "num_perm must divide into bands evenly"
+    bands = np.empty((n, num_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for bi in range(num_bands):
+            chunk = sig[:, bi * r : (bi + 1) * r]
+            acc = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+            for c in range(r):
+                acc = (acc ^ chunk[:, c]) * np.uint64(1099511628211)
+            bands[:, bi] = acc
+    return bands
+
+
+def jaccard_words(a: str, b: str, k: int = 3) -> float:
+    """Exact k-shingle Jaccard similarity (verification step)."""
+    sa, sb = set(word_shingles(a, k)), set(word_shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def simhash64(texts) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens (count-weighted)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if not toks:
+            out[i] = 0
+            continue
+        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+        h = stable_hash64(uniq)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+        val = np.uint64(0)
+        for bit in range(64):
+            if acc[bit] > 0:
+                val |= np.uint64(1) << np.uint64(bit)
+        out[i] = int(val.astype(np.int64))
+    return out
+
+
+def crc32_column(texts) -> np.ndarray:
+    """Fast stable 32-bit checksum per text (zlib.crc32)."""
+    return np.array([zlib.crc32((t or "").encode("utf-8")) for t in texts], dtype=np.int64)

@@ -1,0 +1,246 @@
+"""Bit-level goldens ported from the reference test suite (FIXTURES.md §F7)
+plus property checks on the pure-function layer. No Ray needed."""
+
+import numpy as np
+import pytest
+
+from geomedea_ray.functions import cells, codecs, geo, text
+from geomedea_ray.functions.hilbert import (
+    cell_range,
+    hilbert_cell_id,
+    hilbert_u32,
+    scaled_hilbert,
+)
+
+
+class TestHilbert:
+    def test_reference_goldens(self):
+        # reference: geomedea/src/writer/hilbert.rs:85-98 — scaled centers of
+        # RECT(0 0,1 1) and RECT(2 2,3 3) within their union extent
+        ext = geo.Bounds.from_degrees(0, 0, 3, 3)
+        c1 = geo.Bounds.from_degrees(0, 0, 1, 1).center()
+        c2 = geo.Bounds.from_degrees(2, 2, 3, 3).center()
+        h = scaled_hilbert(
+            np.array([c1[0], c2[0]]), np.array([c1[1], c2[1]]), ext.as_tuple()
+        )
+        assert h[0] == 143165576
+        assert h[1] == 2720145952
+
+    def test_corners(self):
+        # d(0,0)=0; curve is a bijection on the 4-cell grid at 1 bit
+        h = hilbert_u32(np.array([0]), np.array([0]))
+        assert h[0] == 0
+
+    def test_bijection_small(self):
+        xs, ys = np.meshgrid(np.arange(256), np.arange(256))
+        # scale 0..255 into the full 16-bit domain corners stay distinct
+        h = hilbert_u32(xs.ravel().astype(np.uint32), ys.ravel().astype(np.uint32))
+        assert len(np.unique(h)) == 256 * 256
+
+    def test_locality(self):
+        # adjacent hilbert indices are adjacent cells (distance 1 in grid)
+        n = 1 << 16
+        rng = np.random.default_rng(0)
+        xs = rng.integers(0, n - 1, 1000).astype(np.uint32)
+        ys = rng.integers(0, n - 1, 1000).astype(np.uint32)
+        h1 = hilbert_u32(xs, ys)
+        h2 = hilbert_u32(xs + 1, ys)
+        assert np.abs(h1.astype(np.int64) - h2.astype(np.int64)).min() >= 1
+
+    def test_cell_id_prefix_nesting(self):
+        h = np.uint32(0xDEADBEEF)
+        for res in range(1, 16):
+            parent = hilbert_cell_id(np.array([h]), res)[0]
+            child = hilbert_cell_id(np.array([h]), res + 1)[0]
+            assert child >> 2 == parent
+
+    def test_cell_range_covers(self):
+        h = np.uint32(2720145952)
+        for res in (1, 4, 8):
+            cid = int(hilbert_cell_id(np.array([h]), res)[0])
+            lo, hi = cell_range(cid, res)
+            assert lo <= int(h) < hi
+
+
+class TestGeo:
+    def test_quantize_golden(self):
+        # reference: geomedea/src/geometry/mod.rs:350-355
+        q = geo.quantize([-118.2562, 34.1060])
+        assert q[0] == -1182562000
+        assert q[1] == 341060000
+
+    def test_quantize_truncates(self):
+        # truncation toward zero, not rounding (geometry/mod.rs:295-297)
+        assert geo.quantize([0.00000019])[0] == 1
+        assert geo.quantize([-0.00000019])[0] == -1
+
+    def test_center_goldens(self):
+        # reference: geomedea/src/bounds.rs:127-140
+        b = geo.Bounds.from_degrees(0, 0, 3, 3)
+        assert b.center() == (15000000, 15000000)  # (1.5, 1.5)
+        b2 = geo.Bounds.from_degrees(-3, -6, 1, 2)
+        assert b2.center() == (-10000000, -20000000)  # (-1, -2)
+
+    def test_intersects_closed_interval(self):
+        a = geo.Bounds.from_degrees(0, 0, 1, 1)
+        b = geo.Bounds.from_degrees(1, 1, 2, 2)  # touching corner counts
+        assert a.intersects(b)
+        c = geo.Bounds.from_degrees(1.0000001, 1.0000001, 2, 2)
+        assert not a.intersects(c)
+
+    def test_bbox_intersects_vectorized(self):
+        q = geo.Bounds.from_degrees(0, 0, 10, 10)
+        minx = geo.quantize([-5.0, 5.0, 11.0])
+        miny = geo.quantize([-5.0, 5.0, 11.0])
+        maxx = geo.quantize([-1.0, 6.0, 12.0])
+        maxy = geo.quantize([-1.0, 6.0, 12.0])
+        m = geo.bbox_intersects(minx, miny, maxx, maxy, q)
+        assert list(m) == [False, True, False]
+
+    def test_point_in_polygon_triangle(self):
+        tri_x = np.array([0.0, 4.0, 0.0])
+        tri_y = np.array([0.0, 0.0, 4.0])
+        px = np.array([1.0, 3.9, 2.0, -1.0])
+        py = np.array([1.0, 3.9, 1.9, 1.0])
+        got = geo.point_in_polygon(px, py, tri_x, tri_y)
+        assert list(got) == [True, False, True, False]
+
+    def test_haversine_known(self):
+        # London->Paris ~343.5 km
+        d = geo.haversine_m(
+            np.array([-0.1278]), np.array([51.5074]), 2.3522, 48.8566
+        )
+        assert 340_000 < d[0] < 348_000
+
+
+class TestCells:
+    def test_tile_eq_golden(self):
+        tx, ty = cells.tile_xy_eq(np.array([0.0]), np.array([0.0]), 2)
+        assert (tx[0], ty[0]) == (2, 2)
+        tx, ty = cells.tile_xy_eq(np.array([-180.0]), np.array([90.0]), 3)
+        assert (tx[0], ty[0]) == (0, 0)
+
+    def test_tile_mercator_scalar_oracle(self):
+        import math
+
+        def slippy(lng, lat, z):
+            n = 2**z
+            x = int((lng + 180) / 360 * n)
+            lat_r = math.radians(lat)
+            y = int((1 - math.log(math.tan(lat_r) + 1 / math.cos(lat_r)) / math.pi) / 2 * n)
+            return x, y
+
+        rng = np.random.default_rng(1)
+        lng = rng.uniform(-179, 179, 200)
+        lat = rng.uniform(-80, 80, 200)
+        tx, ty = cells.tile_xy_mercator(lng, lat, 10)
+        for i in range(200):
+            assert (tx[i], ty[i]) == slippy(lng[i], lat[i], 10)
+
+    def test_tile_id_roundtrip(self):
+        tx = np.array([5, 100, 2**20])
+        ty = np.array([7, 200, 2**21])
+        tid = cells.tile_id(tx, ty, 25)
+        z, x, y = cells.tile_id_unpack(tid)
+        assert list(z) == [25, 25, 25]
+        assert list(x) == list(tx)
+        assert list(y) == list(ty)
+
+    def test_quadkey(self):
+        qk = cells.quadkey(np.array([3]), np.array([5]), 3)
+        # standard bing quadkey for (3,5,z3) = "213"
+        assert qk[0] == "213"
+
+    def test_parent(self):
+        px, py = cells.parent_tile(np.array([7]), np.array([5]), 1)
+        assert (px[0], py[0]) == (3, 2)
+
+
+class TestCodecs:
+    def _img(self, w=32, h=32, seed=0):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def test_raw_pngz_lossless(self):
+        img = self._img()
+        for fmt in ("raw", "pngz"):
+            out = codecs.decode(codecs.encode(img, fmt), fmt, 32, 32)
+            assert np.array_equal(out, img)
+
+    def test_qnt_lossy_psnr(self):
+        img = self._img(64, 64, 3)
+        out = codecs.decode(codecs.encode(img, "qnt"), "qnt", 64, 64)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+        assert codecs.psnr(img, out) >= 40.0  # input_hint invariant
+
+    def test_unknown_fmt_raises(self):
+        with pytest.raises(NotImplementedError):
+            codecs.encode(self._img(), "jpeg")
+        with pytest.raises(ValueError):
+            codecs.decode(b"", "bogus", 1, 1)
+
+    def test_phash_deterministic_and_robust(self):
+        img = self._img(64, 64, 7)
+        h1 = codecs.average_phash(img)
+        h2 = codecs.average_phash(img.copy())
+        assert h1 == h2
+        # qnt-roundtripped image should have a close phash even for pure
+        # noise (worst case: block means hover at the global mean)
+        rt = codecs.decode(codecs.encode(img, "qnt"), "qnt", 64, 64)
+        assert codecs.hamming64(np.array([h1]), np.array([codecs.average_phash(rt)]))[0] <= 8
+
+    def test_hamming(self):
+        assert codecs.hamming64(np.array([0]), np.array([-1]))[0] == 64
+        assert codecs.hamming64(np.array([5]), np.array([5]))[0] == 0
+
+
+class TestText:
+    def test_token_count(self):
+        assert list(text.token_count(["a b  c", "", "one"])) == [3, 0, 1]
+
+    def test_stable_hash_deterministic(self):
+        a = text.stable_hash64(["foo", "bar"])
+        b = text.stable_hash64(["foo", "bar"])
+        assert np.array_equal(a, b)
+        assert a[0] != a[1]
+
+    def test_fingerprint_equality_only_on_same_text(self):
+        fp = text.fingerprint64(["hello world", "hello world", "hello worlds"])
+        assert fp[0] == fp[1]
+        assert fp[0] != fp[2]
+
+    def test_minhash_estimates_jaccard(self):
+        a = "the quick brown fox jumps over the lazy dog again and again ok"
+        b = "the quick brown fox jumps over the lazy cat again and again ok"
+        sig = text.minhash_signature([a, b, a], num_perm=128)
+        est_ab = (sig[0] == sig[1]).mean()
+        true_ab = text.jaccard_words(a, b)
+        assert abs(est_ab - true_ab) < 0.2
+        assert (sig[0] == sig[2]).all()
+
+    def test_minhash_bands_shape(self):
+        sig = text.minhash_signature(["x y z w v u"], num_perm=64)
+        bands = text.minhash_bands(sig, 16)
+        assert bands.shape == (1, 16)
+
+    def test_simhash_similarity(self):
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        b = "alpha beta gamma delta epsilon zeta eta iota"
+        c = "totally different words entirely here now yes"
+        h = text.simhash64([a, b, c])
+        d_ab = codecs.hamming64(h[:1], h[1:2])[0]
+        d_ac = codecs.hamming64(h[:1], h[2:3])[0]
+        assert d_ab < d_ac
+
+    def test_detect_lang(self):
+        got = text.detect_lang(
+            ["the cat and the dog in the house", "le chat et la vache est une", "这是一个中文句子测试", ""]
+        )
+        assert list(got) == ["en", "fr", "zh", "und"]
+
+    def test_quality_stats(self):
+        qs = text.quality_stats(["Hello, World!"])
+        assert qs["n_chars"][0] == 13
+        assert qs["n_tokens"][0] == 2
+        assert 0 < qs["alpha_ratio"][0] < 1
+        assert qs["punct_ratio"][0] > 0
