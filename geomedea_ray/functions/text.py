@@ -35,7 +35,8 @@ def stable_hash64(strings) -> np.ndarray:
     Uses pandas' siphash-based hasher with a FIXED key — deterministic
     across processes and machines (unlike Python ``hash()``)."""
     s = pd.Series(strings, dtype="object")
-    return pd.util.hash_pandas_object(s, index=False, hash_key="geomedea_ray_0001").to_numpy(
+    # hash_key must be exactly 16 bytes (pandas siphash key)
+    return pd.util.hash_pandas_object(s, index=False, hash_key="geomedea_ray_01!").to_numpy(
         dtype=np.uint64
     )
 
