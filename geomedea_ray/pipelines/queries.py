@@ -1,0 +1,156 @@
+"""Read-path query operators over a written spatial dataset
+(SURVEY §2.3: R1 select_all, R2 select_bbox, plus Hilbert-range
+slices used by cell queries and kNN candidate generation).
+
+All operators are driver-prune → distributed-probe: the manifest's
+per-partition bounds/key ranges stand in for the reference's top index
+levels (reference: geomedea/src/packed_r_tree/reader.rs:25-71), and an
+actor pool holding loaded packed indexes probes the surviving
+partitions (state amortized per actor — SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from geomedea_ray.functions.geo import Bounds
+from geomedea_ray.state.index import PackedRTree
+from geomedea_ray.state.manifest import Manifest, PartitionMeta
+
+
+def select_all(dataset_dir: str, columns: list[str] | None = None):
+    """Full scan in stored (descending-Hilbert) order (R1 — reference:
+    geomedea/src/reader.rs:313-326). Files are passed in manifest
+    order; with ``preserve_order`` execution the stream reproduces the
+    reference's total order."""
+    import ray.data
+
+    man = Manifest.load(dataset_dir)
+    paths = [os.path.join(dataset_dir, p.path) for p in man.partitions]
+    if not paths:
+        return ray.data.from_items([])
+    return ray.data.read_parquet(paths, columns=columns)
+
+
+class _PartitionProbe:
+    """Actor: loads a partition's packed index once, probes it per
+    query, reads only matching row positions from Parquet.
+
+    The batch it receives is a table of partition descriptors (path,
+    index_path), NOT data rows — the probe fans data back out.
+    """
+
+    def __init__(self, dataset_dir: str, query: dict, columns: list[str] | None):
+        self.dataset_dir = dataset_dir
+        self.query = query
+        self.columns = columns
+        self._index_cache: dict[str, PackedRTree] = {}
+
+    def _tree(self, index_path: str) -> PackedRTree:
+        t = self._index_cache.get(index_path)
+        if t is None:
+            t = PackedRTree.load(os.path.join(self.dataset_dir, index_path))
+            self._index_cache[index_path] = t
+        return t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        q = Bounds(*self.query["bounds"])
+        for row in batch.to_pylist():
+            tree = self._tree(row["index_path"])
+            pos = tree.query_bbox(q)
+            if len(pos) == 0:
+                continue
+            tbl = pq.read_table(
+                os.path.join(self.dataset_dir, row["path"]), columns=self.columns
+            )
+            out.append(tbl.take(pa.array(pos)))
+        if not out:
+            # empty result with the right schema
+            any_path = os.path.join(self.dataset_dir, batch["path"][0].as_py())
+            return pq.read_schema(any_path).empty_table() if self.columns is None else (
+                pq.read_table(any_path, columns=self.columns).slice(0, 0)
+            )
+        return pa.concat_tables(out)
+
+
+def _parts_dataset(dataset_dir: str, parts: list[PartitionMeta]):
+    import ray.data
+
+    items = [{"path": p.path, "index_path": p.index_path} for p in parts]
+    return ray.data.from_items(items)
+
+
+def bbox_slice(
+    dataset_dir: str,
+    rect_deg: tuple[float, float, float, float],
+    columns: list[str] | None = None,
+    concurrency: int = 4,
+):
+    """``select_bbox`` (R2): rows whose feature bbox intersects the
+    query rect — closed intervals on scaled int32, NO exact-geometry
+    refinement, exactly the reference's semantics (reference:
+    geomedea/src/packed_r_tree/reader.rs:36-38, reader.rs:328-346).
+
+    Driver prunes partitions via manifest bounds; an actor pool probes
+    surviving partitions' packed indexes and reads only matching rows.
+    Result order within each partition is stored (Hilbert-desc) order.
+    """
+    import ray.data
+
+    q = Bounds.from_degrees(*rect_deg)
+    man = Manifest.load(dataset_dir)
+    parts = man.prune_bbox(q)
+    if not parts:
+        schema = pq.read_schema(
+            os.path.join(dataset_dir, man.partitions[0].path)
+        ) if man.partitions else pa.schema([])
+        return ray.data.from_arrow(schema.empty_table())
+    return _parts_dataset(dataset_dir, parts).map_batches(
+        _PartitionProbe,
+        fn_constructor_kwargs={
+            "dataset_dir": dataset_dir,
+            "query": {"bounds": Bounds.from_degrees(*rect_deg).as_tuple()},
+            "columns": columns,
+        },
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=min(concurrency, max(1, len(parts))),
+    )
+
+
+def hilbert_range_scan(
+    dataset_dir: str,
+    lo: int,
+    hi: int,
+    columns: list[str] | None = None,
+):
+    """Rows with ``lo <= hilbert < hi`` — the cell-query primitive
+    (a Hilbert-quadtree cell is one contiguous key range; SURVEY §7.0).
+    Partition prune on manifest key ranges + Parquet row-group
+    predicate pushdown on the ``hilbert`` column."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    man = Manifest.load(dataset_dir)
+    paths = [
+        os.path.join(dataset_dir, p.path)
+        for p in man.partitions
+        if p.hilbert_max >= lo and p.hilbert_min < hi
+    ]
+    if not paths:
+        return ray.data.from_items([])
+    flt = (pc.field("hilbert") >= pa.scalar(lo, pa.uint32())) & (
+        pc.field("hilbert") < pa.scalar(min(hi, 2**32 - 1), pa.uint32())
+    )
+    return ray.data.read_parquet(paths, columns=columns, filter=flt)
+
+
+def count(dataset_dir: str) -> int:
+    """Header row_count without touching data (reference header —
+    geomedea/src/lib.rs:91-97)."""
+    return Manifest.load(dataset_dir).row_count

@@ -1,0 +1,190 @@
+"""The distributed write pipeline (SURVEY §2.2, W1-W7):
+
+    quantize → [extent aggregate] → hilbert key → DESCENDING
+    range-partitioned sort → per-partition (Parquet + packed R-tree
+    sidecar) → driver manifest
+
+This is the Ray-native re-expression of the reference's
+``Writer::finish`` (reference: geomedea/src/writer/mod.rs:68-135):
+its in-memory entries Vec + tempfiles + mmap become the sort shuffle;
+its single output file becomes one Parquet file + index sidecar per
+sorted partition plus a driver-side ``manifest.json``; its
+**descending** Hilbert comparator (writer/mod.rs:77-82 — ``hb.cmp(&ha)``)
+becomes ``Dataset.sort(..., descending=True)``.
+
+Scale notes: the sort is THE wide step — one range-partitioned shuffle
+sampled by Ray; everything downstream (index build, partition write)
+reuses its partitioning with no further shuffle. Hilbert keys of
+clustered data are skewed in *value* space but Ray's sample-based range
+partitioning equalizes *row counts* per partition, which is exactly the
+salting-free skew answer for a sort (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from geomedea_ray.stages.geocode import hilbert_batch, quantize_batch
+from geomedea_ray.state.index import PackedRTree
+from geomedea_ray.state.manifest import Manifest, PartitionMeta
+
+#: Parquet row-group size ≈ the reference's 64 KiB page goal scaled to
+#: Arrow row groups (unit of intra-partition random access, W4/W5;
+#: reference: geomedea/src/lib.rs:45-47).
+ROW_GROUP_SIZE = 16_384
+
+
+def compute_extent(ds) -> tuple[int, int, int, int]:
+    """Global dataset bounds over the quantized point columns (W2 —
+    reference: writer/mod.rs:58-59). A cheap extra pass, exactly like
+    the reference's pre-sort extent fold."""
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(
+        Min("lng_i", alias_name="min_lng"),
+        Min("lat_i", alias_name="min_lat"),
+        Max("lng_i", alias_name="max_lng"),
+        Max("lat_i", alias_name="max_lat"),
+    )
+    return (
+        int(row["min_lng"]),
+        int(row["min_lat"]),
+        int(row["max_lng"]),
+        int(row["max_lat"]),
+    )
+
+
+#: Full world extent in scaled units — fixed-extent mode skips the
+#: extent pass (keys are then NOT bit-compatible with the reference,
+#: which always uses the data extent; used for steady-state appends).
+WORLD_EXTENT = (-1_800_000_000, -900_000_000, 1_800_000_000, 900_000_000)
+
+
+def write_partition(batch: pa.Table, dataset_dir: str) -> pa.Table:
+    """Terminal map_batches fn, one call per sorted block: write the
+    block as Parquet + packed-index sidecar, emit one summary row.
+    Runs ``batch_size=None`` so a block maps 1:1 to an output
+    partition (order within the block is the sort order)."""
+    if batch.num_rows == 0:
+        return _summary_table([])
+    h = batch["hilbert"].to_numpy()
+    # leaves: for point rows bbox == the point (W1 degenerates)
+    lng_i = batch["lng_i"].to_numpy()
+    lat_i = batch["lat_i"].to_numpy()
+    tree = PackedRTree.build(lng_i, lat_i, lng_i, lat_i)
+    rb = tree.root_bounds()
+    # filename sorts in descending-hilbert order: invert the first key
+    inv = 0xFFFFFFFF - int(h[0])
+    stem = f"part-{inv:010x}-{uuid.uuid4().hex[:8]}"
+    ppath, ipath = stem + ".parquet", stem + ".rtree.npz"
+    pq.write_table(
+        batch, os.path.join(dataset_dir, ppath), row_group_size=ROW_GROUP_SIZE,
+        compression="zstd",
+    )
+    tree.save(os.path.join(dataset_dir, ipath))
+    return _summary_table(
+        [
+            {
+                "path": ppath,
+                "index_path": ipath,
+                "row_count": batch.num_rows,
+                "hilbert_max": int(h[0]),
+                "hilbert_min": int(h[-1]),
+                "min_lng": rb.min_lng,
+                "min_lat": rb.min_lat,
+                "max_lng": rb.max_lng,
+                "max_lat": rb.max_lat,
+                "byte_size": os.path.getsize(os.path.join(dataset_dir, ppath)),
+            }
+        ]
+    )
+
+
+_SUMMARY_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("index_path", pa.string()),
+        ("row_count", pa.int64()),
+        ("hilbert_max", pa.int64()),
+        ("hilbert_min", pa.int64()),
+        ("min_lng", pa.int32()),
+        ("min_lat", pa.int32()),
+        ("max_lng", pa.int32()),
+        ("max_lat", pa.int32()),
+        ("byte_size", pa.int64()),
+    ]
+)
+
+
+def _summary_table(rows: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=_SUMMARY_SCHEMA)
+
+
+def spatial_write(
+    ds,
+    dataset_dir: str,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    tiebreak: str | None = None,
+    extent: tuple[int, int, int, int] | None = None,
+    properties: dict | None = None,
+) -> Manifest:
+    """Run the full write pipeline; returns the saved Manifest.
+
+    ``tiebreak``: optional column for deterministic order among equal
+    Hilbert keys (the reference's sort is stable by insertion order —
+    writer/mod.rs:77-82; Ray's shuffle sort is not, so reproducible
+    output needs an explicit key — SURVEY §7.5).
+    """
+    os.makedirs(dataset_dir, exist_ok=True)
+    ds = ds.map_batches(
+        quantize_batch,
+        fn_kwargs={"lng_col": lng_col, "lat_col": lat_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if extent is None:
+        extent = compute_extent(ds)
+    ds = ds.map_batches(
+        hilbert_batch, fn_kwargs={"extent": extent}, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if tiebreak is None:
+        ds = ds.sort("hilbert", descending=True)
+    else:
+        ds = ds.sort(["hilbert", tiebreak], descending=[True, False])
+    summaries = ds.map_batches(
+        write_partition,
+        fn_kwargs={"dataset_dir": dataset_dir},
+        batch_format="pyarrow",
+        batch_size=None,
+    ).take_all()
+
+    summaries.sort(key=lambda r: (-r["hilbert_max"], -r["hilbert_min"], r["path"]))
+    parts = [
+        PartitionMeta(
+            partition_id=i,
+            path=r["path"],
+            index_path=r["index_path"],
+            row_count=r["row_count"],
+            hilbert_max=r["hilbert_max"],
+            hilbert_min=r["hilbert_min"],
+            bounds=(r["min_lng"], r["min_lat"], r["max_lng"], r["max_lat"]),
+            byte_size=r["byte_size"],
+        )
+        for i, r in enumerate(summaries)
+    ]
+    man = Manifest(
+        version=1,
+        extent=extent,
+        row_count=sum(p.row_count for p in parts),
+        partitions=parts,
+        properties=properties or {},
+    )
+    man.save(dataset_dir)
+    return man

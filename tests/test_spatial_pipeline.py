@@ -1,0 +1,128 @@
+"""End-to-end write→read pipeline tests, including the reference's
+points-fixture goldens (FIXTURES.md §F1: select_all order is
+DESCENDING Hilbert — reference: geomedea/src/reader.rs:447-457)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomedea_ray.functions.geo import quantize
+from geomedea_ray.pipelines.queries import bbox_slice, count, hilbert_range_scan, select_all
+from geomedea_ray.pipelines.spatial_write import spatial_write
+from geomedea_ray.state.manifest import Manifest
+
+
+def _points_ds(n):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lng": pa.array([float(i) for i in range(n)], pa.float64()),
+                "lat": pa.array([float(i) for i in range(n)], pa.float64()),
+                "name": pa.array([f"prop-{i}" for i in range(n)], pa.string()),
+                "seq": pa.array(list(range(n)), pa.int64()),
+            }
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def points4_dir(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pts4") / "ds")
+    spatial_write(_points_ds(4), d, tiebreak="seq")
+    return d
+
+
+class TestPointsFixture:
+    def test_select_all_descending_hilbert_order(self, points4_dir):
+        # reference golden: inputs (0,0)..(3,3) read back as 3,2,1,0
+        tbl = select_all(points4_dir).to_pandas()
+        assert list(tbl["name"]) == ["prop-3", "prop-2", "prop-1", "prop-0"]
+
+    def test_count_header(self, points4_dir):
+        assert count(points4_dir) == 4
+
+    def test_bbox_1122(self, points4_dir):
+        # reference: reader.rs:487-497 — RECT(1 1,2 2) → (2,2) then (1,1)
+        tbl = bbox_slice(points4_dir, (1, 1, 2, 2)).to_pandas()
+        assert list(tbl["name"]) == ["prop-2", "prop-1"]
+
+    def test_bbox_1133(self, points4_dir):
+        # reference: http_reader.rs:765-777 — RECT(1 1,3 3) → 3,2,1
+        tbl = bbox_slice(points4_dir, (1, 1, 3, 3)).to_pandas()
+        assert list(tbl["name"]) == ["prop-3", "prop-2", "prop-1"]
+
+    def test_bbox_miss(self, points4_dir):
+        tbl = bbox_slice(points4_dir, (50, 50, 60, 60)).to_pandas()
+        assert len(tbl) == 0
+
+    def test_manifest_extent_matches_data(self, points4_dir):
+        man = Manifest.load(points4_dir)
+        q = quantize([0.0, 3.0])
+        assert man.extent == (int(q[0]), int(q[0]), int(q[1]), int(q[1]))
+
+
+class TestLargerRoundtrip:
+    @pytest.fixture(scope="class")
+    def big_dir(self, ray_session, tmp_path_factory):
+        import ray.data
+
+        rng = np.random.default_rng(11)
+        n = 5000
+        tbl = pa.table(
+            {
+                "lng": pa.array(rng.uniform(-179, 179, n), pa.float64()),
+                "lat": pa.array(rng.uniform(-84, 84, n), pa.float64()),
+                "seq": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+        d = str(tmp_path_factory.mktemp("big") / "ds")
+        # several input blocks → several output partitions
+        spatial_write(ray.data.from_arrow(tbl).repartition(8), d, tiebreak="seq")
+        return d, tbl
+
+    def test_roundtrip_complete(self, big_dir):
+        d, tbl = big_dir
+        got = select_all(d).to_pandas()
+        assert len(got) == tbl.num_rows
+        assert set(got["seq"]) == set(range(tbl.num_rows))
+
+    def test_global_order_sorted_desc(self, big_dir):
+        d, _ = big_dir
+        man = Manifest.load(d)
+        assert len(man.partitions) > 1  # actually exercises partitioning
+        # manifest partitions tile the hilbert space in descending order
+        for a, b in zip(man.partitions, man.partitions[1:]):
+            assert a.hilbert_min >= b.hilbert_max or a.hilbert_max >= b.hilbert_max
+        # within each partition, stored order is hilbert-desc
+        import os
+
+        import pyarrow.parquet as pq
+
+        for p in man.partitions:
+            h = pq.read_table(os.path.join(d, p.path), columns=["hilbert"])["hilbert"].to_numpy()
+            assert (np.diff(h.astype(np.int64)) <= 0).all()
+
+    def test_bbox_matches_bruteforce(self, big_dir):
+        d, tbl = big_dir
+        lng_i = quantize(tbl["lng"].to_numpy())
+        lat_i = quantize(tbl["lat"].to_numpy())
+        for rect in [(-10, -10, 10, 10), (100, 20, 150, 70), (-179, -84, 179, 84)]:
+            q0, q1 = quantize([rect[0], rect[2]]), quantize([rect[1], rect[3]])
+            want = set(
+                np.asarray(tbl["seq"])[
+                    (lng_i >= q0[0]) & (lng_i <= q0[1]) & (lat_i >= q1[0]) & (lat_i <= q1[1])
+                ].tolist()
+            )
+            got = set(bbox_slice(d, rect).to_pandas()["seq"])
+            assert got == want
+
+    def test_hilbert_range_scan(self, big_dir):
+        d, _ = big_dir
+        lo, hi = 1 << 30, 3 << 30
+        got = hilbert_range_scan(d, lo, hi).to_pandas()
+        assert ((got["hilbert"] >= lo) & (got["hilbert"] < hi)).all()
+        full = select_all(d, columns=["hilbert"]).to_pandas()
+        want = ((full["hilbert"] >= lo) & (full["hilbert"] < hi)).sum()
+        assert len(got) == want
