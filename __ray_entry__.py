@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (spatial-join + tile assignment
+over the image+caption table) at sf0.001. ``queries()`` exposes every
+implemented operator from SURVEY.md §2 (+ the training-data-pipeline
+ops); ``oracle_sql()`` gives the DuckDB equivalent where SQL can
+express it (hash/heuristic ops get rows-only checks; their exactness
+is covered by pytest oracles instead).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -20,25 +18,106 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    from geomedea_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from geomedea_ray.pipelines import flagship as F
+    from geomedea_ray.pipelines import geo_queries as G
+    from geomedea_ray.pipelines import relational as R
+    from geomedea_ray.pipelines import text_queries as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _minhash_pairs(sf_dir: str):
+        from geomedea_ray.sources import tables
+        from geomedea_ray.stages.dedup import minhash_lsh_pairs
+
+        ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+        return minhash_lsh_pairs(ds)
+
+    def _simhash_pairs(sf_dir: str):
+        from geomedea_ray.sources import tables
+        from geomedea_ray.stages.dedup import simhash_pairs
+
+        ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+        return simhash_pairs(ds)
+
+    def _embedding_neardup(sf_dir: str):
+        from geomedea_ray.sources import tables
+        from geomedea_ray.stages.dedup import embedding_neardup_pairs
+
+        ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        return embedding_neardup_pairs(ds, min_cosine=0.9).select_columns(["id_a", "id_b"])
+
+    def _image_decode_stats(sf_dir: str):
+        from geomedea_ray.stages.images import decode_stats
+
+        return decode_stats(F.images_ds(sf_dir))
+
+    def _image_phash_dedup(sf_dir: str):
+        from geomedea_ray.stages.dedup import phash_dedup
+
+        return phash_dedup(F.images_ds(sf_dir, columns=["image_id", "phash"]))
+
+    def _image_thumbnails(sf_dir: str):
+        from geomedea_ray.stages.images import thumbnails
+
+        return thumbnails(F.images_ds(sf_dir)).limit(100)
+
+    return {
+        # --- spatial operators (reference parity; SURVEY §2.2/2.3) ---
+        "bbox_select": G.q_bbox_select,           # R2 select_bbox
+        "spatial_count": G.q_spatial_count,       # header count (S2)
+        "knn": G.q_knn,                           # §7.2 step 7
+        "pip_join": G.q_pip_join,                 # §7.2 step 5
+        "tile_counts": G.q_tile_counts,           # §7.2 step 6 (W-tile)
+        "hilbert_scan": G.q_hilbert_scan,         # R1 select_all (rows-only)
+        # --- relational surface (SURVEY §2.5 gap ops) ---
+        "q1_pricing": R.q1_pricing_summary,
+        "top_orders": R.top_orders,
+        "revenue_by_nation": R.revenue_by_nation,
+        "events_window": R.events_tumbling_window,
+        "distinct_users": R.distinct_users_by_type,
+        # --- text / dedup / similarity (training-data ops) ---
+        "doc_tokens": T.q_doc_tokens,
+        "doc_quality": T.q_doc_quality,
+        "dedup_text": T.q_dedup_text,
+        "lang_source_agg": T.q_lang_source_agg,
+        "langid": T.q_langid,                     # rows-only
+        "ann_topk": T.q_ann_topk,
+        "minhash_pairs": _minhash_pairs,          # rows-only
+        "simhash_pairs": _simhash_pairs,          # rows-only
+        "embedding_neardup": _embedding_neardup,  # rows-only
+        # --- image+caption table (flagship; rows-only + pytest oracle) ---
+        "image_decode_stats": _image_decode_stats,
+        "image_phash_dedup": _image_phash_dedup,
+        "image_spatial_join_tiles": F.spatial_join_tiles,
+        "image_tile_counts": F.image_tile_counts,
+        "image_thumbnails": _image_thumbnails,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geomedea_ray.pipelines import geo_queries as G
+    from geomedea_ray.pipelines import relational as R
+    from geomedea_ray.pipelines import text_queries as T
+
+    return {
+        "bbox_select": G.q_bbox_select_sql(),
+        "spatial_count": G.Q_SPATIAL_COUNT_SQL,
+        "knn": G.q_knn_sql(),
+        "pip_join": G.q_pip_join_sql(),
+        "tile_counts": G.q_tile_counts_sql(),
+        "q1_pricing": R.Q1_SQL,
+        "top_orders": R.TOP_ORDERS_SQL,
+        "revenue_by_nation": R.REVENUE_BY_NATION_SQL,
+        "events_window": R.EVENTS_WINDOW_SQL,
+        "distinct_users": R.DISTINCT_USERS_SQL,
+        "doc_tokens": T.Q_DOC_TOKENS_SQL,
+        "doc_quality": T.Q_DOC_QUALITY_SQL,
+        "dedup_text": T.Q_DEDUP_TEXT_SQL,
+        "lang_source_agg": T.Q_LANG_SOURCE_SQL,
+        "ann_topk": T.q_ann_topk_sql(),
+    }

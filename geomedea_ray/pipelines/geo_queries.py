@@ -1,0 +1,185 @@
+"""Oracle-checkable spatial queries over testdata-derived point sets.
+
+The point set is derived from ``lineitem`` (the largest table) by a
+formula both numpy and DuckDB evaluate bit-identically (integer modular
+arithmetic + one exact double division — see sources/tables.py for the
+reasoning): pid = l_orderkey*8 + l_linenumber,
+lng = (pid*7919 % 36000)/100 - 180, lat = (pid*104729 % 17000)/100 - 85.
+
+Each query function takes ``sf_dir`` and returns a Dataset — these are
+the entries the driver hash-compares against ``oracle_sql()``. The
+spatial dataset (Hilbert sort + packed index + manifest) is built once
+per sf_dir and cached under /tmp.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from geomedea_ray.pipelines import queries as Q
+from geomedea_ray.pipelines.spatial_write import spatial_write
+from geomedea_ray.sources import tables
+from geomedea_ray.stages.knn import knn
+from geomedea_ray.stages.pip import pip_join
+from geomedea_ray.sources.polygons import polygon_arrays
+
+CACHE_ROOT = "/tmp/geomedea_ray_cache"
+
+LINEPOINTS_CTE = """
+WITH pts AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         ((l_orderkey * 8 + l_linenumber) * 7919 % 36000) / 100.0 - 180.0 AS lng,
+         ((l_orderkey * 8 + l_linenumber) * 104729 % 17000) / 100.0 - 85.0 AS lat
+  FROM lineitem
+)
+"""
+
+#: the fixture query rect (vertices on .005 offsets — off the point grid)
+BBOX_RECT = (-60.005, -40.005, 20.005, 30.005)
+
+#: fixed kNN query points
+KNN_QUERIES = [(0, 10.005, 20.005), (1, -120.005, -30.005), (2, 150.005, 60.005)]
+KNN_K = 5
+
+TILE_ZOOM = 6
+
+
+def linepoints_batch(batch: pa.Table) -> pa.Table:
+    ok = batch["l_orderkey"].to_numpy()
+    ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+    pid = ok * 8 + ln
+    lng = (pid * 7919 % 36000) / 100.0 - 180.0
+    lat = (pid * 104729 % 17000) / 100.0 - 85.0
+    return pa.table(
+        {
+            "pid": pa.array(pid, pa.int64()),
+            "lng": pa.array(lng, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+        }
+    )
+
+
+def linepoints_ds(sf_dir: str):
+    return tables.read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]).map_batches(
+        linepoints_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def spatial_dataset(sf_dir: str) -> str:
+    """Build (or reuse) the Hilbert-sorted, packed-indexed spatial
+    dataset for this sf_dir; returns its directory."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(CACHE_ROOT, f"linepoints_{tag}")
+    if os.path.exists(os.path.join(out, "manifest.json")):
+        return out
+    spatial_write(linepoints_ds(sf_dir), out, tiebreak="pid")
+    return out
+
+
+# ------------------------------------------------------------ queries
+
+def q_bbox_select(sf_dir: str):
+    """select_bbox via manifest prune + packed-index probe, then the
+    float-rect refinement that the SQL BETWEEN oracle mirrors (the
+    index probe is int32 closed-interval — reference semantics; for
+    on-grid points the two classifications agree, see
+    sources/tables.py)."""
+    import pyarrow.compute as pc
+
+    d = spatial_dataset(sf_dir)
+    a, b, c, e = BBOX_RECT
+    ds = Q.bbox_slice(d, BBOX_RECT, columns=["pid", "lng", "lat"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(pc.greater_equal(t["lng"], a), pc.less_equal(t["lng"], c)),
+                pc.and_(pc.greater_equal(t["lat"], b), pc.less_equal(t["lat"], e)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_bbox_select_sql() -> str:
+    a, b, c, e = BBOX_RECT
+    return (
+        LINEPOINTS_CTE
+        + f"SELECT pid, lng, lat FROM pts WHERE lng >= {a!r} AND lng <= {c!r} "
+        f"AND lat >= {b!r} AND lat <= {e!r}"
+    )
+
+
+def q_spatial_count(sf_dir: str):
+    import pandas as pd
+
+    d = spatial_dataset(sf_dir)
+    return pd.DataFrame({"n": [Q.count(d)]})
+
+
+Q_SPATIAL_COUNT_SQL = "SELECT COUNT(*) AS n FROM lineitem"
+
+
+def q_knn(sf_dir: str):
+    ds = knn(linepoints_ds(sf_dir), KNN_QUERIES, KNN_K, id_col="pid", metric="planar")
+    return ds.select_columns(["qid", "pid", "rank"])
+
+
+def q_knn_sql() -> str:
+    vals = ", ".join(f"({q}, {x!r}, {y!r})" for q, x, y in KNN_QUERIES)
+    return (
+        LINEPOINTS_CTE
+        + f""", q(qid, qlng, qlat) AS (VALUES {vals}),
+d AS (SELECT qid, pid,
+        (lng - qlng) * (lng - qlng) + (lat - qlat) * (lat - qlat) AS dist
+      FROM pts CROSS JOIN q),
+r AS (SELECT qid, pid,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, pid) AS "rank"
+      FROM d)
+SELECT qid, pid, "rank" FROM r WHERE "rank" <= {KNN_K}"""
+    )
+
+
+def q_pip_join(sf_dir: str):
+    ds = linepoints_ds(sf_dir)
+    out = pip_join(ds, polygon_arrays(), id_cols=["pid"], exact=True)
+    return out
+
+
+def q_pip_join_sql() -> str:
+    from geomedea_ray.sources.polygons import POLYGONS, raycast_sql
+
+    selects = []
+    for pid_, name, verts in POLYGONS:
+        selects.append(
+            f"SELECT pid, {pid_} AS poly_id, '{name}' AS poly_name FROM pts "
+            f"WHERE {raycast_sql('lng', 'lat', verts)}"
+        )
+    return LINEPOINTS_CTE + "\nUNION ALL\n".join(selects)
+
+
+def q_tile_counts(sf_dir: str):
+    from geomedea_ray.pipelines.tiles import tile_aggregate
+
+    out = tile_aggregate(linepoints_ds(sf_dir), TILE_ZOOM, scheme="eq")
+    return out.select_columns(["tile_x", "tile_y", "n"])
+
+
+def q_tile_counts_sql() -> str:
+    n = float(1 << TILE_ZOOM)
+    return (
+        LINEPOINTS_CTE
+        + f"""SELECT CAST(FLOOR((lng + 180.0) / 360.0 * {n!r}) AS INT) AS tile_x,
+       CAST(FLOOR((90.0 - lat) / 180.0 * {n!r}) AS INT) AS tile_y,
+       COUNT(*) AS n
+FROM pts GROUP BY 1, 2"""
+    )
+
+
+def q_hilbert_scan(sf_dir: str):
+    """Stored-order scan sample (rows-only check: Hilbert keys are not
+    SQL-expressible; bit-level goldens live in pytest instead)."""
+    d = spatial_dataset(sf_dir)
+    return Q.select_all(d, columns=["pid", "hilbert"]).limit(1000)

