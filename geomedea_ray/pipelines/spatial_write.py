@@ -70,6 +70,9 @@ def write_partition(batch: pa.Table, dataset_dir: str) -> pa.Table:
     block as Parquet + packed-index sidecar, emit one summary row.
     Runs ``batch_size=None`` so a block maps 1:1 to an output
     partition (order within the block is the sort order)."""
+    import time
+
+    t0 = time.perf_counter()
     if batch.num_rows == 0:
         return _summary_table([])
     h = batch["hilbert"].to_numpy()
@@ -100,6 +103,7 @@ def write_partition(batch: pa.Table, dataset_dir: str) -> pa.Table:
                 "max_lng": rb.max_lng,
                 "max_lat": rb.max_lat,
                 "byte_size": os.path.getsize(os.path.join(dataset_dir, ppath)),
+                "wall_s": round(time.perf_counter() - t0, 4),
             }
         ]
     )
@@ -117,6 +121,7 @@ _SUMMARY_SCHEMA = pa.schema(
         ("max_lng", pa.int32()),
         ("max_lat", pa.int32()),
         ("byte_size", pa.int64()),
+        ("wall_s", pa.float64()),
     ]
 )
 
@@ -187,4 +192,30 @@ def spatial_write(
         properties=properties or {},
     )
     man.save(dataset_dir)
+
+    # per-partition lineage + metrics (north rule; state/checkpoint.py).
+    # The manifest is the all-or-nothing commit for a sorted write (sort
+    # partitions have no stable pre-run identity), but each partition
+    # still logs its lineage record so metrics/audit survive per shard.
+    from geomedea_ray.state.checkpoint import CheckpointLog, LineageRecord, op_chain_hash
+
+    chash = op_chain_hash("spatial_write", lng_col, lat_col, tiebreak, extent)
+    log = CheckpointLog(os.path.join(dataset_dir, "lineage.jsonl"))
+    log.append_all(
+        [
+            LineageRecord(
+                job_id=f"spatial_write:{os.path.basename(os.path.normpath(dataset_dir))}",
+                partition_id=p.path,
+                op_chain_hash=chash,
+                row_count=p.row_count,
+                out_path=p.path,
+                metrics={
+                    "byte_size": p.byte_size,
+                    "wall_s": s["wall_s"],
+                    "hilbert_range": [p.hilbert_min, p.hilbert_max],
+                },
+            )
+            for p, s in zip(parts, summaries)
+        ]
+    )
     return man
