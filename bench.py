@@ -148,6 +148,9 @@ def main():
         result = run_scaling(sf_dir)
     elif "--headline-only" in sys.argv:
         result = run_suite(sf_dir, num_cpus, [HEADLINE])
+    elif "--queries" in sys.argv:
+        names = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        result = run_suite(sf_dir, num_cpus, names)
     else:
         result = run_suite(sf_dir, num_cpus, BENCH_QUERIES)
     print(json.dumps(result))

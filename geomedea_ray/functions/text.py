@@ -140,21 +140,30 @@ _PERM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 def minhash_signature(texts, num_perm: int = 64, shingle_k: int = 3) -> np.ndarray:
     """MinHash signatures, shape (n_texts, num_perm), dtype uint64.
 
-    Per text: k-word shingles → stable 64-bit base hashes →
-    ``num_perm`` universal-hash permutations ``(a*h + b) mod 2^61-1``
-    evaluated as one vectorized outer product, min over shingles."""
+    Batch-vectorized: ALL texts' k-word shingles are hashed in one
+    pandas siphash call, the ``num_perm`` universal-hash permutations
+    ``(a*h + b) mod 2^61-1`` are one (total_shingles × num_perm) outer
+    product, and per-text minima fall out of ``np.minimum.reduceat``
+    over the shingle→text boundaries (no per-document Python work
+    beyond shingle assembly)."""
     if num_perm not in _PERM_CACHE:
         _PERM_CACHE[num_perm] = _perm_params(num_perm)
     a, b = _PERM_CACHE[num_perm]
     out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    all_sh: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         sh = word_shingles(t, shingle_k)
-        if not sh:
-            continue
-        h = stable_hash64(sh) & _MERSENNE61
-        with np.errstate(over="ignore"):
-            vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
-        out[i] = vals.min(axis=0)
+        counts[i] = len(sh)
+        all_sh.extend(sh)
+    if not all_sh:
+        return out
+    h = stable_hash64(all_sh) & _MERSENNE61
+    with np.errstate(over="ignore"):
+        vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
+    nonempty = np.flatnonzero(counts)
+    starts = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+    out[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
     return out
 
 
@@ -184,24 +193,31 @@ def jaccard_words(a: str, b: str, k: int = 3) -> float:
 
 
 def simhash64(texts) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens (count-weighted)."""
-    out = np.empty(len(texts), dtype=np.int64)
+    """64-bit SimHash over whitespace tokens (count-weighted).
+
+    Batch-vectorized: one hash call over every token occurrence (the
+    per-occurrence ±1 sum equals the count-weighted unique-token sum),
+    per-text bit accumulation via ``np.add.reduceat``, sign bits packed
+    with a power-of-two dot product."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    all_toks: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         toks = (t or "").split()
-        if not toks:
-            out[i] = 0
-            continue
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        h = stable_hash64(uniq)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
-        val = np.uint64(0)
-        for bit in range(64):
-            if acc[bit] > 0:
-                val |= np.uint64(1) << np.uint64(bit)
-        out[i] = int(val.astype(np.int64))
+        counts[i] = len(toks)
+        all_toks.extend(toks)
+    if not all_toks:
+        return out
+    h = stable_hash64(all_toks)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int8)
+    signed = (2 * bits - 1).astype(np.int32)  # (total_tokens, 64)
+    nonempty = np.flatnonzero(counts)
+    starts = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+    acc = np.add.reduceat(signed, starts, axis=0)  # (n_nonempty, 64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        packed = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = packed.astype(np.int64)
     return out
 
 

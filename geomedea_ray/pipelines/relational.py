@@ -165,7 +165,7 @@ def revenue_by_nation(sf_dir: str):
 
     ds = tables.read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     out = (
-        ds.map_batches(_AttachNation, batch_format="pyarrow", concurrency=2,
+        ds.map_batches(_AttachNation, batch_format="pyarrow", concurrency=(1, 2),
                        zero_copy_batch=True)
         .groupby("n_name")
         .aggregate(

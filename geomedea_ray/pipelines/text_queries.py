@@ -103,7 +103,7 @@ def q_langid(sf_dir: str):
     SQL-expressible; determinism is pytest-verified)."""
     ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        text_stages.LangIdStage, batch_format="pyarrow", batch_size=256, concurrency=2
+        text_stages.LangIdStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     ).select_columns(["doc_id", "lang_pred"])
 
 

@@ -94,7 +94,7 @@ def ann_topk(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=4,
+        concurrency=(1, 4),
         zero_copy_batch=True,
     )
 

@@ -2,17 +2,27 @@
 no reference counterpart — SURVEY §2.5).
 
 - ``dedup_exact``: hash-partitioned exact dedup — add a stable
-  content key in ``map_batches``, then ``groupby(key)`` keep the row
-  with the minimum order column. One hash shuffle on the key.
+  content key in ``map_batches``, then keep the row with the minimum
+  order column per key. One hash shuffle on the key.
 - ``minhash_lsh_pairs``: MinHash + banded LSH near-dup candidates —
   shingle→signature per batch, explode to (band, band_hash) rows,
-  ``groupby`` buckets, emit verified pairs (exact Jaccard ≥ threshold).
-- ``simhash_pairs``: 64-bit SimHash grouped by rotated prefix bands;
-  pairs within Hamming radius.
+  bucket groupby, emit verified pairs (exact Jaccard ≥ threshold).
+- ``simhash_pairs``: 64-bit SimHash grouped by 16-bit bands; pairs
+  within Hamming radius.
 - ``embedding_neardup_pairs``: cosine near-dup via LSH buckets +
   exact verification inside each bucket.
 - ``phash_dedup``: exact image dedup on the perceptual-hash column
   (the image+caption table's built-in content key).
+
+Scale pattern — SHARDED group processing: Ray's
+``groupby(key).map_groups(fn)`` invokes a Python callback per
+DISTINCT KEY; for LSH buckets that's ~rows×bands tiny groups (measured
+45 s of pure callback overhead on 80k buckets at sf0.1). Instead we
+shuffle on ``_shard = stable_hash(key) % num_shards`` (hundreds of
+groups, sized for worker heaps) and resolve the real keys INSIDE the
+shard with vectorized numpy run-detection over a sorted frame. Shard
+count is the scale knob: at 10^12 rows pick
+``total_rows × bands / target_rows_per_shard``.
 
 All emit deterministic results: pair output is canonicalized
 (id_a < id_b) and derived solely from stable hashes.
@@ -27,6 +37,75 @@ import pyarrow as pa
 from geomedea_ray.functions import text as T
 from geomedea_ray.functions.codecs import hamming64
 
+DEFAULT_SHARDS = 64
+
+
+def _runs(*keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end offsets of equal-key runs in already-sorted parallel
+    key arrays (vectorized group detection)."""
+    n = len(keys[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        change |= k[1:] != k[:-1]
+    starts = np.concatenate([[0], np.flatnonzero(change) + 1])
+    ends = np.concatenate([starts[1:], [n]])
+    return starts, ends
+
+
+def _bucket_pairs_df(df: pd.DataFrame, key_cols: list[str], id_col: str,
+                     extra: dict | None = None) -> pd.DataFrame:
+    """All canonical (id_a < id_b) pairs within each distinct key of a
+    shard. Sort once; only buckets with ≥2 members do any work."""
+    df = df.sort_values(key_cols + [id_col], kind="mergesort")
+    starts, ends = _runs(*(df[c].to_numpy() for c in key_cols))
+    ids = df[id_col].to_numpy()
+    lens = ends - starts
+    hot = np.flatnonzero(lens >= 2)
+    out_a, out_b, out_extra = [], [], {k: [] for k in (extra or {})}
+    for j in hot:
+        s, e = starts[j], ends[j]
+        ia, ib = np.triu_indices(e - s, k=1)
+        out_a.append(ids[s:e][ia])
+        out_b.append(ids[s:e][ib])
+        for name, col in (extra or {}).items():
+            vals = df[col].to_numpy()[s:e]
+            out_extra[name].append((vals[ia], vals[ib]))
+    if not out_a:
+        cols = {"id_a": pd.Series([], dtype=ids.dtype), "id_b": pd.Series([], dtype=ids.dtype)}
+        return pd.DataFrame(cols)
+    res = {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+    for name in out_extra:
+        res[f"{name}_a"] = np.concatenate([x[0] for x in out_extra[name]])
+        res[f"{name}_b"] = np.concatenate([x[1] for x in out_extra[name]])
+    return pd.DataFrame(res)
+
+
+def _pair_shard(id_a, id_b, num_shards: int) -> np.ndarray:
+    return (
+        T.stable_hash64([f"{a}|{b}" for a, b in zip(id_a, id_b)]) % np.uint64(num_shards)
+    ).astype(np.int64)
+
+
+def _dedup_pairs(pairs, num_shards: int):
+    """Global pair dedup: shard on hash(id_a,id_b) so duplicates of a
+    pair co-locate, then one vectorized drop_duplicates per shard."""
+
+    def _add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(_shard=pd.Series([], dtype=np.int64))
+        return df.assign(_shard=_pair_shard(df["id_a"], df["id_b"], num_shards))
+
+    def _drop(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"]).drop(columns="_shard")
+
+    return (
+        pairs.map_batches(_add_shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_drop, batch_format="pandas")
+    )
+
 
 # ---------------------------------------------------------------- exact
 
@@ -35,16 +114,32 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fp64", pa.array(fp, pa.int64()))
 
 
-def dedup_exact(ds, key_col: str, order_col: str):
+def dedup_exact(ds, key_col: str, order_col: str, num_shards: int = DEFAULT_SHARDS):
     """Keep, per distinct ``key_col`` value, the row with the smallest
-    ``order_col``. groupby = ONE hash shuffle on the key; each group is
-    reduced to a single row (map-side pre-reduction happens per sort
-    block inside Ray's aggregate machinery)."""
+    ``order_col``. ONE hash shuffle on ``_shard`` (not the raw key —
+    see module docstring); keys are resolved vectorized inside each
+    shard by a single sort + drop_duplicates."""
 
-    def _first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="mergesort").head(1)
+    def _add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_col]
+        if np.issubdtype(key.dtype, np.integer):
+            shard = (key.to_numpy().astype(np.uint64) % np.uint64(num_shards)).astype(np.int64)
+        else:
+            shard = (T.stable_hash64(key.astype(str)) % np.uint64(num_shards)).astype(np.int64)
+        return df.assign(_shard=shard)
 
-    return ds.groupby(key_col).map_groups(_first, batch_format="pandas")
+    def _first(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([key_col, order_col], kind="mergesort")
+            .drop_duplicates(key_col)
+            .drop(columns="_shard")
+        )
+
+    return (
+        ds.map_batches(_add_shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_first, batch_format="pandas")
+    )
 
 
 def phash_dedup(ds, order_col: str = "image_id"):
@@ -58,12 +153,14 @@ class MinHashStage:
     """Actor: computes MinHash signatures + band hashes per batch.
     Permutation tables built once per actor in __init__."""
 
-    def __init__(self, num_perm: int, num_bands: int, shingle_k: int, text_col: str, id_col: str):
+    def __init__(self, num_perm: int, num_bands: int, shingle_k: int, text_col: str,
+                 id_col: str, num_shards: int):
         self.num_perm = num_perm
         self.num_bands = num_bands
         self.shingle_k = shingle_k
         self.text_col = text_col
         self.id_col = id_col
+        self.num_shards = num_shards
         # warm the permutation cache once per actor
         T.minhash_signature([""], num_perm=num_perm)
 
@@ -75,11 +172,17 @@ class MinHashStage:
         ids = np.repeat(batch[self.id_col].to_numpy(zero_copy_only=False), self.num_bands)
         band_idx = np.tile(np.arange(self.num_bands, dtype=np.int64), n)
         band_hash = bands.reshape(-1).astype(np.int64)
+        with np.errstate(over="ignore"):
+            shard = (
+                (band_hash.astype(np.uint64) ^ (band_idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(self.num_shards)
+            ).astype(np.int64)
         return pa.table(
             {
                 self.id_col: pa.array(ids),
                 "band": pa.array(band_idx, pa.int64()),
                 "band_hash": pa.array(band_hash, pa.int64()),
+                "_shard": pa.array(shard, pa.int64()),
             }
         )
 
@@ -93,15 +196,17 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     verify_threshold: float | None = None,
     texts_by_id: dict | None = None,
+    num_shards: int = DEFAULT_SHARDS,
 ):
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     Stage 1 (map): signature + explode to (band, band_hash, id) — the
-    stream is num_bands× the input row count but only 3 small columns.
-    Stage 2 (shuffle): groupby (band, band_hash); every bucket with
-    ≥2 ids emits its canonical pairs. Pairs are deduped by a final
-    groupby. ``verify_threshold`` (needs ``texts_by_id`` broadcast)
-    filters candidates by exact shingle Jaccard.
+    stream is num_bands× the input row count but only 4 small columns.
+    Stage 2 (shuffle): groupby shard of (band, band_hash); buckets are
+    resolved vectorized inside each shard. Pairs are globally deduped
+    by a sharded second pass. ``verify_threshold`` (needs
+    ``texts_by_id`` broadcast via ``ray.put``) filters candidates by
+    exact shingle Jaccard.
     """
     exploded = ds.map_batches(
         MinHashStage,
@@ -111,27 +216,20 @@ def minhash_lsh_pairs(
             "shingle_k": shingle_k,
             "text_col": text_col,
             "id_col": id_col,
+            "num_shards": num_shards,
         },
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=4,
+        # autoscaling pool: min 1 so the pipeline can't deadlock on a
+        # small session where a fixed pool would starve later stages
+        concurrency=(1, 4),
     )
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_pairs_df(df, ["band", "band_hash"], id_col)
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-
-    def _dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    uniq = pairs.groupby(["id_a", "id_b"]).map_groups(_dedup_pair, batch_format="pandas")
+    pairs = exploded.groupby("_shard").map_groups(_shard_pairs, batch_format="pandas")
+    uniq = _dedup_pairs(pairs, num_shards)
 
     if verify_threshold is not None and texts_by_id is not None:
         import ray
@@ -153,7 +251,7 @@ def minhash_lsh_pairs(
                 ]
                 return batch[np.array(keep, bool)]
 
-        uniq = uniq.map_batches(_Verify, batch_format="pandas", batch_size=4096, concurrency=2)
+        uniq = uniq.map_batches(_Verify, batch_format="pandas", batch_size=4096, concurrency=(1, 2))
     return uniq
 
 
@@ -165,7 +263,7 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8,
-                  num_tables: int = 4):
+                  num_tables: int = 4, num_shards: int = DEFAULT_SHARDS):
     """Near-dup pairs by SimHash: band the 64-bit hash into
     ``num_tables`` 16-bit keys (any pair within Hamming ≤ 3·16/4 shares
     at least one band with high probability); verify exact Hamming."""
@@ -182,43 +280,45 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
             out_band.append(np.full(len(ids), b, np.int64))
             out_key.append(key)
             out_h.append(h)
+        band = np.concatenate(out_band)
+        key = np.concatenate(out_key)
+        shard = ((key.astype(np.uint64) * np.uint64(4) + band.astype(np.uint64))
+                 % np.uint64(num_shards)).astype(np.int64)
         return pa.table(
             {
                 id_col: pa.array(np.concatenate(out_id)),
-                "band": pa.array(np.concatenate(out_band), pa.int64()),
-                "key": pa.array(np.concatenate(out_key), pa.int64()),
+                "band": pa.array(band, pa.int64()),
+                "key": pa.array(key, pa.int64()),
                 "simhash": pa.array(np.concatenate(out_h), pa.int64()),
+                "_shard": pa.array(shard, pa.int64()),
             }
         )
 
     exploded = ds.map_batches(_explode, batch_format="pyarrow")
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        hd = hamming64(hs[ia], hs[ib])
-        keep = hd <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": hd[keep]})
+    def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = _bucket_pairs_df(df, ["band", "key"], id_col, extra={"h": "simhash"})
+        if len(out) == 0:
+            return pd.DataFrame({"id_a": out["id_a"], "id_b": out["id_b"],
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        hd = hamming64(out["h_a"].to_numpy(), out["h_b"].to_numpy())
+        out = out.drop(columns=["h_a", "h_b"]).assign(hamming=hd)
+        return out[out["hamming"] <= max_hamming]
 
-    pairs = exploded.groupby(["band", "key"]).map_groups(_bucket_pairs, batch_format="pandas")
-
-    def _dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(_dedup_pair, batch_format="pandas")
+    pairs = exploded.groupby("_shard").map_groups(_shard_pairs, batch_format="pandas")
+    return _dedup_pairs(pairs, num_shards)
 
 
 # ---------------------------------------------------- embedding cosine
 
 def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embedding",
-                            min_cosine: float = 0.95, nbits: int = 10):
+                            min_cosine: float = 0.95, nbits: int = 10,
+                            num_shards: int = DEFAULT_SHARDS):
     """Embedding near-dup: LSH-bucket (random hyperplanes) →
-    per-bucket exact cosine — O(n·bucket) instead of O(n²)."""
-    from geomedea_ray.stages.ann import _emb_matrix, add_lsh_bucket, lsh_planes
+    per-bucket exact cosine — O(n·bucket) instead of O(n²). Buckets
+    are sharded (module docstring) and resolved vectorized: one matmul
+    per occupied bucket within the shard."""
+    from geomedea_ray.stages.ann import add_lsh_bucket, lsh_planes
 
     first = ds.take(1)
     dim = len(first[0][emb_col])
@@ -228,17 +328,44 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embeddin
         batch_format="pyarrow",
     )
 
-    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        m = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+    def _add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        shard = (df["lsh_bucket"].to_numpy().astype(np.uint64) % np.uint64(num_shards)).astype(
+            np.int64
+        )
+        return df.assign(_shard=shard)
+
+    def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lsh_bucket", id_col], kind="mergesort")
+        starts, ends = _runs(df["lsh_bucket"].to_numpy())
+        ids = df[id_col].to_numpy()
+        m = np.stack(df[emb_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1
-        sims = (m / norms) @ (m / norms).T
-        ia, ib = np.triu_indices(len(g), k=1)
-        keep = sims[ia, ib] >= min_cosine
-        ids = g[id_col].to_numpy()
+        m = m / norms
+        hot = np.flatnonzero(ends - starts >= 2)
+        out_a, out_b, out_c = [], [], []
+        for j in hot:
+            s, e = starts[j], ends[j]
+            sims = m[s:e] @ m[s:e].T
+            ia, ib = np.triu_indices(e - s, k=1)
+            keep = sims[ia, ib] >= min_cosine
+            out_a.append(ids[s:e][ia[keep]])
+            out_b.append(ids[s:e][ib[keep]])
+            out_c.append(sims[ia, ib][keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=ids.dtype),
+                                 "id_b": pd.Series([], dtype=ids.dtype),
+                                 "cosine": pd.Series([], dtype=np.float64)})
         return pd.DataFrame(
-            {"id_a": ids[ia][keep], "id_b": ids[ib][keep], "cosine": sims[ia, ib][keep]}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         )
 
-    return ds.groupby("lsh_bucket").map_groups(_bucket, batch_format="pandas")
+    return (
+        ds.map_batches(_add_shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_shard_pairs, batch_format="pandas")
+    )

@@ -103,7 +103,7 @@ def knn(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=4,
+        concurrency=(1, 4),
         zero_copy_batch=True,
     )
 

@@ -1,0 +1,155 @@
+"""Operator-level dedup tests with planted duplicates and brute-force
+oracles (the sharded-group pattern in stages/dedup.py must find
+exactly what an O(n²) scan finds)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geomedea_ray.functions import text as T
+from geomedea_ray.stages.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+
+def _pair_set(df: pd.DataFrame) -> set:
+    return {(a, b) for a, b in zip(df["id_a"], df["id_b"])}
+
+
+@pytest.fixture(scope="module")
+def doc_table():
+    """120 random docs + 12 planted near-identical pairs."""
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(400)]
+    ids, texts = [], []
+    for i in range(120):
+        ids.append(f"d{i:04d}")
+        texts.append(" ".join(rng.choice(words, 40)))
+    planted = []
+    for j in range(12):
+        base = texts[j * 3]
+        toks = base.split()
+        toks[5] = "CHANGED"  # 1 of 40 tokens differs → jaccard ~0.85
+        ids.append(f"dup{j:04d}")
+        texts.append(" ".join(toks))
+        planted.append((f"d{j * 3:04d}", f"dup{j:04d}"))
+    return pa.table({"doc_id": ids, "text": texts}), planted
+
+
+class TestMinhashPairs:
+    def test_planted_neardups_found(self, ray_session, doc_table):
+        import ray.data
+
+        tbl, planted = doc_table
+        ds = ray.data.from_arrow(tbl)
+        pairs = _pair_set(minhash_lsh_pairs(ds).to_pandas())
+        for a, b in planted:
+            assert (a, b) in pairs, f"missing planted near-dup ({a},{b})"
+
+    def test_pairs_unique_and_canonical(self, ray_session, doc_table):
+        import ray.data
+
+        tbl, _ = doc_table
+        df = minhash_lsh_pairs(ray.data.from_arrow(tbl)).to_pandas()
+        assert (df["id_a"] < df["id_b"]).all()
+        assert not df.duplicated(["id_a", "id_b"]).any()
+
+    def test_verify_threshold_filters(self, ray_session, doc_table):
+        import ray.data
+
+        tbl, planted = doc_table
+        texts_by_id = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        df = minhash_lsh_pairs(
+            ray.data.from_arrow(tbl), verify_threshold=0.5, texts_by_id=texts_by_id
+        ).to_pandas()
+        got = _pair_set(df)
+        # exactly the pairs whose true jaccard >= 0.5 among candidates:
+        # planted pairs qualify, random ones don't
+        for a, b in planted:
+            assert (a, b) in got
+        for a, b in got:
+            assert T.jaccard_words(texts_by_id[a], texts_by_id[b]) >= 0.5
+
+
+class TestSimhashPairs:
+    def test_matches_bruteforce_within_radius(self, ray_session, doc_table):
+        import ray.data
+
+        tbl, planted = doc_table
+        ds = ray.data.from_arrow(tbl)
+        got = _pair_set(simhash_pairs(ds, max_hamming=6).to_pandas())
+        # brute-force oracle: all pairs with hamming <= 6 AND sharing a
+        # 16-bit band (the LSH guarantee is band-conditional)
+        ids = tbl["doc_id"].to_pylist()
+        h = T.simhash64(tbl["text"].to_pylist()).astype(np.uint64)
+        expect = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                x = int(h[i] ^ h[j])
+                if bin(x).count("1") <= 6 and any(
+                    (int(h[i]) >> (16 * b)) & 0xFFFF == (int(h[j]) >> (16 * b)) & 0xFFFF
+                    for b in range(4)
+                ):
+                    expect.add(tuple(sorted((ids[i], ids[j]))))
+        assert got == expect
+        # planted docs differ in 1/40 tokens; most (not all) stay
+        # within the radius — the exact-oracle equality above is the
+        # real correctness claim, this guards against zero recall
+        found = sum((a, b) in got for a, b in planted)
+        assert found >= len(planted) // 2
+
+
+class TestEmbeddingNeardup:
+    def test_planted_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(200, 32))
+        ids = [f"v{i:04d}" for i in range(200)]
+        # plant 15 near-dups: tiny perturbations of existing vectors
+        for j in range(15):
+            vecs = np.vstack([vecs, vecs[j * 2] + rng.normal(scale=0.02, size=32)])
+            ids.append(f"nd{j:04d}")
+        tbl = pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.array(list(vecs.astype(np.float32)), pa.list_(pa.float32(), 32)),
+            }
+        )
+        got = _pair_set(
+            embedding_neardup_pairs(ray.data.from_arrow(tbl), min_cosine=0.98).to_pandas()
+        )
+        m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = m @ m.T
+        np.fill_diagonal(sims, -1)
+        ii, jj = np.where(np.triu(sims, 1) >= 0.98)
+        expect = {tuple(sorted((ids[i], ids[j]))) for i, j in zip(ii, jj)}
+        assert len(expect) >= 15
+        # LSH recall: every planted (high-cosine) pair must be found —
+        # at cosine 0.98 the 10-bit hyperplane LSH bucket match rate is
+        # ~(1-acos(.98)/pi)^10 ≈ 0.52 per table... so assert subset
+        # instead: everything found is a true pair, and ≥ half of the
+        # oracle pairs are found
+        assert got <= expect
+        assert len(got) >= len(expect) // 2
+
+
+class TestDedupExact:
+    def test_min_order_kept_string_key(self, ray_session):
+        import ray.data
+
+        tbl = pa.table(
+            {
+                "k": ["a", "b", "a", "c", "b", "a"],
+                "ord": ["z5", "z2", "z1", "z9", "z0", "z3"],
+                "val": [1, 2, 3, 4, 5, 6],
+            }
+        )
+        df = dedup_exact(ray.data.from_arrow(tbl), "k", "ord").to_pandas()
+        got = dict(zip(df["k"], df["val"]))
+        assert got == {"a": 3, "b": 5, "c": 4}
+        assert "_shard" not in df.columns
