@@ -94,6 +94,43 @@ def average_phash(pixels: np.ndarray) -> int:
     return int(val.astype(np.int64))
 
 
+def average_phash_batch(stack: np.ndarray) -> np.ndarray:
+    """Vectorized ``average_phash`` over a (k, h, w, 3) uint8 stack of
+    SAME-SIZE images — bit-identical to the scalar version (same
+    integer divisions), one numpy pass for the whole stack."""
+    k, h, w, _ = stack.shape
+    if h % 8 or w % 8:
+        raise ValueError(f"phash needs dims divisible by 8, got {w}x{h}")
+    gray = stack.sum(axis=3, dtype=np.uint16) // 3                       # (k, h, w), ≤255
+    bh, bw = h // 8, w // 8
+    # two contiguous last-axis reductions instead of one strided
+    # sum(axis=(2,4)) — ~10× faster, identical integer result
+    s = gray.reshape(k, 8, bh, 8, bw).sum(axis=4, dtype=np.uint32)       # (k, 8, bh, 8)
+    blocks = s.sum(axis=2, dtype=np.uint32) // (bh * bw)                 # (k, 8, 8)
+    flat = blocks.reshape(k, 64).astype(np.uint64)
+    mean = (flat.sum(axis=1) // np.uint64(64))[:, None]
+    bits = (flat > mean).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    with np.errstate(over="ignore"):
+        return (bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def decode_size_groups(blobs, fmts, ws, hs):
+    """Decode a heterogeneous batch and yield ``(row_indices, stack)``
+    per distinct (h, w) — same-size images stacked into one
+    (k, h, w, 3) array so downstream stats/hash/resize run vectorized
+    over the stack instead of per row. Per-row work is only the zlib
+    call (C code); all numpy math moves to stack granularity."""
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (hh, ww) in enumerate(zip(hs, ws)):
+        groups.setdefault((int(hh), int(ww)), []).append(i)
+    for (hh, ww), idxs in groups.items():
+        stack = np.empty((len(idxs), hh, ww, 3), dtype=np.uint8)
+        for j, i in enumerate(idxs):
+            stack[j] = decode(blobs[i], fmts[i], ww, hh)
+        yield np.asarray(idxs, dtype=np.int64), stack
+
+
 def hamming64(a, b) -> np.ndarray:
     """Vectorized Hamming distance between int64 hash columns."""
     x = np.asarray(a, np.int64).astype(np.uint64) ^ np.asarray(b, np.int64).astype(np.uint64)

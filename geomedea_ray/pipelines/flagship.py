@@ -75,6 +75,76 @@ def flagship(sf_dir: str):
     return spatial_join_tiles(sf_dir)
 
 
+class FullImageChain:
+    """One fused task: decode + phash-integrity check → geocode → tile
+    → exact PIP join. This is the 100 TB shape of the headline — at
+    real scale every row's ``bytes`` flows through the decoder, so the
+    scaling benchmark includes it (a metadata-only chain is ~1 µs/row
+    and measures executor overhead, not the engine). Fusing the whole
+    chain into a single task fn (polygons captured in the closure —
+    they're KBs; the ``ray.put`` broadcast + actor pool in
+    stages/pip.py is for polygon sets that outgrow a closure) avoids a
+    plasma materialization between a task stage and an actor stage."""
+
+    def __init__(self, zoom: int = 6):
+        from geomedea_ray.stages.images import DecodeStats
+        from geomedea_ray.stages.pip import PIPJoiner
+
+        self.decode = DecodeStats()
+        self.joiner = PIPJoiner(
+            polygon_arrays(),
+            id_cols=["image_id", "caption", "tile_x", "tile_y"],
+            exact=True,
+        )
+        self.zoom = zoom
+
+    def __call__(self, batch):
+        stats = self.decode(batch)
+        ok = batch.filter(stats["phash_ok"])  # integrity-passing rows join
+        return self.joiner(tile_batch(add_phash_lnglat(ok), zoom=self.zoom))
+
+
+def spatial_join_tiles_scaled(sf_dir: str, repeat: int = 1, zoom: int = 6):
+    """The FULL image pipeline (decode-verify + spatial join + tile
+    assignment) over a ``repeat``×-replicated input — the
+    scaling-bench workload. The image table's parquet fragments are
+    listed ``repeat`` times in ONE ``read_parquet`` call so the
+    executor sees a single wide read, NOT a ``union`` DAG (measured:
+    union serializes branches — 51.7 s vs 3.1 s for the same rows).
+
+    ``override_num_blocks ≈ 2-4× CPUs`` (min 64): with blocks == CPUs
+    the 450 MB full-column fragments degrade pathologically (measured
+    76 s vs 8.5 s at 32 CPUs); with far more blocks, per-task fixed
+    cost (~9 ms driver-side) dominates."""
+    import glob
+
+    import ray
+    import ray.data
+
+    files = sorted(glob.glob(os.path.join(image_table_path(n_images_for(sf_dir)),
+                                          "*.parquet")))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nblocks = max(64, cpus * 2)
+    base = ray.data.read_parquet(files * max(1, repeat), override_num_blocks=nblocks)
+    # plain task fn (lazy per-process init), NOT an actor pool: task
+    # stages fuse with the read into one task, so full-column blocks
+    # never round-trip through the object store
+    return base.map_batches(
+        _full_chain_fn, fn_kwargs={"zoom": zoom},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+_CHAIN: FullImageChain | None = None
+
+
+def _full_chain_fn(batch, zoom: int = 6):
+    global _CHAIN
+    if _CHAIN is None or _CHAIN.zoom != zoom:
+        _CHAIN = FullImageChain(zoom)  # once per worker process
+    return _CHAIN(batch)
+
+
 def image_bbox_slice(sf_dir: str, rect_deg=( -60.005, -40.005, 20.005, 30.005)):
     d = image_spatial_dataset(sf_dir)
     return Q.bbox_slice(d, rect_deg, columns=["image_id", "lng", "lat", "hilbert"])

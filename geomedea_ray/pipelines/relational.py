@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 
 from geomedea_ray.sources import tables
 
+from geomedea_ray.util import auto_pool
+
 
 def _round2(x):
     return pc.round(x, ndigits=2)
@@ -165,7 +167,7 @@ def revenue_by_nation(sf_dir: str):
 
     ds = tables.read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     out = (
-        ds.map_batches(_AttachNation, batch_format="pyarrow", concurrency=(1, 2),
+        ds.map_batches(_AttachNation, batch_format="pyarrow", concurrency=auto_pool(),
                        zero_copy_batch=True)
         .groupby("n_name")
         .aggregate(

@@ -12,6 +12,8 @@ from geomedea_ray.stages import text_stages
 from geomedea_ray.stages.ann import ann_topk
 from geomedea_ray.stages.dedup import add_fingerprint, dedup_exact
 
+from geomedea_ray.util import auto_pool
+
 ANN_QUERY_IDS = (0, 1, 2)
 ANN_K = 10
 
@@ -103,7 +105,7 @@ def q_langid(sf_dir: str):
     SQL-expressible; determinism is pytest-verified)."""
     ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        text_stages.LangIdStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
+        text_stages.LangIdStage, batch_format="pyarrow", batch_size=256, concurrency=auto_pool()
     ).select_columns(["doc_id", "lang_pred"])
 
 

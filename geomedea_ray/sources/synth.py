@@ -102,9 +102,16 @@ def image_table_path(n: int, seed: int = 42, cache_root: str = "/tmp/geomedea_ra
     def _batch(batch: pa.Table) -> pa.Table:
         return synth_image_batch(batch["id"].to_numpy(), seed=seed)
 
+    # generate wide (parallel), then repartition to FEW LARGE fragments
+    # before writing: per-file fixed read cost (~40 ms metadata+assembly)
+    # dominates 4k-row fragments and makes every downstream pipeline
+    # read-bound; 30k+-row fragments match how a real deployment sizes
+    # files (0.5-1 GB) and keep reads ~free relative to transforms
+    n_files = max(4, n // 30_000)
     (
         ray.data.range(n)
         .map_batches(_batch, batch_format="pyarrow", batch_size=2048)
+        .repartition(n_files)
         .write_parquet(out)
     )
     with open(marker, "w") as f:

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from geomedea_ray.util import auto_pool
+
 
 def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
@@ -94,7 +96,7 @@ def ann_topk(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=auto_pool(),
         zero_copy_batch=True,
     )
 

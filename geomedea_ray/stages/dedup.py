@@ -36,6 +36,7 @@ import pyarrow as pa
 
 from geomedea_ray.functions import text as T
 from geomedea_ray.functions.codecs import hamming64
+from geomedea_ray.util import auto_pool
 
 DEFAULT_SHARDS = 64
 
@@ -222,7 +223,7 @@ def minhash_lsh_pairs(
         batch_size=1024,
         # autoscaling pool: min 1 so the pipeline can't deadlock on a
         # small session where a fixed pool would starve later stages
-        concurrency=(1, 4),
+        concurrency=auto_pool(),
     )
 
     def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -251,7 +252,7 @@ def minhash_lsh_pairs(
                 ]
                 return batch[np.array(keep, bool)]
 
-        uniq = uniq.map_batches(_Verify, batch_format="pandas", batch_size=4096, concurrency=(1, 2))
+        uniq = uniq.map_batches(_Verify, batch_format="pandas", batch_size=4096, concurrency=auto_pool())
     return uniq
 
 

@@ -5,7 +5,7 @@ a real JPEG decoder would slot into the same actor with no pipeline
 change (the NotImplementedError branches mark exactly where).
 
 Batches stay SMALL (default 256) because rows are wide — a 64×64 RGB
-row is ~12 KiB encoded; batch_size × concurrency × row width must fit
+row is ~12 KiB encoded (batch 1024 ≈ 12 MiB); batch_size × concurrency × row width must fit
 worker heaps (SURVEY §4 memory row)."""
 
 from __future__ import annotations
@@ -15,7 +15,24 @@ import pyarrow as pa
 
 from geomedea_ray.functions import codecs
 
-DEFAULT_BATCH = 256
+DEFAULT_BATCH = 1024
+
+
+def binary_views(col: pa.ChunkedArray | pa.Array) -> list[memoryview]:
+    """Zero-copy memoryview slices of a binary column's value buffer —
+    avoids materializing one Python bytes copy per row (zlib accepts
+    buffer views directly)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # older pyarrow returns a 1-chunk ChunkedArray
+        col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    if len(col) == 0:
+        return []
+    width = 8 if pa.types.is_large_binary(col.type) else 4
+    dtype = np.int64 if width == 8 else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=dtype, count=len(col) + 1, offset=col.offset * width)
+    buf = memoryview(col.buffers()[2])
+    return [buf[offs[i]: offs[i + 1]] for i in range(len(col))]
 
 
 class DecodeStats:
@@ -24,10 +41,10 @@ class DecodeStats:
     The codec dispatch table is per-actor state."""
 
     def __init__(self):
-        self.decode = codecs.decode  # dispatch bound once per actor
+        self.decode_groups = codecs.decode_size_groups  # bound once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
+        blobs = binary_views(batch["bytes"])
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         fmts = batch["fmt"].to_pylist()
@@ -36,11 +53,24 @@ class DecodeStats:
         mean_px = np.empty(n, np.float64)
         std_px = np.empty(n, np.float64)
         phash_rt = np.empty(n, np.int64)
-        for i in range(n):
-            img = self.decode(blobs[i], fmts[i], int(ws[i]), int(hs[i]))
-            mean_px[i] = img.mean()
-            std_px[i] = img.std()
-            phash_rt[i] = codecs.average_phash(img)
+        # vectorized over same-size stacks (codecs.decode_size_groups):
+        # per-row Python work is just the zlib call
+        for idxs, stack in self.decode_groups(blobs, fmts, ws, hs):
+            # integer-sum stats: summing uint8 directly moves ~8× less
+            # memory than a float64 copy of every pixel (decode is
+            # memory-bandwidth-bound at full node width)
+            flat = stack.reshape(len(idxs), -1)
+            npx = flat.shape[1]
+            s1 = flat.sum(axis=1, dtype=np.int64)
+            # square in uint16 (255² = 65025 < 2¹⁶) then widen only in
+            # the reduction — einsum with dtype=int64 would materialize
+            # an 8-byte copy of every pixel first (~8× the DRAM traffic)
+            sq = np.square(flat, dtype=np.uint16)
+            s2 = sq.sum(axis=1, dtype=np.int64)
+            mean = s1 / npx
+            mean_px[idxs] = mean
+            std_px[idxs] = np.sqrt(np.maximum(s2 / npx - mean * mean, 0.0))
+            phash_rt[idxs] = codecs.average_phash_batch(stack)
         ok = codecs.hamming64(phash_rt, phash) <= 8  # lossy fmts drift a few bits
         return pa.table(
             {
@@ -60,17 +90,19 @@ class Thumbnail:
     the block mean)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
+        blobs = binary_views(batch["bytes"])
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         fmts = batch["fmt"].to_pylist()
         feats = np.empty((len(blobs), 64), np.float32)
-        for i in range(len(blobs)):
-            img = codecs.decode(blobs[i], fmts[i], int(ws[i]), int(hs[i]))
-            gray = img.astype(np.float64).mean(axis=2)
-            h, w = gray.shape
-            thumb = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
-            feats[i] = thumb.reshape(-1)
+        for idxs, stack in codecs.decode_size_groups(blobs, fmts, ws, hs):
+            k, h, w, _ = stack.shape
+            bh, bw = h // 8, w // 8
+            # integer block sums (contiguous-axis), float only at the end
+            g = stack.sum(axis=3, dtype=np.uint16)                          # (k,h,w), ≤765
+            s = g.reshape(k, 8, bh, 8, bw).sum(axis=4, dtype=np.uint32)
+            thumb = s.sum(axis=2, dtype=np.uint32).astype(np.float32) / (3 * bh * bw)
+            feats[idxs] = thumb.reshape(k, 64)
         return pa.table(
             {
                 "image_id": batch["image_id"],
@@ -90,7 +122,7 @@ class Reencode:
         self.target = target_fmt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch["bytes"].to_pylist()
+        blobs = binary_views(batch["bytes"])
         ws = batch["w"].to_numpy()
         hs = batch["h"].to_numpy()
         fmts = batch["fmt"].to_pylist()
@@ -106,15 +138,21 @@ class Reencode:
         )
 
 
-def decode_stats(ds, concurrency=(2, 8), batch_size: int = DEFAULT_BATCH):
+def decode_stats(ds, concurrency=None, batch_size: int = DEFAULT_BATCH):
+    from geomedea_ray.util import auto_pool
+
     return ds.map_batches(
         DecodeStats, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, zero_copy_batch=True,
+        concurrency=concurrency if concurrency is not None else auto_pool(),
+        zero_copy_batch=True,
     )
 
 
-def thumbnails(ds, concurrency=(2, 8), batch_size: int = DEFAULT_BATCH):
+def thumbnails(ds, concurrency=None, batch_size: int = DEFAULT_BATCH):
+    from geomedea_ray.util import auto_pool
+
     return ds.map_batches(
         Thumbnail, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, zero_copy_batch=True,
+        concurrency=concurrency if concurrency is not None else auto_pool(),
+        zero_copy_batch=True,
     )

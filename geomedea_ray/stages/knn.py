@@ -28,6 +28,8 @@ import pyarrow as pa
 
 from geomedea_ray.functions.geo import haversine_m
 
+from geomedea_ray.util import auto_pool
+
 
 class _BatchTopK:
     def __init__(self, queries_ref, k: int, id_col: str, metric: str):
@@ -103,7 +105,7 @@ def knn(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=auto_pool(),
         zero_copy_batch=True,
     )
 

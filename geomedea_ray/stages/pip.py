@@ -73,12 +73,16 @@ def pip_join(
     polygons: list,
     id_cols: list[str],
     exact: bool = True,
-    concurrency: int = 4,
+    concurrency=None,
     batch_size: int = 8192,
 ):
     """points Dataset (needs lng/lat cols) ⋈ polygon list."""
     import ray
 
+    from geomedea_ray.util import auto_pool
+
+    if concurrency is None:
+        concurrency = auto_pool()
     ref = ray.put(polygons)
     return points_ds.map_batches(
         PIPJoiner,
