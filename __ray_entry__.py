@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (W-tile)
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all (rows-only)
+        "geojson_roundtrip": G.q_geojson_roundtrip,  # S4/S5 bridge (rows-only)
         # --- relational surface (SURVEY §2.5 gap ops) ---
         "q1_pricing": R.q1_pricing_summary,
         "top_orders": R.top_orders,

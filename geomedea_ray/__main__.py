@@ -1,0 +1,136 @@
+"""CLI for the spatial dataset format — the reference's binaries as
+subcommands (reference: geomedea/src/bin/info.rs:8-32 `info`,
+geomedea/src/inspector.rs:148-204 `Inspector`, geomedea_geozero's
+convert example).
+
+    python -m geomedea_ray info    <dataset_dir>
+    python -m geomedea_ray inspect <dataset_dir>
+    python -m geomedea_ray convert <in.geojson> <dataset_dir>
+    python -m geomedea_ray export  <dataset_dir> <out.geojson>
+    python -m geomedea_ray bbox    <dataset_dir> MINLNG MINLAT MAXLNG MAXLAT
+
+This entry point OWNS a Ray session (guarded init; the library never
+calls ray.init)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_info(dataset_dir: str) -> int:
+    """Header-level summary (S6 — info.rs prints header/index/section
+    sizes; ours prints the manifest equivalents)."""
+    from geomedea_ray.functions.geo import dequantize
+    from geomedea_ray.state.manifest import Manifest
+
+    man = Manifest.load(dataset_dir)
+    ext = [round(float(x), 7) for x in dequantize(list(man.extent))]
+    total_bytes = sum(p.byte_size for p in man.partitions)
+    print(f"dataset:     {dataset_dir}")
+    print(f"version:     {man.version}")
+    print(f"rows:        {man.row_count}")
+    print(f"partitions:  {len(man.partitions)}")
+    print(f"data bytes:  {total_bytes}")
+    print(f"extent:      lng [{ext[0]}, {ext[2]}]  lat [{ext[1]}, {ext[3]}]")
+    if man.properties:
+        print(f"properties:  {man.properties}")
+    return 0
+
+
+def cmd_inspect(dataset_dir: str) -> int:
+    """Per-partition annotated dump (S7 — the Inspector's labeled byte
+    ranges become per-partition file/index statistics)."""
+    from geomedea_ray.functions.geo import dequantize
+    from geomedea_ray.state.index import PackedRTree
+    from geomedea_ray.state.manifest import Manifest
+
+    man = Manifest.load(dataset_dir)
+    cmd_info(dataset_dir)
+    print()
+    hdr = f"{'part':>4} {'rows':>8} {'bytes':>10} {'hilbert range':>23} {'index nodes':>11} {'levels':>6}  bbox(deg)"
+    print(hdr)
+    for p in man.partitions:
+        tree = PackedRTree.load(os.path.join(dataset_dir, p.index_path))
+        b = [round(float(x), 4) for x in dequantize(list(p.bounds))]
+        print(
+            f"{p.partition_id:>4} {p.row_count:>8} {p.byte_size:>10} "
+            f"{p.hilbert_max:>11}..{p.hilbert_min:<11} {tree.node_count():>11} "
+            f"{len(tree.levels):>6}  [{b[0]},{b[1]} .. {b[2]},{b[3]}]"
+        )
+    return 0
+
+
+def cmd_convert(src: str, dataset_dir: str) -> int:
+    """GeoJSON → spatial dataset (S4 + W1-W7 write pipeline)."""
+    _ensure_ray()
+    from geomedea_ray.pipelines.spatial_write import spatial_write
+    from geomedea_ray.sources.geojson import read_geojson
+
+    man = spatial_write(read_geojson(src), dataset_dir, tiebreak="fid",
+                        properties={"source": os.path.basename(src)})
+    print(f"wrote {man.row_count} features in {len(man.partitions)} partitions to {dataset_dir}")
+    return 0
+
+
+def cmd_export(dataset_dir: str, out_path: str) -> int:
+    """Spatial dataset → one GeoJSON FeatureCollection (S5)."""
+    _ensure_ray()
+    from geomedea_ray.pipelines.queries import select_all
+    from geomedea_ray.sources.geojson import write_geojson
+
+    n = write_geojson(select_all(dataset_dir), out_path)
+    print(f"exported {n} features to {out_path}")
+    return 0
+
+
+def cmd_bbox(dataset_dir: str, *rect: str) -> int:
+    """select_bbox row count (R2; bbox-intersects semantics)."""
+    _ensure_ray()
+    from geomedea_ray.pipelines.queries import bbox_slice
+
+    r = tuple(float(x) for x in rect)
+    n = bbox_slice(dataset_dir, r).count()
+    print(f"select_bbox{r} -> {n} rows")
+    return 0
+
+
+COMMANDS = {
+    "info": (cmd_info, 1),
+    "inspect": (cmd_inspect, 1),
+    "convert": (cmd_convert, 2),
+    "export": (cmd_export, 2),
+    "bbox": (cmd_bbox, 5),
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in COMMANDS:
+        print(__doc__.strip())
+        return 2
+    fn, nargs = COMMANDS[argv[0]]
+    if len(argv) - 1 != nargs:
+        print(f"error: '{argv[0]}' takes {nargs} argument(s)\n")
+        print(__doc__.strip())
+        return 2
+    rc = fn(*argv[1:])
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

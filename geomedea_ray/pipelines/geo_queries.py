@@ -178,6 +178,53 @@ FROM pts GROUP BY 1, 2"""
     )
 
 
+def q_geojson_roundtrip(sf_dir: str):
+    """S4/S5 bridge as a driver-visible query: polygon fixture set →
+    GeoJSON file → parse (read_geojson) → spatial_write → select_all →
+    export; returns per-feature (name, geom_type, n_coords). Rows-only
+    check (GeoJSON isn't SQL-expressible); geometry fidelity is
+    asserted in tests/test_geojson.py."""
+    import json
+
+    import pandas as pd
+
+    from geomedea_ray.pipelines.queries import select_all
+    from geomedea_ray.pipelines.spatial_write import spatial_write
+    from geomedea_ray.sources import geojson as GJ
+    from geomedea_ray.sources.polygons import POLYGONS
+
+    feats = [
+        {
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [[list(v) for v in verts] + [list(verts[0])]]},
+            "properties": {"poly_id": pid, "name": name},
+        }
+        for pid, name, verts in POLYGONS
+    ]
+    src = "/tmp/geomedea_ray_cache/geojson_roundtrip_src.json"
+    os.makedirs(os.path.dirname(src), exist_ok=True)
+    with open(src, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    out_dir = "/tmp/geomedea_ray_cache/geojson_roundtrip_ds"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spatial_write(GJ.read_geojson(src), out_dir, tiebreak="fid")
+    rows = select_all(out_dir).map_batches(GJ.to_geojson_batch, batch_format="pyarrow").take_all()
+    recs = []
+    for r in rows:
+        f = json.loads(r["json"])
+        flat, _, _ = GJ._flatten_geometry(f["geometry"])
+        recs.append(
+            {
+                "name": f["properties"]["name"],
+                "geom_type": f["geometry"]["type"],
+                "n_coords": len(flat),
+            }
+        )
+    return pd.DataFrame(sorted(recs, key=lambda r: r["name"]))
+
+
 def q_hilbert_scan(sf_dir: str):
     """Stored-order scan sample (rows-only check: Hilbert keys are not
     SQL-expressible; bit-level goldens live in pytest instead)."""

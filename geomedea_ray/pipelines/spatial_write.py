@@ -45,12 +45,22 @@ def compute_extent(ds) -> tuple[int, int, int, int]:
     the reference's pre-sort extent fold."""
     from ray.data.aggregate import Max, Min
 
-    row = ds.aggregate(
-        Min("lng_i", alias_name="min_lng"),
-        Min("lat_i", alias_name="min_lat"),
-        Max("lng_i", alias_name="max_lng"),
-        Max("lat_i", alias_name="max_lat"),
-    )
+    if "bbox_min_lng_i" in ds.schema().names:
+        # feature rows: extent = fold of feature BBOXES, exactly the
+        # reference's extent.extend(&bounds) (writer/mod.rs:58-59)
+        row = ds.aggregate(
+            Min("bbox_min_lng_i", alias_name="min_lng"),
+            Min("bbox_min_lat_i", alias_name="min_lat"),
+            Max("bbox_max_lng_i", alias_name="max_lng"),
+            Max("bbox_max_lat_i", alias_name="max_lat"),
+        )
+    else:
+        row = ds.aggregate(
+            Min("lng_i", alias_name="min_lng"),
+            Min("lat_i", alias_name="min_lat"),
+            Max("lng_i", alias_name="max_lng"),
+            Max("lat_i", alias_name="max_lat"),
+        )
     return (
         int(row["min_lng"]),
         int(row["min_lat"]),
@@ -76,10 +86,19 @@ def write_partition(batch: pa.Table, dataset_dir: str) -> pa.Table:
     if batch.num_rows == 0:
         return _summary_table([])
     h = batch["hilbert"].to_numpy()
-    # leaves: for point rows bbox == the point (W1 degenerates)
-    lng_i = batch["lng_i"].to_numpy()
-    lat_i = batch["lat_i"].to_numpy()
-    tree = PackedRTree.build(lng_i, lat_i, lng_i, lat_i)
+    if "bbox_min_lng_i" in batch.column_names:
+        # feature rows carry a real bbox (W1) — index leaves use it
+        tree = PackedRTree.build(
+            batch["bbox_min_lng_i"].to_numpy(),
+            batch["bbox_min_lat_i"].to_numpy(),
+            batch["bbox_max_lng_i"].to_numpy(),
+            batch["bbox_max_lat_i"].to_numpy(),
+        )
+    else:
+        # point rows: bbox == the point (W1 degenerates)
+        lng_i = batch["lng_i"].to_numpy()
+        lat_i = batch["lat_i"].to_numpy()
+        tree = PackedRTree.build(lng_i, lat_i, lng_i, lat_i)
     rb = tree.root_bounds()
     # filename sorts in descending-hilbert order: invert the first key
     inv = 0xFFFFFFFF - int(h[0])
@@ -147,12 +166,16 @@ def spatial_write(
     output needs an explicit key — SURVEY §7.5).
     """
     os.makedirs(dataset_dir, exist_ok=True)
-    ds = ds.map_batches(
-        quantize_batch,
-        fn_kwargs={"lng_col": lng_col, "lat_col": lat_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    if "lng_i" not in ds.schema().names:
+        ds = ds.map_batches(
+            quantize_batch,
+            fn_kwargs={"lng_col": lng_col, "lat_col": lat_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    # else: rows already carry lng_i/lat_i (e.g. feature tables from
+    # sources/geojson.py where they're the integer bbox center —
+    # re-quantizing through degrees would break bit-compat)
     if extent is None:
         extent = compute_extent(ds)
     ds = ds.map_batches(

@@ -1,0 +1,284 @@
+"""GeoJSON ⇄ columnar feature-table bridge (SURVEY §2.1 S4/S5 — the
+reference's geozero crate re-expressed as batch transforms).
+
+The reference consumes/produces features through a streaming event API
+(reference: geomedea_geozero/src/geozero_writer.rs:67-609 builder
+stack, geozero_reader.rs:31-188 replay). Ray-natively neither side
+needs events: a *batch* of GeoJSON features is parsed straight into a
+columnar feature table, and exported back, inside ``map_batches``.
+
+Columnar feature model (maps the reference's data model, SURVEY §1.4):
+
+    fid:            int64   input sequence (sort tiebreak)
+    geom_type:      string  Point|LineString|Polygon|MultiPoint|
+                            MultiLineString|MultiPolygon|GeometryCollection
+    coords:         list<int32>  flat [lng_i, lat_i, ...] scaled-1e7
+                            ints, TRUNCATING quantization (bit-compat
+                            with reference geometry/mod.rs:295-297)
+    ring_lens:      list<int32>  coordinate-pair count per ring/part
+    part_lens:      list<int32>  ring count per part (MultiPolygon);
+                            empty for non-nested types
+    geom_json:      string  escape hatch: full geometry JSON for
+                            GeometryCollection (recursive — kept
+                            self-describing rather than modelled
+                            columnar; the reference's own geozero
+                            bridge similarly punts on nested
+                            PropertyValue::Vec/Map, lib.rs:31-32)
+    props_json:     string  properties as canonical JSON — faithful to
+                            the reference's per-feature self-describing
+                            key/value encoding (feature.rs:52-63)
+    lng_i, lat_i:   int32   integer bbox center (bounds.rs:90-99
+                            integer-division math) — the Hilbert sort
+                            key input (writer/mod.rs:58-61)
+    bbox_*:         int32   feature bbox (W1) for index leaves
+
+Parsing is per-feature Python (as is the reference's event stream) but
+amortized per batch; coordinate quantization is vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from geomedea_ray.functions.geo import COORD_SCALE, bbox_center_i32, dequantize
+
+GEOM_TYPES = (
+    "Point", "LineString", "Polygon", "MultiPoint",
+    "MultiLineString", "MultiPolygon", "GeometryCollection",
+)
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("fid", pa.int64()),
+        ("geom_type", pa.string()),
+        ("coords", pa.list_(pa.int32())),
+        ("ring_lens", pa.list_(pa.int32())),
+        ("part_lens", pa.list_(pa.int32())),
+        ("geom_json", pa.string()),
+        ("props_json", pa.string()),
+        ("lng_i", pa.int32()),
+        ("lat_i", pa.int32()),
+        ("bbox_min_lng_i", pa.int32()),
+        ("bbox_min_lat_i", pa.int32()),
+        ("bbox_max_lng_i", pa.int32()),
+        ("bbox_max_lat_i", pa.int32()),
+    ]
+)
+
+
+def _flatten_geometry(geom: dict) -> tuple[list, list, list]:
+    """geometry dict → (flat xy pairs, ring_lens, part_lens)."""
+    t = geom["type"]
+    c = geom["coordinates"]
+    if t == "Point":
+        return [c], [1], []
+    if t in ("LineString", "MultiPoint"):
+        return list(c), [len(c)], []
+    if t in ("Polygon", "MultiLineString"):
+        flat, rl = [], []
+        for ring in c:
+            flat.extend(ring)
+            rl.append(len(ring))
+        return flat, rl, []
+    if t == "MultiPolygon":
+        flat, rl, pl = [], [], []
+        for poly in c:
+            pl.append(len(poly))
+            for ring in poly:
+                flat.extend(ring)
+                rl.append(len(ring))
+        return flat, rl, pl
+    raise ValueError(f"unsupported geometry type {t!r}")
+
+
+def _unflatten_geometry(t: str, xy: np.ndarray, ring_lens: list[int],
+                        part_lens: list[int]) -> dict:
+    """Inverse of _flatten_geometry; ``xy`` is an (n, 2) float array."""
+    pts = xy.tolist()
+    if t == "Point":
+        return {"type": t, "coordinates": pts[0]}
+    if t in ("LineString", "MultiPoint"):
+        return {"type": t, "coordinates": pts}
+    rings, off = [], 0
+    for n in ring_lens:
+        rings.append(pts[off: off + n])
+        off += n
+    if t in ("Polygon", "MultiLineString"):
+        return {"type": t, "coordinates": rings}
+    if t == "MultiPolygon":
+        polys, off = [], 0
+        for n in part_lens:
+            polys.append(rings[off: off + n])
+            off += n
+        return {"type": t, "coordinates": polys}
+    raise ValueError(f"unsupported geometry type {t!r}")
+
+
+def parse_features_batch(features: list[dict], fid_start: int = 0) -> pa.Table:
+    """A batch of GeoJSON Feature dicts → columnar feature table.
+    Quantization is one vectorized numpy pass over the batch's
+    concatenated coordinates."""
+    n = len(features)
+    geom_types, geom_jsons, props, ring_ls, part_ls = [], [], [], [], []
+    all_xy: list = []
+    counts = np.zeros(n, dtype=np.int64)
+    for i, f in enumerate(features):
+        geom = f.get("geometry")
+        props.append(json.dumps(f.get("properties") or {}, sort_keys=True))
+        if geom is None or geom["type"] == "GeometryCollection":
+            geom_types.append("GeometryCollection" if geom else "Null")
+            geom_jsons.append(json.dumps(geom, sort_keys=True) if geom else "")
+            ring_ls.append([])
+            part_ls.append([])
+            if geom:  # fold every nested coordinate into the bbox
+                sub = []
+
+                def walk(g):
+                    if g["type"] == "GeometryCollection":
+                        for gg in g["geometries"]:
+                            walk(gg)
+                    else:
+                        flat, _, _ = _flatten_geometry(g)
+                        sub.extend(flat)
+
+                walk(geom)
+                all_xy.extend(sub)
+                counts[i] = len(sub)
+            continue
+        flat, rl, pl = _flatten_geometry(geom)
+        geom_types.append(geom["type"])
+        geom_jsons.append("")
+        ring_ls.append(rl)
+        part_ls.append(pl)
+        all_xy.extend(flat)
+        counts[i] = len(flat)
+
+    if all_xy:
+        xy = np.asarray(all_xy, dtype=np.float64)
+        q = np.trunc(xy * float(COORD_SCALE)).astype(np.int64).astype(np.int32)
+    else:
+        q = np.zeros((0, 2), dtype=np.int32)
+
+    # per-feature bbox over its coordinate slice (W1)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    minx = np.zeros(n, np.int32); miny = np.zeros(n, np.int32)
+    maxx = np.zeros(n, np.int32); maxy = np.zeros(n, np.int32)
+    coords_col = []
+    for i in range(n):
+        s, e = starts[i], ends[i]
+        if e > s:
+            sl = q[s:e]
+            minx[i], miny[i] = sl[:, 0].min(), sl[:, 1].min()
+            maxx[i], maxy[i] = sl[:, 0].max(), sl[:, 1].max()
+            coords_col.append(sl.reshape(-1) if geom_jsons[i] == "" else [])
+        else:
+            coords_col.append([])
+    cx, cy = bbox_center_i32(minx, miny, maxx, maxy)
+    return pa.table(
+        {
+            "fid": pa.array(np.arange(fid_start, fid_start + n), pa.int64()),
+            "geom_type": pa.array(geom_types, pa.string()),
+            "coords": pa.array(coords_col, pa.list_(pa.int32())),
+            "ring_lens": pa.array(ring_ls, pa.list_(pa.int32())),
+            "part_lens": pa.array(part_ls, pa.list_(pa.int32())),
+            "geom_json": pa.array(geom_jsons, pa.string()),
+            "props_json": pa.array(props, pa.string()),
+            "lng_i": pa.array(cx, pa.int32()),
+            "lat_i": pa.array(cy, pa.int32()),
+            "bbox_min_lng_i": pa.array(minx, pa.int32()),
+            "bbox_min_lat_i": pa.array(miny, pa.int32()),
+            "bbox_max_lng_i": pa.array(maxx, pa.int32()),
+            "bbox_max_lat_i": pa.array(maxy, pa.int32()),
+        }
+    )
+
+
+def read_geojson(paths: str | list[str]):
+    """GeoJSON file(s) (FeatureCollection or NDJSON of Features) →
+    Dataset of columnar features. One task per file (files are the
+    resume/parallelism unit, as in pipelines/resumable.py); fids are
+    file-offset based so they're stable under any task order."""
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = [paths]
+    paths = sorted(paths)
+
+    # count features per file up front (driver, cheap metadata pass is
+    # not possible for JSON — use byte offsets × file index instead)
+    items = [{"path": p, "file_idx": i} for i, p in enumerate(paths)]
+
+    def _parse(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            feats = load_geojson_features(row["path"])
+            out.append(
+                parse_features_batch(feats, fid_start=row["file_idx"] * 10_000_000)
+            )
+        return pa.concat_tables(out) if out else FEATURE_SCHEMA.empty_table()
+
+    return ray.data.from_items(items).map_batches(
+        _parse, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def load_geojson_features(path: str) -> list[dict]:
+    """FeatureCollection / single Feature / NDJSON → list of Features."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        # NDJSON: one Feature per line
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
+    if doc.get("type") == "FeatureCollection":
+        return doc["features"]
+    if doc.get("type") == "Feature":
+        return [doc]
+    # bare geometry
+    return [{"type": "Feature", "geometry": doc, "properties": {}}]
+
+
+def feature_to_geojson(row: dict) -> dict:
+    """One columnar feature row → GeoJSON Feature dict (S5 export)."""
+    t = row["geom_type"]
+    if t == "Null":
+        geom = None
+    elif row["geom_json"]:
+        geom = json.loads(row["geom_json"])
+    else:
+        q = np.asarray(row["coords"], np.int32).reshape(-1, 2)
+        geom = _unflatten_geometry(
+            t, dequantize(q), list(row["ring_lens"]), list(row["part_lens"])
+        )
+    return {
+        "type": "Feature",
+        "geometry": geom,
+        "properties": json.loads(row["props_json"]) if row["props_json"] else {},
+    }
+
+
+def to_geojson_batch(batch: pa.Table) -> pa.Table:
+    """Export stage: feature table → one GeoJSON Feature string per row
+    (compose into a FeatureCollection or NDJSON at the sink)."""
+    out = [json.dumps(feature_to_geojson(r), sort_keys=True) for r in batch.to_pylist()]
+    return pa.table({"fid": batch["fid"], "json": pa.array(out, pa.string())})
+
+
+def write_geojson(ds, path: str) -> int:
+    """Small-result sink: collect an exported dataset into ONE
+    FeatureCollection file (driver-side — for large outputs use
+    ``ds.map_batches(to_geojson_batch).write_json(dir)`` which writes
+    NDJSON per block). Returns the feature count."""
+    rows = ds.map_batches(to_geojson_batch, batch_format="pyarrow").take_all()
+    feats = [json.loads(r["json"]) for r in rows]
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+    os.replace(tmp, path)
+    return len(feats)
