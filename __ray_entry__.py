@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": R.revenue_by_nation,
         "events_window": R.events_tumbling_window,
         "distinct_users": R.distinct_users_by_type,
+        "purchase_asof_signup": R.purchase_asof_signup,     # as-of join
+        "purchases_after_signup": R.purchases_after_signup, # range join
+        "top_events_per_user": R.top_events_per_user,       # windowed top-k
+        "lineitem_sample": R.lineitem_sample,               # deterministic sampling
         # --- text / dedup / similarity (training-data ops) ---
         "doc_tokens": T.q_doc_tokens,
         "doc_quality": T.q_doc_quality,
@@ -116,6 +120,10 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": R.REVENUE_BY_NATION_SQL,
         "events_window": R.EVENTS_WINDOW_SQL,
         "distinct_users": R.DISTINCT_USERS_SQL,
+        "purchase_asof_signup": R.PURCHASE_ASOF_SQL,
+        "purchases_after_signup": R.PURCHASES_AFTER_SIGNUP_SQL,
+        "top_events_per_user": R.TOP_EVENTS_SQL,
+        "lineitem_sample": R.lineitem_sample_sql(),
         "doc_tokens": T.Q_DOC_TOKENS_SQL,
         "doc_quality": T.Q_DOC_QUALITY_SQL,
         "dedup_text": T.Q_DEDUP_TEXT_SQL,

@@ -253,3 +253,141 @@ DISTINCT_USERS_SQL = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------- joins
+
+def purchase_asof_signup(sf_dir: str):
+    """As-of join (stages/joins.py): each purchase event attached to
+    the user's LATEST signup-or-earlier event. Oracle = DuckDB's
+    native ASOF JOIN. (No reference counterpart — SURVEY §2.5.)"""
+    import pyarrow.compute as pc
+
+    from geomedea_ray.stages.joins import asof_join
+
+    ev = tables.read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    signups = ev.filter(expr="event_type == 'signup'").drop_columns(["event_type"])
+    out = asof_join(purchases, signups, on="ts", by="user_id",
+                    right_cols=["event_id", "value"])
+
+    def _fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "signup_event_id": b["event_id_r"],
+                "value_cents": _cents(b["value"]),
+                "signup_value_cents": _cents(b["value_r"]),
+            }
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+PURCHASE_ASOF_SQL = """
+SELECT l.event_id AS event_id,
+       l.user_id AS user_id,
+       r.event_id AS signup_event_id,
+       CAST(ROUND(l.value * 100) AS BIGINT) AS value_cents,
+       CAST(ROUND(r.value * 100) AS BIGINT) AS signup_value_cents
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def purchases_after_signup(sf_dir: str, window_h: int = 24):
+    """Range join (stages/joins.py): (purchase, signup) pairs of the
+    same user with 0 <= purchase.ts - signup.ts <= window. Gap emitted
+    in integer microseconds (exact in float64)."""
+    from geomedea_ray.stages.joins import range_join_pairs
+
+    ev = tables.read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    out = range_join_pairs(
+        ev,
+        on="ts",
+        by="user_id",
+        left_filter=lambda df: df["event_type"] == "purchase",
+        right_filter=lambda df: df["event_type"] == "signup",
+        window=f"{window_h}h",
+        id_col="event_id",
+    )
+
+    def _fin(b: pa.Table) -> pa.Table:
+        gap_us = (b["gap"].to_numpy() / 1000.0)  # ns → µs; inputs are µs-granular
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id_l": b["event_id_l"],
+                "event_id_r": b["event_id_r"],
+                "gap_us": pa.array(gap_us, pa.float64()),
+            }
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+PURCHASES_AFTER_SIGNUP_SQL = """
+SELECT l.user_id AS user_id,
+       l.event_id AS event_id_l,
+       r.event_id AS event_id_r,
+       CAST(date_diff('microsecond', r.ts, l.ts) AS DOUBLE) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id
+ AND l.ts >= r.ts
+ AND l.ts <= r.ts + INTERVAL 24 HOUR
+ AND l.event_id != r.event_id
+"""
+
+
+def top_events_per_user(sf_dir: str, k: int = 3):
+    """Windowed top-k (ROW_NUMBER pattern, stages/joins.py): each
+    user's k highest-value events."""
+    from geomedea_ray.stages.joins import top_k_per_group
+
+    ev = tables.read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = top_k_per_group(ev, by="user_id", order_col="value", k=k, tiebreak="event_id")
+
+    def _fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "value_cents": _cents(b["value"]),
+                "rank": b["rank"],
+            }
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+TOP_EVENTS_SQL = """
+SELECT user_id, event_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS "rank"
+FROM events
+QUALIFY "rank" <= 3
+"""
+
+
+def lineitem_sample(sf_dir: str, fraction: float = 0.1):
+    """Deterministic hash sample of lineitem rows (stages/joins.py
+    sample_fraction — pure function of the row key, engine-portable)."""
+    from geomedea_ray.pipelines.geo_queries import linepoints_batch
+    from geomedea_ray.stages.joins import sample_fraction
+
+    ds = tables.read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    pts = ds.map_batches(linepoints_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return sample_fraction(pts, "pid", fraction).select_columns(["pid"])
+
+
+def lineitem_sample_sql(fraction: float = 0.1) -> str:
+    from geomedea_ray.pipelines.geo_queries import LINEPOINTS_CTE
+    from geomedea_ray.stages.joins import sample_fraction_sql
+
+    return (
+        LINEPOINTS_CTE
+        + "SELECT pid FROM pts WHERE " + sample_fraction_sql("pid", fraction)
+    )

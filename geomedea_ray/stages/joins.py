@@ -1,0 +1,260 @@
+"""Join-family operators Ray Data lacks natively (task brief "custom
+operators": as-of join, range join, windowed/top-k per group,
+deterministic sampling). No reference counterpart — the reference's
+only join-like op is the bbox semi-join (SURVEY §2.5).
+
+All follow the SHARDED group pattern (see stages/dedup.py): ONE hash
+shuffle on ``hash(by) % num_shards``, then vectorized numpy/pandas
+resolution of the real keys inside each shard — never a Python
+callback per key. Shard count is the scale knob (rows per shard must
+fit a worker heap).
+
+Determinism: ties are broken by an explicit id column everywhere, and
+the sampler is a pure hash function of the key — re-runs and the SQL
+oracles agree exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from geomedea_ray.util import auto_pool  # noqa: F401  (re-exported for callers)
+
+DEFAULT_SHARDS = 64
+
+
+def _shard_of(vals: pd.Series, num_shards: int) -> np.ndarray:
+    v = vals.to_numpy()
+    if np.issubdtype(v.dtype, np.integer):
+        return (v.astype(np.uint64) % np.uint64(num_shards)).astype(np.int64)
+    from geomedea_ray.functions.text import stable_hash64
+
+    return (stable_hash64(vals.astype(str)) % np.uint64(num_shards)).astype(np.int64)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """For each left row, attach the LATEST right row with
+    ``right.on <= left.on`` within the same ``by`` key (DuckDB
+    ``ASOF JOIN`` semantics; inner join — left rows with no match are
+    dropped). Among right rows sharing the same ``on`` value the one
+    appearing last after a stable sort on ``(by, on)`` wins — callers
+    needing total determinism should de-duplicate right on (by, on)
+    first.
+
+    One hash shuffle: both sides are tagged and co-sharded on ``by``;
+    each shard runs one vectorized ``np.searchsorted`` merge per side,
+    NOT per key (keys are segmented with run detection).
+    """
+
+    def _tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(_side=np.int8(side), _shard=_shard_of(df[by], num_shards))
+
+        return fn
+
+    left = left_ds.map_batches(_tag(0), batch_format="pandas")
+    right = right_ds.map_batches(_tag(1), batch_format="pandas")
+    both = left.union(right)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0]
+        r = df[df["_side"] == 1].sort_values([by, on], kind="mergesort")
+        if len(l) == 0 or len(r) == 0:
+            out = l.iloc[0:0].drop(columns=["_side", "_shard"])
+            for c in right_cols:
+                out[f"{c}{suffix}"] = pd.Series([], dtype=r[c].dtype if len(r) else object)
+            return out
+        l = l.sort_values([by, on], kind="mergesort")
+        lo = l[on].to_numpy()
+        ro = r[on].to_numpy()
+        lkeys = l[by].to_numpy()
+        rkeys = r[by].to_numpy()
+        # per-key-RUN searchsorted: the python loop is over distinct
+        # keys in the shard (bounded by shard sizing), each iteration
+        # merges that key's whole run vectorized. No float composites —
+        # int64-ns timestamps keep full precision.
+        r_runs: dict = {}
+        starts = np.concatenate([[0], np.flatnonzero(rkeys[1:] != rkeys[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(rkeys)]])
+        for s, e in zip(starts, ends):
+            r_runs[rkeys[s]] = (s, e)
+        lstarts = np.concatenate([[0], np.flatnonzero(lkeys[1:] != lkeys[:-1]) + 1])
+        lends = np.concatenate([lstarts[1:], [len(lkeys)]])
+        keep_l, keep_r = [], []
+        for s, e in zip(lstarts, lends):
+            run = r_runs.get(lkeys[s])
+            if run is None:
+                continue
+            rs, re_ = run
+            pos = np.searchsorted(ro[rs:re_], lo[s:e], side="right") - 1
+            valid = pos >= 0
+            keep_l.append(np.arange(s, e)[valid])
+            keep_r.append(pos[valid] + rs)
+        l = l.drop(columns=["_side", "_shard"])
+        if not keep_l:
+            out = l.iloc[0:0].reset_index(drop=True)
+            for c in right_cols:
+                out[f"{c}{suffix}"] = pd.Series([], dtype=r[c].dtype)
+            return out
+        li = np.concatenate(keep_l)
+        ri = np.concatenate(keep_r)
+        out = l.iloc[li].reset_index(drop=True)
+        match = r.iloc[ri].reset_index(drop=True)
+        for c in right_cols:
+            out[f"{c}{suffix}"] = match[c].to_numpy()
+        return out
+
+    return both.groupby("_shard").map_groups(_merge, batch_format="pandas")
+
+
+def range_join_pairs(
+    ds,
+    on: str,
+    by: str,
+    left_filter,
+    right_filter,
+    window,
+    id_col: str,
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """All (left, right) row pairs with the same ``by`` key and
+    ``0 <= left.on - right.on <= window`` — the interval/range join
+    (e.g. purchases within 1 h after a signup). ``left_filter`` /
+    ``right_filter`` are pandas boolean-mask callables; ``window`` in
+    the same units as ``on`` (timedelta for timestamps). Output:
+    (by, id_left, id_right, gap)."""
+
+    def _shardit(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_shard=_shard_of(df[by], num_shards))
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[left_filter(df)].sort_values([by, on], kind="mergesort")
+        r = df[right_filter(df)].sort_values([by, on], kind="mergesort")
+        empty = pd.DataFrame(
+            {by: pd.Series([], dtype=df[by].dtype),
+             f"{id_col}_l": pd.Series([], dtype=np.int64),
+             f"{id_col}_r": pd.Series([], dtype=np.int64),
+             "gap": pd.Series([], dtype="float64")}
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        lon = l[on].to_numpy()
+        ron = r[on].to_numpy()
+        if np.issubdtype(lon.dtype, np.datetime64):
+            lon = lon.astype("datetime64[ns]").astype(np.int64)
+            ron = ron.astype("datetime64[ns]").astype(np.int64)
+            w = int(pd.Timedelta(window).value)
+        else:
+            lon = lon.astype(np.float64); ron = ron.astype(np.float64); w = window
+        lkeys = l[by].to_numpy()
+        rkeys = r[by].to_numpy()
+        # per-key-run window search (see asof_join for why no float
+        # composites): loop over distinct left keys, vector inside
+        rstarts = np.concatenate([[0], np.flatnonzero(rkeys[1:] != rkeys[:-1]) + 1])
+        rends = np.concatenate([rstarts[1:], [len(rkeys)]])
+        r_runs = {rkeys[s]: (s, e) for s, e in zip(rstarts, rends)}
+        lstarts = np.concatenate([[0], np.flatnonzero(lkeys[1:] != lkeys[:-1]) + 1])
+        lends = np.concatenate([lstarts[1:], [len(lkeys)]])
+        lis, ris = [], []
+        for s, e in zip(lstarts, lends):
+            run = r_runs.get(lkeys[s])
+            if run is None:
+                continue
+            rs, re_ = run
+            lo_idx = np.searchsorted(ron[rs:re_], lon[s:e] - w, side="left")
+            hi_idx = np.searchsorted(ron[rs:re_], lon[s:e], side="right")
+            counts = hi_idx - lo_idx
+            if counts.sum() == 0:
+                continue
+            lis.append(np.repeat(np.arange(s, e), counts))
+            ris.append(
+                np.concatenate([np.arange(a, b) for a, b in zip(lo_idx, hi_idx) if b > a]) + rs
+            )
+        if not lis:
+            return empty
+        li = np.concatenate(lis)
+        ri = np.concatenate(ris)
+        out = pd.DataFrame(
+            {
+                by: l[by].to_numpy()[li],
+                f"{id_col}_l": l[id_col].to_numpy()[li],
+                f"{id_col}_r": r[id_col].to_numpy()[ri],
+                "gap": (lon[li] - ron[ri]).astype(np.float64),
+            }
+        )
+        return out[out[f"{id_col}_l"] != out[f"{id_col}_r"]]
+
+    return (
+        ds.map_batches(_shardit, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+
+
+def top_k_per_group(
+    ds,
+    by: str,
+    order_col: str,
+    k: int,
+    tiebreak: str,
+    descending: bool = True,
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """Per ``by`` group, the top-``k`` rows by ``order_col`` (ties →
+    smaller ``tiebreak`` first), with a ``rank`` column — the windowed
+    ROW_NUMBER() pattern. Sharded: one sort + run-detection per shard."""
+
+    def _shardit(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_shard=_shard_of(df[by], num_shards))
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [by, order_col, tiebreak],
+            ascending=[True, not descending, True],
+            kind="mergesort",
+        ).drop(columns="_shard")
+        rank = df.groupby(by, sort=False).cumcount().to_numpy() + 1
+        df = df.assign(rank=rank.astype(np.int64))
+        return df[df["rank"] <= k]
+
+    return (
+        ds.map_batches(_shardit, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_topk, batch_format="pandas")
+    )
+
+
+#: Knuth multiplicative constant — the sampler's entire entropy source.
+SAMPLE_MULT = 2654435761
+
+
+def sample_fraction(ds, key_col: str, fraction: float):
+    """Deterministic ~``fraction`` sample: keep rows where
+    ``(key * 2654435761) mod 2^32 < fraction * 2^32``. A pure function
+    of the key — reproducible across runs, partitionings and engines
+    (the SQL oracle evaluates the identical expression)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    threshold = int(fraction * (1 << 32))
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(SAMPLE_MULT)) % np.uint64(1 << 32)
+        return batch.filter(pa.array(h < np.uint64(threshold)))
+
+    return ds.map_batches(_flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_fraction_sql(key_expr: str, fraction: float) -> str:
+    threshold = int(fraction * (1 << 32))
+    return f"(({key_expr} * {SAMPLE_MULT}) % 4294967296) < {threshold}"

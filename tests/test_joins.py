@@ -1,0 +1,100 @@
+"""Join-family operators (stages/joins.py): edge cases a SQL-oracle
+run at sf0.01 may not hit — empty sides, keys on one side only, exact
+window boundaries, tie-breaking, sample determinism."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geomedea_ray.stages.joins import (
+    asof_join,
+    range_join_pairs,
+    sample_fraction,
+    top_k_per_group,
+)
+
+
+def _ds(table: pa.Table):
+    import ray.data
+
+    return ray.data.from_arrow(table)
+
+
+class TestAsofJoin:
+    def test_basic_and_no_match(self, ray_session):
+        left = pa.table({"id": [1, 2, 3], "k": [10, 10, 99], "t": [5, 15, 5]})
+        right = pa.table({"id": [7, 8], "k": [10, 10], "t": [4, 10], "v": [0.5, 0.9]})
+        out = (
+            asof_join(_ds(left), _ds(right), on="t", by="k", right_cols=["id", "v"])
+            .to_pandas()
+            .sort_values("id")
+        )
+        # id=1 (t=5) → right t=4; id=2 (t=15) → right t=10; id=3: key 99 has no right
+        assert out["id"].tolist() == [1, 2]
+        assert out["id_r"].tolist() == [7, 8]
+        assert out["v_r"].tolist() == [0.5, 0.9]
+
+    def test_equal_timestamps_match(self, ray_session):
+        left = pa.table({"id": [1], "k": [1], "t": [10]})
+        right = pa.table({"id": [2], "k": [1], "t": [10], "v": [1.0]})
+        out = asof_join(_ds(left), _ds(right), on="t", by="k", right_cols=["id"]).to_pandas()
+        assert len(out) == 1 and out["id_r"][0] == 2  # <= is inclusive
+
+    def test_empty_right(self, ray_session):
+        left = pa.table({"id": [1], "k": [1], "t": [10]})
+        right = pa.table({"id": pa.array([], pa.int64()), "k": pa.array([], pa.int64()),
+                          "t": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
+        out = asof_join(_ds(left), _ds(right), on="t", by="k", right_cols=["id"]).to_pandas()
+        assert len(out) == 0
+
+
+class TestRangeJoin:
+    def test_window_boundaries_inclusive(self, ray_session):
+        t = pa.table(
+            {
+                "id": [1, 2, 3, 4, 5],
+                "k": [1, 1, 1, 1, 1],
+                "t": [0.0, 10.0, 11.0, 5.0, -1.0],
+                "side": ["r", "l", "l", "l", "l"],
+            }
+        )
+        out = range_join_pairs(
+            _ds(t), on="t", by="k",
+            left_filter=lambda df: df["side"] == "l",
+            right_filter=lambda df: df["side"] == "r",
+            window=10.0, id_col="id",
+        ).to_pandas().sort_values("id_l")
+        # left t=10 (gap 10, inclusive) and t=5 (gap 5) match; t=11 gap 11 > 10
+        # excluded; t=-1 before right excluded
+        assert out["id_l"].tolist() == [2, 4]
+        assert out["gap"].tolist() == [10.0, 5.0]
+
+
+class TestTopKPerGroup:
+    def test_rank_and_ties(self, ray_session):
+        t = pa.table(
+            {
+                "k": [1, 1, 1, 2, 2],
+                "v": [5.0, 9.0, 9.0, 1.0, 2.0],
+                "id": [100, 50, 10, 1, 2],
+            }
+        )
+        out = top_k_per_group(_ds(t), by="k", order_col="v", k=2, tiebreak="id").to_pandas()
+        out = out.sort_values(["k", "rank"])
+        # group 1: two v=9.0 ties → id 10 before id 50; v=5 cut by k=2
+        assert out[out["k"] == 1]["id"].tolist() == [10, 50]
+        assert out[out["k"] == 1]["rank"].tolist() == [1, 2]
+        assert out[out["k"] == 2]["id"].tolist() == [2, 1]
+
+
+class TestSampleFraction:
+    def test_deterministic_and_partition_invariant(self, ray_session):
+        t = pa.table({"pid": pa.array(np.arange(10_000), pa.int64())})
+        a = set(sample_fraction(_ds(t), "pid", 0.2).to_pandas()["pid"])
+        b = set(sample_fraction(_ds(t).repartition(7), "pid", 0.2).to_pandas()["pid"])
+        assert a == b                      # partitioning-invariant
+        assert 0.15 < len(a) / 10_000 < 0.25
+        # pure function of key: same rows selected in a fresh pass
+        c = set(sample_fraction(_ds(t), "pid", 0.2).to_pandas()["pid"])
+        assert a == c
