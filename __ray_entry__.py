@@ -66,6 +66,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return thumbnails(F.images_ds(sf_dir)).limit(100)
 
+    def _image_reencode(sf_dir: str):
+        """Transcode every image to qnt and verify the input_hint
+        invariant per row: decoded-pixel PSNR >= 40 dB vs the
+        original (exact for lossless sources)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from geomedea_ray.functions import codecs
+        from geomedea_ray.stages.images import Reencode, binary_views
+
+        def _verify(batch: pa.Table) -> pa.Table:
+            orig = binary_views(batch["bytes"])
+            fmts = batch["fmt"].to_pylist()
+            ws = batch["w"].to_numpy()
+            hs = batch["h"].to_numpy()
+            re_enc = Reencode("qnt")(batch)
+            new = binary_views(re_enc["bytes"])
+            psnr_ok = np.empty(len(orig), bool)
+            for i in range(len(orig)):
+                a = codecs.decode(orig[i], fmts[i], int(ws[i]), int(hs[i]))
+                b = codecs.decode(new[i], "qnt", int(ws[i]), int(hs[i]))
+                psnr_ok[i] = codecs.psnr(a, b) >= 40.0
+            return pa.table(
+                {
+                    "image_id": batch["image_id"],
+                    "fmt_in": batch["fmt"],
+                    "psnr_ok": pa.array(psnr_ok, pa.bool_()),
+                }
+            )
+
+        return F.images_ds(sf_dir).map_batches(
+            _verify, batch_format="pyarrow", batch_size=512, zero_copy_batch=True
+        )
+
     return {
         # --- spatial operators (reference parity; SURVEY §2.2/2.3) ---
         "bbox_select": G.q_bbox_select,           # R2 select_bbox
@@ -75,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (W-tile)
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all (rows-only)
         "geojson_roundtrip": G.q_geojson_roundtrip,  # S4/S5 bridge (rows-only)
+        "cell_compact": G.q_cell_compact,            # H3-compact analogue (rows-only)
         # --- relational surface (SURVEY §2.5 gap ops) ---
         "q1_pricing": R.q1_pricing_summary,
         "top_orders": R.top_orders,
@@ -101,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_spatial_join_tiles": F.spatial_join_tiles,
         "image_tile_counts": F.image_tile_counts,
         "image_thumbnails": _image_thumbnails,
+        "image_reencode": _image_reencode,
     }
 
 

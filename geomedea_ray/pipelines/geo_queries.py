@@ -178,6 +178,25 @@ FROM pts GROUP BY 1, 2"""
     )
 
 
+def q_cell_compact(sf_dir: str, res: int = 6):
+    """H3-compaction analogue (stages/cells.py): the distinct res-6
+    Hilbert-quadtree cells occupied by the point set, compacted to the
+    minimal mixed-resolution covering set. Rows-only (iterative —
+    not SQL-expressible); exactness vs a brute-force oracle is in
+    tests/test_cells.py."""
+    from geomedea_ray.pipelines.spatial_write import WORLD_EXTENT
+    from geomedea_ray.stages.cells import compact_cells
+    from geomedea_ray.stages.geocode import cell_batch, hilbert_batch, quantize_batch
+
+    ds = linepoints_ds(sf_dir)
+    ds = ds.map_batches(quantize_batch, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(hilbert_batch, fn_kwargs={"extent": WORLD_EXTENT},
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(cell_batch, fn_kwargs={"res": res}, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return compact_cells(ds, res=res)
+
+
 def q_geojson_roundtrip(sf_dir: str):
     """S4/S5 bridge as a driver-visible query: polygon fixture set →
     GeoJSON file → parse (read_geojson) → spatial_write → select_all →

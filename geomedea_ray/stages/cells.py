@@ -1,0 +1,87 @@
+"""Hierarchical cell-set operators over the Hilbert-quadtree cell
+scheme (functions/hilbert.hilbert_cell_id) — the H3 ``compact`` /
+``uncompact`` analogues named by the north star ("H3 compaction ...
+run on actor pools"). No reference counterpart (SURVEY §2.5).
+
+``compact_cells``: a set of resolution-``res`` cells → the minimal
+mixed-resolution covering set (any 4 sibling cells all present are
+replaced by their parent, recursively).
+
+Distributed shape: ONE shuffle — distinct the cell ids, shard by the
+TOP-LEVEL quad (cell >> 2(res-1)); every possible merge is contained
+inside one top-level subtree, so each shard compacts its subtree
+independently with a vectorized per-level numpy loop (≤16 levels).
+The rollup runs on an actor pool (state = none today, but the stage
+is where per-actor rollup tables would live).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geomedea_ray.util import auto_pool
+
+
+def compact_cell_array(cells: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Single-process compaction of DISTINCT res-``res`` cell ids →
+    ``(cell_id, cell_res)`` arrays (the minimal covering set).
+    Vectorized per level: siblings found with unique(parent)."""
+    cur = np.unique(np.asarray(cells, np.int64))
+    out_cells, out_res = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+    r = res
+    while r > 0 and len(cur):
+        parents = cur >> np.int64(2)
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = uniq[counts == 4]
+        keep = cur[~np.isin(parents, full)]
+        out_cells.append(keep)
+        out_res.append(np.full(len(keep), r, np.int64))
+        cur = full   # now at resolution r-1
+        r -= 1
+    if len(cur):
+        out_cells.append(cur)
+        out_res.append(np.full(len(cur), r, np.int64))
+    return np.concatenate(out_cells), np.concatenate(out_res)
+
+
+def uncompact_cell_array(cells: np.ndarray, ress: np.ndarray, res: int) -> np.ndarray:
+    """Inverse: expand a mixed-resolution set back to distinct
+    res-``res`` cells (each cell → its 4^(res-r) descendants)."""
+    out = []
+    for c, r in zip(np.asarray(cells, np.int64), np.asarray(ress, np.int64)):
+        d = int(res - r)
+        base = c << np.int64(2 * d)
+        out.append(base + np.arange(1 << (2 * d), dtype=np.int64))
+    return np.unique(np.concatenate(out)) if out else np.empty(0, np.int64)
+
+
+def compact_cells(ds, cell_col: str = "cell_id", res: int = 8,
+                  concurrency=None):
+    """Dataset-level compaction; returns (cell_id, cell_res) rows.
+
+    distinct (groupby shuffle) → shard on the top-level quad → per
+    shard actor compacts its whole subtree vectorized.
+    """
+    from ray.data.aggregate import Count
+
+    distinct = ds.groupby(cell_col).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    top_shift = np.int64(2 * (res - 1))
+
+    def _shard(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_shard=(df[cell_col].to_numpy(np.int64) >> top_shift))
+
+    class Compactor:
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            c, r = compact_cell_array(g[cell_col].to_numpy(np.int64), res)
+            return pd.DataFrame({"cell_id": c, "cell_res": r})
+
+    return (
+        distinct.map_batches(_shard, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(
+            Compactor, batch_format="pandas",
+            concurrency=concurrency if concurrency is not None else auto_pool(),
+        )
+    )
