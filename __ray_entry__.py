@@ -104,7 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- spatial operators (reference parity; SURVEY §2.2/2.3) ---
         "bbox_select": G.q_bbox_select,           # R2 select_bbox
         "spatial_count": G.q_spatial_count,       # header count (S2)
-        "knn": G.q_knn,                           # §7.2 step 7
+        "knn": G.q_knn,                           # §7.2 step 7 (full scan)
+        "knn_indexed": G.q_knn_indexed,           # §7.2 step 7 (packed-index path)
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (W-tile)
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all (rows-only)
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "bbox_select": G.q_bbox_select_sql(),
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,
         "knn": G.q_knn_sql(),
+        "knn_indexed": G.q_knn_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
         "q1_pricing": R.Q1_SQL,

@@ -142,6 +142,17 @@ SELECT qid, pid, "rank" FROM r WHERE "rank" <= {KNN_K}"""
     )
 
 
+def q_knn_indexed(sf_dir: str):
+    """Same result as q_knn but served by the packed R-tree
+    (expanding-radius range search — stages/knn.knn_indexed) instead
+    of a full scan; shares q_knn's SQL oracle."""
+    from geomedea_ray.stages.knn import knn_indexed
+
+    d = spatial_dataset(sf_dir)
+    out = knn_indexed(d, KNN_QUERIES, KNN_K, id_col="pid")
+    return out[["qid", "pid", "rank"]]
+
+
 def q_pip_join(sf_dir: str):
     ds = linepoints_ds(sf_dir)
     out = pip_join(ds, polygon_arrays(), id_cols=["pid"], exact=True)

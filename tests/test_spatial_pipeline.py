@@ -126,3 +126,37 @@ class TestLargerRoundtrip:
         full = select_all(d, columns=["hilbert"]).to_pandas()
         want = ((full["hilbert"] >= lo) & (full["hilbert"] < hi)).sum()
         assert len(got) == want
+
+
+class TestKnnIndexed:
+    """Index-backed kNN (expanding radius) must equal brute force —
+    including the square-vs-circle corner case."""
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.functions.geo import planar_sq_dist
+        from geomedea_ray.pipelines.spatial_write import spatial_write
+        from geomedea_ray.stages.knn import knn_indexed
+
+        rng = np.random.default_rng(21)
+        n = 5000
+        lng = rng.uniform(-170, 170, n)
+        lat = rng.uniform(-80, 80, n)
+        ds = ray.data.from_arrow(
+            pa.table({"pid": pa.array(np.arange(n), pa.int64()), "lng": lng, "lat": lat})
+        )
+        out_dir = str(tmp_path / "knnds")
+        spatial_write(ds, out_dir, tiebreak="pid")
+
+        queries = [(0, 10.005, 20.005), (1, -120.005, -30.005), (2, 179.0, 79.0)]
+        k = 7
+        got = knn_indexed(out_dir, queries, k, id_col="pid")
+        for qid, qlng, qlat in queries:
+            d = planar_sq_dist(lng, lat, qlng, qlat)
+            order = np.lexsort((np.arange(n), d))[:k]
+            expect = np.arange(n)[order].tolist()
+            sub = got[got["qid"] == qid].sort_values("rank")
+            assert sub["pid"].tolist() == expect, f"qid {qid}"
