@@ -25,8 +25,14 @@ from geomedea_ray.stages.geocode import tile_batch
 
 def tile_aggregate(ds, zoom: int, scheme: str = "eq", value_col: str | None = None,
                    lng_col: str = "lng", lat_col: str = "lat"):
-    """Per-tile (tile_id, tile_x, tile_y, n [, sum_value])."""
-    from ray.data.aggregate import Count, Max, Sum
+    """Per-tile (tile_id, tile_x, tile_y, n [, sum_value]).
+
+    Explicit map-side COMBINE before the shuffle: each batch collapses
+    to one partial row per distinct tile (np.unique + reduceat), so the
+    groupby moves ~tiles×blocks rows instead of every input row — at
+    planet scale the difference between shuffling 10¹² rows and ~10⁶
+    partials. The final groupby sums partials (algebraic aggregate)."""
+    from ray.data.aggregate import Sum
 
     ds = ds.map_batches(
         tile_batch,
@@ -34,14 +40,38 @@ def tile_aggregate(ds, zoom: int, scheme: str = "eq", value_col: str | None = No
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        tid = batch["tile_id"].to_numpy()
+        order = np.argsort(tid, kind="stable")
+        tid_s = tid[order]
+        starts = np.concatenate([[0], np.flatnonzero(tid_s[1:] != tid_s[:-1]) + 1])
+        uniq = tid_s[starts]
+        counts = np.diff(np.concatenate([starts, [len(tid_s)]]))
+        cols = {
+            "tile_id": pa.array(uniq, pa.int64()),
+            "tile_x": pa.array(batch["tile_x"].to_numpy()[order][starts], pa.int32()),
+            "tile_y": pa.array(batch["tile_y"].to_numpy()[order][starts], pa.int32()),
+            "n": pa.array(counts, pa.int64()),
+        }
+        if value_col is not None:
+            v = batch[value_col].to_numpy(zero_copy_only=False)[order]
+            cols[f"sum_{value_col}"] = pa.array(
+                np.add.reduceat(v, starts), pa.float64()
+            )
+        return pa.table(cols)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Max
+
     aggs = [
-        Count(alias_name="n"),
+        Sum("n", alias_name="n"),
         Max("tile_x", alias_name="tile_x"),
         Max("tile_y", alias_name="tile_y"),
     ]
     if value_col is not None:
-        aggs.append(Sum(value_col, alias_name=f"sum_{value_col}"))
-    return ds.groupby("tile_id").aggregate(*aggs)
+        aggs.append(Sum(f"sum_{value_col}", alias_name=f"sum_{value_col}"))
+    return partials.groupby("tile_id").aggregate(*aggs)
 
 
 def tile_pyramid(base: pd.DataFrame, base_zoom: int, value_col: str | None = None) -> pd.DataFrame:
