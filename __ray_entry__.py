@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_agg": T.q_lang_source_agg,
         "langid": T.q_langid,                     # rows-only
         "ann_topk": T.q_ann_topk,
+        "ann_topk_lsh": T.q_ann_topk_lsh,     # LSH-bucketed scale path (rows-only)
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
         "embedding_neardup": _embedding_neardup,  # rows-only

@@ -139,3 +139,23 @@ r AS (SELECT qid, vec_id,
       FROM s)
 SELECT qid, vec_id, "rank" FROM r WHERE "rank" <= {ANN_K}
 """
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed ANN (stages/ann.ann_topk_lsh) — the approximate
+    scale path; same queries as q_ann_topk. Rows-only driver check;
+    recall vs the exact scan is asserted in tests/test_ann_lsh.py."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.stages.ann import ann_topk_lsh
+
+    t = pq.read_table(tables.path(sf_dir, "embeddings"))
+    mask = np.isin(t["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qm = np.stack(
+        [np.asarray(v) for v in t.filter(pa.array(mask))["embedding"].to_pylist()]
+    ).astype(np.float64)
+    qids = t.filter(pa.array(mask))["vec_id"].to_numpy()
+    ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ann_topk_lsh(ds, qm, qids, ANN_K, nbits=8, nprobe=16,
+                       id_col="vec_id", emb_col="embedding")
+    return out.select_columns(["qid", "vec_id", "rank"])
