@@ -54,6 +54,7 @@ GEOM_TYPES = (
 FEATURE_SCHEMA = pa.schema(
     [
         ("fid", pa.int64()),
+        ("gj_id", pa.string()),  # GeoJSON Feature "id" member (JSON-encoded; "" = absent)
         ("geom_type", pa.string()),
         ("coords", pa.list_(pa.int32())),
         ("ring_lens", pa.list_(pa.int32())),
@@ -124,11 +125,13 @@ def parse_features_batch(features: list[dict], fid_start: int = 0) -> pa.Table:
     concatenated coordinates."""
     n = len(features)
     geom_types, geom_jsons, props, ring_ls, part_ls = [], [], [], [], []
+    gj_ids = []
     all_xy: list = []
     counts = np.zeros(n, dtype=np.int64)
     for i, f in enumerate(features):
         geom = f.get("geometry")
         props.append(json.dumps(f.get("properties") or {}, sort_keys=True))
+        gj_ids.append(json.dumps(f["id"]) if "id" in f else "")
         if geom is None or geom["type"] == "GeometryCollection":
             geom_types.append("GeometryCollection" if geom else "Null")
             geom_jsons.append(json.dumps(geom, sort_keys=True) if geom else "")
@@ -182,6 +185,7 @@ def parse_features_batch(features: list[dict], fid_start: int = 0) -> pa.Table:
     return pa.table(
         {
             "fid": pa.array(np.arange(fid_start, fid_start + n), pa.int64()),
+            "gj_id": pa.array(gj_ids, pa.string()),
             "geom_type": pa.array(geom_types, pa.string()),
             "coords": pa.array(coords_col, pa.list_(pa.int32())),
             "ring_lens": pa.array(ring_ls, pa.list_(pa.int32())),
@@ -256,11 +260,14 @@ def feature_to_geojson(row: dict) -> dict:
         geom = _unflatten_geometry(
             t, dequantize(q), list(row["ring_lens"]), list(row["part_lens"])
         )
-    return {
+    out = {
         "type": "Feature",
         "geometry": geom,
         "properties": json.loads(row["props_json"]) if row["props_json"] else {},
     }
+    if row.get("gj_id"):
+        out["id"] = json.loads(row["gj_id"])
+    return out
 
 
 def to_geojson_batch(batch: pa.Table) -> pa.Table:
