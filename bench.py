@@ -246,6 +246,27 @@ def main():
         result = run_suite(sf_dir, num_cpus, [HEADLINE])
     elif "--headline-scaled" in sys.argv:
         result = run_headline_scaled(sf_dir, num_cpus, SCALING_REPEAT)
+    elif "--stats" in sys.argv:
+        # run the headline chain and dump per-operator ds.stats() to
+        # BENCH_STATS.md (the iterate-on-stats loop; not part of the
+        # one-line driver contract)
+        _init_ray(num_cpus)
+        _warm_caches(sf_dir)
+        from geomedea_ray.pipelines.flagship import spatial_join_tiles_scaled
+
+        ds = spatial_join_tiles_scaled(sf_dir, repeat=4)
+        rows = sum(
+            b.num_rows for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_STATS.md"), "w") as f:
+            f.write("# headline chain ds.stats() (spatial_join_tiles_scaled, repeat=4)\n\n")
+            f.write(f"output rows: {rows}, num_cpus: {num_cpus}, sf: {sf_dir}\n\n```\n")
+            f.write(ds.stats())
+            f.write("\n```\n")
+        result = {"metric": "stats_dump", "value": rows, "unit": "rows",
+                  "queries": {}, "sf": os.path.basename(os.path.normpath(sf_dir)),
+                  "num_cpus": num_cpus, "out": "BENCH_STATS.md"}
     elif "--queries" in sys.argv:
         names = sys.argv[sys.argv.index("--queries") + 1].split(",")
         result = run_suite(sf_dir, num_cpus, names)

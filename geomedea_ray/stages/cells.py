@@ -85,3 +85,57 @@ def compact_cells(ds, cell_col: str = "cell_id", res: int = 8,
             concurrency=concurrency if concurrency is not None else auto_pool(),
         )
     )
+
+
+def salted_group_apply(
+    ds,
+    key_col: str,
+    partial_fn,
+    combine_fn,
+    salt_factor: int = 16,
+    id_col: str | None = None,
+):
+    """Two-phase group apply for SKEWED keys (north star: "skewed hot
+    cells split by salted repartition").
+
+    A plain ``groupby(key)`` ships every row of a hot key to one
+    reducer; here phase 1 groups on ``(key, salt)`` where
+    ``salt = stable_hash(id) % salt_factor`` — a hot key's rows spread
+    over ``salt_factor`` reducers, each producing one PARTIAL row via
+    ``partial_fn(group_df) -> row_dict``. Phase 2 groups the (tiny)
+    partials on ``key`` alone and merges them with
+    ``combine_fn(partials_df) -> row_dict``.
+
+    Correct for any decomposable computation (count/sum/min/max/topk/
+    sketches); ``partial_fn``/``combine_fn`` define the algebra. The
+    salt is a stable hash of ``id_col`` (or the row's key-local order),
+    so reruns produce identical partials.
+    """
+    import pyarrow  # noqa: F401  (ray pandas path)
+
+    from geomedea_ray.functions.text import stable_hash64
+
+    def _salt(df: pd.DataFrame) -> pd.DataFrame:
+        if id_col is not None:
+            base = df[id_col].astype(str)
+            salt = (stable_hash64(base) % np.uint64(salt_factor)).astype(np.int64)
+        else:
+            salt = (np.arange(len(df)) % salt_factor).astype(np.int64)
+        return df.assign(_salt=salt)
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        row = partial_fn(g.drop(columns="_salt"))
+        row[key_col] = g[key_col].iloc[0]
+        return pd.DataFrame([row])
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        row = combine_fn(g)
+        row[key_col] = g[key_col].iloc[0]
+        return pd.DataFrame([row])
+
+    partials = (
+        ds.map_batches(_salt, batch_format="pandas")
+        .groupby([key_col, "_salt"])
+        .map_groups(_partial, batch_format="pandas")
+    )
+    return partials.groupby(key_col).map_groups(_combine, batch_format="pandas")

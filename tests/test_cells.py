@@ -83,3 +83,40 @@ class TestCompactDataset:
         got_set = set(zip(got["cell_id"], got["cell_res"]))
         c, r = compact_cell_array(np.unique(raw), res)
         assert got_set == set(zip(c.tolist(), r.tolist()))
+
+
+class TestSaltedGroupApply:
+    def test_matches_unsalted_on_hot_key(self, ray_session):
+        """90% of rows share one hot key; salted result must equal the
+        plain single-reducer computation."""
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.stages.cells import salted_group_apply
+
+        rng = np.random.default_rng(8)
+        n = 20_000
+        keys = np.where(rng.uniform(size=n) < 0.9, 7, rng.integers(0, 50, n))
+        vals = rng.normal(size=n)
+        ids = np.arange(n)
+        ds = ray.data.from_arrow(
+            pa.table({"k": pa.array(keys, pa.int64()), "v": vals, "id": ids})
+        )
+
+        def partial(g):
+            return {"n": len(g), "s": float(g["v"].sum()), "mx": float(g["v"].max())}
+
+        def combine(g):
+            return {"n": int(g["n"].sum()), "s": float(g["s"].sum()),
+                    "mx": float(g["mx"].max())}
+
+        got = salted_group_apply(ds, "k", partial, combine, salt_factor=8,
+                                 id_col="id").to_pandas()
+        got = got.set_index("k").sort_index()
+        import pandas as pd
+
+        df = pd.DataFrame({"k": keys, "v": vals})
+        exp = df.groupby("k")["v"].agg(["count", "sum", "max"])
+        assert (got["n"] == exp["count"]).all()
+        assert np.allclose(got["s"], exp["sum"])
+        assert np.allclose(got["mx"], exp["max"])
