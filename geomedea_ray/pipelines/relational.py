@@ -148,27 +148,28 @@ def revenue_by_nation(sf_dir: str):
         }
     )
 
-    class _AttachNation:
-        def __init__(self):
-            self.lk = ray.get(lookup_ref)
+    from geomedea_ray.util import get_once
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch["o_custkey"].to_numpy()
-            pos = np.searchsorted(self.lk["cust_keys"], ck)
-            nk = self.lk["cust_nat"][pos]
-            npos = np.searchsorted(self.lk["nat_keys"], nk)
-            names = self.lk["nat_names"][npos]
-            return pa.table(
-                {
-                    "n_name": pa.array(names, pa.string()),
-                    "o_totalprice": batch["o_totalprice"],
-                }
-            )
+    def _attach_nation(batch: pa.Table) -> pa.Table:
+        # task fn + per-process broadcast fetch (util.get_once): fuses
+        # with the read — an actor pool here can't fuse and its spawn
+        # latency dwarfs this 150k-row job
+        lk = get_once(lookup_ref)
+        ck = batch["o_custkey"].to_numpy()
+        pos = np.searchsorted(lk["cust_keys"], ck)
+        nk = lk["cust_nat"][pos]
+        npos = np.searchsorted(lk["nat_keys"], nk)
+        names = lk["nat_names"][npos]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
 
     ds = tables.read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     out = (
-        ds.map_batches(_AttachNation, batch_format="pyarrow", concurrency=auto_pool(),
-                       zero_copy_batch=True)
+        ds.map_batches(_attach_nation, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("n_name")
         .aggregate(
             Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")

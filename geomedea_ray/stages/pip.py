@@ -76,19 +76,32 @@ def pip_join(
     concurrency=None,
     batch_size: int = 8192,
 ):
-    """points Dataset (needs lng/lat cols) ⋈ polygon list."""
+    """points Dataset (needs lng/lat cols) ⋈ polygon list.
+
+    Default path: plain TASK fn with a per-process broadcast fetch
+    (util.get_once) — fuses with the upstream read/maps, so batches
+    never round-trip the object store and no pool spawn is paid. Pass
+    ``concurrency`` to force the actor-pool path (for polygon sets big
+    enough that per-actor residency matters)."""
     import ray
 
-    from geomedea_ray.util import auto_pool
-
-    if concurrency is None:
-        concurrency = auto_pool()
     ref = ray.put(polygons)
+    if concurrency is not None:
+        return points_ds.map_batches(
+            PIPJoiner,
+            fn_constructor_kwargs={"polygons_ref": ref, "id_cols": id_cols, "exact": exact},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+
+    from geomedea_ray.util import get_once
+
+    def _pip(batch):
+        joiner = PIPJoiner(get_once(ref), id_cols=id_cols, exact=exact)
+        return joiner(batch)
+
     return points_ds.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs={"polygons_ref": ref, "id_cols": id_cols, "exact": exact},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        zero_copy_batch=True,
+        _pip, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )

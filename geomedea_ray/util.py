@@ -18,3 +18,20 @@ def auto_pool(cap: int | None = None, min_actors: int = 1) -> tuple[int, int]:
     n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     hi = max(2, n if cap is None else min(cap, n))
     return (min_actors, hi)
+
+
+_OBJ_CACHE: dict = {}
+
+
+def get_once(ref):
+    """Per-worker-process memoized ``ray.get``: lets a plain TASK
+    function hold broadcast state (the fetch runs once per process,
+    like an actor __init__) while keeping the stage fusable with the
+    upstream read — an actor pool can't fuse and pays pool-spawn
+    latency that dwarfs small jobs."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _OBJ_CACHE:
+        _OBJ_CACHE[key] = ray.get(ref)
+    return _OBJ_CACHE[key]
