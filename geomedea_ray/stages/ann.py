@@ -85,19 +85,19 @@ def ann_topk(
     dropped from the output so results hash-compare cleanly."""
     import ray
 
+    from geomedea_ray.util import cached_instance
+
     ref = ray.put({"matrix": np.asarray(query_matrix, np.float64), "qids": np.asarray(qids)})
+
+    def _topk(batch):
+        inst = cached_instance(
+            ("ann", ref.hex(), k, id_col, emb_col),
+            lambda: _CosineTopK(ref, k, id_col, emb_col),
+        )
+        return inst(batch)
+
     cands = ds.map_batches(
-        _CosineTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ref,
-            "k": k,
-            "id_col": id_col,
-            "emb_col": emb_col,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=auto_pool(),
-        zero_copy_batch=True,
+        _topk, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:

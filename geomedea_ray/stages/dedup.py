@@ -209,21 +209,23 @@ def minhash_lsh_pairs(
     ``texts_by_id`` broadcast via ``ray.put``) filters candidates by
     exact shingle Jaccard.
     """
+    from geomedea_ray.util import cached_instance
+
+    params = (num_perm, num_bands, shingle_k, text_col, id_col, num_shards)
+
+    def _minhash(batch):
+        # task fn + per-process cached stage instance: fuses with the
+        # read (no plasma round-trip, no pool spawn); the permutation
+        # cache still builds once per worker process
+        inst = cached_instance(
+            ("dedup.MinHashStage",) + params,
+            lambda: MinHashStage(num_perm, num_bands, shingle_k, text_col,
+                                 id_col, num_shards),
+        )
+        return inst(batch)
+
     exploded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "num_bands": num_bands,
-            "shingle_k": shingle_k,
-            "text_col": text_col,
-            "id_col": id_col,
-            "num_shards": num_shards,
-        },
-        batch_format="pyarrow",
-        batch_size=1024,
-        # autoscaling pool: min 1 so the pipeline can't deadlock on a
-        # small session where a fixed pool would starve later stages
-        concurrency=auto_pool(),
+        _minhash, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True
     )
 
     def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:

@@ -139,20 +139,36 @@ class Reencode:
 
 
 def decode_stats(ds, concurrency=None, batch_size: int = DEFAULT_BATCH):
-    from geomedea_ray.util import auto_pool
+    # default = plain task fn (stage object cached per worker process):
+    # fuses with the read so the wide ``bytes`` blocks never round-trip
+    # the object store; pass ``concurrency`` for an explicit actor pool
+    # (e.g. a decoder that loads a heavy model)
+    if concurrency is not None:
+        return ds.map_batches(
+            DecodeStats, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, zero_copy_batch=True,
+        )
+    from geomedea_ray.util import cached_instance
+
+    def _fn(batch):
+        return cached_instance("images.DecodeStats", DecodeStats)(batch)
 
     return ds.map_batches(
-        DecodeStats, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else auto_pool(),
-        zero_copy_batch=True,
+        _fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 
 
 def thumbnails(ds, concurrency=None, batch_size: int = DEFAULT_BATCH):
-    from geomedea_ray.util import auto_pool
+    if concurrency is not None:
+        return ds.map_batches(
+            Thumbnail, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, zero_copy_batch=True,
+        )
+    from geomedea_ray.util import cached_instance
+
+    def _fn(batch):
+        return cached_instance("images.Thumbnail", Thumbnail)(batch)
 
     return ds.map_batches(
-        Thumbnail, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency if concurrency is not None else auto_pool(),
-        zero_copy_batch=True,
+        _fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )

@@ -94,19 +94,19 @@ def knn(
     the result is fully deterministic."""
     import ray
 
+    from geomedea_ray.util import cached_instance
+
     ref = ray.put(queries)
+
+    def _topk(batch):
+        inst = cached_instance(
+            ("knn", ref.hex(), k, id_col, metric),
+            lambda: _BatchTopK(ref, k, id_col, metric),
+        )
+        return inst(batch)
+
     cands = points_ds.map_batches(
-        _BatchTopK,
-        fn_constructor_kwargs={
-            "queries_ref": ref,
-            "k": k,
-            "id_col": id_col,
-            "metric": metric,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=auto_pool(),
-        zero_copy_batch=True,
+        _topk, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 
     def _final(g: pd.DataFrame) -> pd.DataFrame:

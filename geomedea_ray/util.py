@@ -35,3 +35,12 @@ def get_once(ref):
     if key not in _OBJ_CACHE:
         _OBJ_CACHE[key] = ray.get(ref)
     return _OBJ_CACHE[key]
+
+
+def cached_instance(key, factory):
+    """Per-worker-process stage-instance cache (same rationale as
+    get_once): a plain task fn constructs its stage object once per
+    process and stays fusable with the upstream read."""
+    if key not in _OBJ_CACHE:
+        _OBJ_CACHE[key] = factory()
+    return _OBJ_CACHE[key]
