@@ -1,8 +1,17 @@
-"""Image stages over the image+caption table — actor-pool
-``map_batches`` per SURVEY §7.3 ("geometry decoders … run on actor
-pools"). Codecs are the sandbox's raw/pngz/qnt (functions/codecs.py);
-a real JPEG decoder would slot into the same actor with no pipeline
-change (the NotImplementedError branches mark exactly where).
+"""Image stages over the image+caption table.
+
+Stateful-stage execution (SURVEY §7.3 "decoders run on actor pools"):
+the decoder OBJECT still initializes once per worker and serves every
+batch that worker processes — but by default it runs as a plain task
+fn with a per-process instance cache (util.cached_instance) rather
+than a named actor pool, because task stages FUSE with the upstream
+read (the wide ``bytes`` blocks never round-trip the object store;
+measured 1.6× on decode). Pass ``concurrency=...`` to get a real
+actor pool — the right choice when per-actor state is heavy (a loaded
+model) or needs GPU placement. Codecs are the sandbox's raw/pngz/qnt
+(functions/codecs.py); a real JPEG decoder would slot into the same
+stage with no pipeline change (the NotImplementedError branches mark
+exactly where).
 
 Batches stay SMALL (default 256) because rows are wide — a 64×64 RGB
 row is ~12 KiB encoded (batch 1024 ≈ 12 MiB); batch_size × concurrency × row width must fit
