@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_after_signup": R.purchases_after_signup, # range join
         "top_events_per_user": R.top_events_per_user,       # windowed top-k
         "lineitem_sample": R.lineitem_sample,               # deterministic sampling
+        "user_sessions": R.user_sessions,                   # gap sessionization
         # --- text / dedup / similarity (training-data ops) ---
         "doc_tokens": T.q_doc_tokens,
         "doc_quality": T.q_doc_quality,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "purchases_after_signup": R.PURCHASES_AFTER_SIGNUP_SQL,
         "top_events_per_user": R.TOP_EVENTS_SQL,
         "lineitem_sample": R.lineitem_sample_sql(),
+        "user_sessions": R.USER_SESSIONS_SQL,
         "doc_tokens": T.Q_DOC_TOKENS_SQL,
         "doc_quality": T.Q_DOC_QUALITY_SQL,
         "dedup_text": T.Q_DEDUP_TEXT_SQL,

@@ -110,16 +110,23 @@ def bbox_slice(
             os.path.join(dataset_dir, man.partitions[0].path)
         ) if man.partitions else pa.schema([])
         return ray.data.from_arrow(schema.empty_table())
+    from geomedea_ray.util import cached_instance
+
+    qb = Bounds.from_degrees(*rect_deg).as_tuple()
+    cols_key = tuple(columns) if columns else None
+
+    def _probe(batch):
+        # task fn + per-process probe cache: loaded packed indexes are
+        # reused across calls in the same worker (actor-__init__
+        # semantics) while the stage stays fusable/poolsbawn-free
+        inst = cached_instance(
+            ("queries._PartitionProbe", dataset_dir, qb, cols_key),
+            lambda: _PartitionProbe(dataset_dir, {"bounds": qb}, columns),
+        )
+        return inst(batch)
+
     return _parts_dataset(dataset_dir, parts).map_batches(
-        _PartitionProbe,
-        fn_constructor_kwargs={
-            "dataset_dir": dataset_dir,
-            "query": {"bounds": Bounds.from_degrees(*rect_deg).as_tuple()},
-            "columns": columns,
-        },
-        batch_format="pyarrow",
-        batch_size=4,
-        concurrency=min(concurrency, max(1, len(parts))),
+        _probe, batch_format="pyarrow", batch_size=4
     )
 
 

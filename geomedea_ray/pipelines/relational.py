@@ -392,3 +392,34 @@ def lineitem_sample_sql(fraction: float = 0.1) -> str:
         LINEPOINTS_CTE
         + "SELECT pid FROM pts WHERE " + sample_fraction_sql("pid", fraction)
     )
+
+
+def user_sessions(sf_dir: str, gap_min: int = 30):
+    """Gap-based sessionization of the event stream (stages/joins.py
+    sessionize): 30-minute inactivity starts a new session. Oracle =
+    DuckDB LAG + cumulative-sum window."""
+    from geomedea_ray.stages.joins import sessionize
+
+    ev = tables.read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = sessionize(ev, on="ts", by="user_id", gap=f"{gap_min}min", id_col="event_id")
+    return out.select_columns(["user_id", "event_id", "session_seq", "event_seq"])
+
+
+USER_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM o
+)
+SELECT user_id, event_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS BIGINT) AS event_seq
+FROM s
+"""

@@ -258,3 +258,59 @@ def sample_fraction(ds, key_col: str, fraction: float):
 def sample_fraction_sql(key_expr: str, fraction: float) -> str:
     threshold = int(fraction * (1 << 32))
     return f"(({key_expr} * {SAMPLE_MULT}) % 4294967296) < {threshold}"
+
+
+def sessionize(
+    ds,
+    on: str,
+    by: str,
+    gap,
+    id_col: str,
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """Gap-based sessionization (the classic streaming/windowing op the
+    reference lacks — SURVEY §2.5): within each ``by`` key, order by
+    ``on`` and start a new session whenever the gap to the previous
+    event exceeds ``gap``. Emits ``session_seq`` (1-based per key) and
+    ``event_seq`` (1-based within session). Sharded per-key-run
+    vectorized (cumsum over a boolean new-session mask — no per-key
+    callbacks)."""
+
+    def _shardit(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_shard=_shard_of(df[by], num_shards))
+
+    def _sess(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, on, id_col], kind="mergesort").drop(columns="_shard")
+        onv = df[on].to_numpy()
+        if np.issubdtype(onv.dtype, np.datetime64):
+            onv = onv.astype("datetime64[ns]").astype(np.int64)
+            g = int(pd.Timedelta(gap).value)
+        else:
+            onv = onv.astype(np.float64)
+            g = gap
+        keys = df[by].to_numpy()
+        n = len(df)
+        if n == 0:
+            return df.assign(session_seq=pd.Series([], dtype=np.int64),
+                             event_seq=pd.Series([], dtype=np.int64))
+        new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
+        gap_break = np.concatenate([[True], (onv[1:] - onv[:-1]) > g])
+        new_session = new_key | gap_break
+        # session_seq: per-key cumulative count of session starts
+        sess_global = np.cumsum(new_session)
+        key_start_val = sess_global[new_key]
+        key_idx = np.cumsum(new_key) - 1
+        session_seq = sess_global - key_start_val[key_idx] + 1
+        # event_seq: position within session
+        evt_global = np.arange(n)
+        sess_start_val = evt_global[new_session]
+        sess_idx = np.cumsum(new_session) - 1
+        event_seq = evt_global - sess_start_val[sess_idx] + 1
+        return df.assign(session_seq=session_seq.astype(np.int64),
+                         event_seq=event_seq.astype(np.int64))
+
+    return (
+        ds.map_batches(_shardit, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_sess, batch_format="pandas")
+    )

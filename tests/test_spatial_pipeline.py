@@ -160,3 +160,29 @@ class TestKnnIndexed:
             expect = np.arange(n)[order].tolist()
             sub = got[got["qid"] == qid].sort_values("rank")
             assert sub["pid"].tolist() == expect, f"qid {qid}"
+
+
+class TestSortSkew:
+    def test_clustered_data_balanced_partitions(self, ray_session, tmp_path):
+        """Worst-case spatial skew: every point inside one 0.1° city
+        block (Hilbert keys nearly identical). Ray's sample-based range
+        partitioning equalizes ROW COUNTS regardless of key-space skew
+        (SURVEY §4 skew row) — assert no partition hogs the data."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.pipelines.spatial_write import spatial_write
+
+        rng = np.random.default_rng(13)
+        n = 50_000
+        lng = rng.uniform(-0.05, 0.05, n) + 13.4   # one city block
+        lat = rng.uniform(-0.05, 0.05, n) + 52.5
+        ds = ray.data.from_arrow(
+            pa.table({"pid": pa.array(np.arange(n), pa.int64()), "lng": lng, "lat": lat})
+        ).repartition(16)  # sort output partitioning follows input blocks
+        man = spatial_write(ds, str(tmp_path / "skew"), tiebreak="pid")
+        assert man.row_count == n
+        counts = [p.row_count for p in man.partitions]
+        assert len(counts) >= 2
+        assert max(counts) <= 5 * (n / len(counts)), f"skewed partitions: {counts}"
