@@ -8,6 +8,7 @@ convert example).
     python -m geomedea_ray convert <in.geojson> <dataset_dir>
     python -m geomedea_ray export  <dataset_dir> <out.geojson>
     python -m geomedea_ray bbox    <dataset_dir> MINLNG MINLAT MAXLNG MAXLAT
+    python -m geomedea_ray decode  <parquet_dir> <out_dir>   # resumable; re-run to resume
 
 This entry point OWNS a Ray session (guarded init; the library never
 calls ray.init)."""
@@ -105,12 +106,33 @@ def cmd_bbox(dataset_dir: str, *rect: str) -> int:
     return 0
 
 
+def cmd_decode(parquet_dir: str, out_dir: str) -> int:
+    """Resumable decode-stats job over an image-table parquet dir
+    (pipelines/resumable.py): one lineage record per input fragment;
+    a killed run resumes where it stopped — rerun the same command."""
+    _ensure_ray()
+    from geomedea_ray.pipelines.resumable import resumable_map
+    from geomedea_ray.stages.images import DecodeStats
+
+    def _stats(table, **_):
+        return DecodeStats()(table)
+
+    res = resumable_map(
+        parquet_dir, out_dir, _stats, job_id="cli-decode",
+        columns=["image_id", "bytes", "w", "h", "fmt", "phash"],
+    )
+    print(f"processed {res['processed']} fragment(s), skipped {res['skipped']} "
+          f"already-committed; lineage: {out_dir}/lineage.jsonl")
+    return 0
+
+
 COMMANDS = {
     "info": (cmd_info, 1),
     "inspect": (cmd_inspect, 1),
     "convert": (cmd_convert, 2),
     "export": (cmd_export, 2),
     "bbox": (cmd_bbox, 5),
+    "decode": (cmd_decode, 2),
 }
 
 

@@ -75,7 +75,9 @@ def compute_extent(ds) -> tuple[int, int, int, int]:
 WORLD_EXTENT = (-1_800_000_000, -900_000_000, 1_800_000_000, 900_000_000)
 
 
-def write_partition(batch: pa.Table, dataset_dir: str) -> pa.Table:
+def write_partition(batch: pa.Table, dataset_dir: str,
+                    compression: str | None = "zstd",
+                    row_group_size: int = ROW_GROUP_SIZE) -> pa.Table:
     """Terminal map_batches fn, one call per sorted block: write the
     block as Parquet + packed-index sidecar, emit one summary row.
     Runs ``batch_size=None`` so a block maps 1:1 to an output
@@ -104,9 +106,12 @@ def write_partition(batch: pa.Table, dataset_dir: str) -> pa.Table:
     inv = 0xFFFFFFFF - int(h[0])
     stem = f"part-{inv:010x}-{uuid.uuid4().hex[:8]}"
     ppath, ipath = stem + ".parquet", stem + ".rtree.npz"
+    # compression + row-group goal mirror the reference's
+    # is_compressed flag and DEFAULT_PAGE_SIZE_GOAL knob (lib.rs:45-47,
+    # writer/mod.rs:329-339; its benches also run an 8 KiB page goal)
     pq.write_table(
-        batch, os.path.join(dataset_dir, ppath), row_group_size=ROW_GROUP_SIZE,
-        compression="zstd",
+        batch, os.path.join(dataset_dir, ppath), row_group_size=row_group_size,
+        compression=compression if compression is not None else "none",
     )
     tree.save(os.path.join(dataset_dir, ipath))
     return _summary_table(
@@ -157,6 +162,8 @@ def spatial_write(
     tiebreak: str | None = None,
     extent: tuple[int, int, int, int] | None = None,
     properties: dict | None = None,
+    compression: str | None = "zstd",
+    row_group_size: int = ROW_GROUP_SIZE,
 ) -> Manifest:
     """Run the full write pipeline; returns the saved Manifest.
 
@@ -188,7 +195,8 @@ def spatial_write(
         ds = ds.sort(["hilbert", tiebreak], descending=[True, False])
     summaries = ds.map_batches(
         write_partition,
-        fn_kwargs={"dataset_dir": dataset_dir},
+        fn_kwargs={"dataset_dir": dataset_dir, "compression": compression,
+                   "row_group_size": row_group_size},
         batch_format="pyarrow",
         batch_size=None,
     ).take_all()

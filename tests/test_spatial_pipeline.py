@@ -186,3 +186,35 @@ class TestSortSkew:
         counts = [p.row_count for p in man.partitions]
         assert len(counts) >= 2
         assert max(counts) <= 5 * (n / len(counts)), f"skewed partitions: {counts}"
+
+
+class TestWriteCombos:
+    """The reference's 4-combo roundtrip matrix: {compressed,
+    uncompressed} × {single page, multi page} (reader.rs:411-430;
+    page goal 100 B in test_data.rs). Row groups play pages."""
+
+    @pytest.mark.parametrize("compression", ["zstd", None])
+    @pytest.mark.parametrize("row_group_size", [100, 16_384])
+    def test_roundtrip(self, ray_session, tmp_path, compression, row_group_size):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.pipelines.queries import bbox_slice, select_all
+        from geomedea_ray.pipelines.spatial_write import spatial_write
+
+        n = 500
+        lng = np.arange(n, dtype=np.float64) % 100 - 50
+        lat = (np.arange(n, dtype=np.float64) * 7) % 120 - 60
+        ds = ray.data.from_arrow(
+            pa.table({"pid": pa.array(np.arange(n), pa.int64()), "lng": lng, "lat": lat})
+        )
+        out = str(tmp_path / f"combo_{compression}_{row_group_size}")
+        man = spatial_write(ds, out, tiebreak="pid", compression=compression,
+                            row_group_size=row_group_size)
+        assert man.row_count == n
+        back = select_all(out).to_pandas()
+        assert sorted(back["pid"]) == list(range(n))
+        got = bbox_slice(out, (-10.0, -10.0, 10.0, 10.0)).to_pandas()
+        mask = (lng >= -10) & (lng <= 10) & (lat >= -10) & (lat <= 10)
+        assert len(got) == int(mask.sum())
