@@ -45,7 +45,10 @@ def compute_extent(ds) -> tuple[int, int, int, int]:
     the reference's pre-sort extent fold."""
     from ray.data.aggregate import Max, Min
 
-    if "bbox_min_lng_i" in ds.schema().names:
+    schema = ds.schema()
+    if schema is None:  # empty after a map stage — no rows to fold
+        return None
+    if "bbox_min_lng_i" in schema.names:
         # feature rows: extent = fold of feature BBOXES, exactly the
         # reference's extent.extend(&bounds) (writer/mod.rs:58-59)
         row = ds.aggregate(
@@ -61,6 +64,8 @@ def compute_extent(ds) -> tuple[int, int, int, int]:
             Max("lng_i", alias_name="max_lng"),
             Max("lat_i", alias_name="max_lat"),
         )
+    if row is None or row.get("min_lng") is None:
+        return None  # empty dataset
     return (
         int(row["min_lng"]),
         int(row["min_lat"]),
@@ -173,7 +178,16 @@ def spatial_write(
     output needs an explicit key — SURVEY §7.5).
     """
     os.makedirs(dataset_dir, exist_ok=True)
-    if "lng_i" not in ds.schema().names:
+    schema = ds.schema()
+    names = list(schema.names) if schema is not None else []
+    if not names:
+        # empty input: the reference writes a valid 29-byte empty file
+        # (lib.rs:145-151); ours is a valid empty manifest
+        man = Manifest(version=1, extent=(0, 0, 0, 0), row_count=0,
+                       partitions=[], properties=properties or {})
+        man.save(dataset_dir)
+        return man
+    if "lng_i" not in names:
         ds = ds.map_batches(
             quantize_batch,
             fn_kwargs={"lng_col": lng_col, "lat_col": lat_col},
@@ -185,6 +199,11 @@ def spatial_write(
     # re-quantizing through degrees would break bit-compat)
     if extent is None:
         extent = compute_extent(ds)
+    if extent is None:  # schema known but zero rows
+        man = Manifest(version=1, extent=(0, 0, 0, 0), row_count=0,
+                       partitions=[], properties=properties or {})
+        man.save(dataset_dir)
+        return man
     ds = ds.map_batches(
         hilbert_batch, fn_kwargs={"extent": extent}, batch_format="pyarrow",
         zero_copy_batch=True,
@@ -250,3 +269,107 @@ def spatial_write(
         ]
     )
     return man
+
+
+def spatial_append(
+    ds,
+    dataset_dir: str,
+    lng_col: str = "lng",
+    lat_col: str = "lat",
+    tiebreak: str | None = None,
+    compression: str | None = "zstd",
+    row_group_size: int = ROW_GROUP_SIZE,
+) -> Manifest:
+    """Append new rows to an EXISTING spatial dataset (steady-state
+    ingest — the reference is write-once; SURVEY §2.5). The new batch
+    runs the same sort+index pipeline under the STORED extent (keys
+    stay comparable across appends; out-of-extent coordinates are
+    clamped FOR THE KEY ONLY — stored values and partition bounds use
+    the true coordinates, so bbox pruning stays exact). New partitions
+    are appended to the manifest atomically; partition Hilbert ranges
+    of different appends may overlap, so ``select_all`` total order
+    weakens to per-append order (bbox/cell queries are unaffected —
+    they prune by per-partition bounds/ranges, not global order).
+    """
+    import pyarrow.compute as pc
+
+    man = Manifest.load(dataset_dir)
+    if man.row_count == 0:
+        return spatial_write(ds, dataset_dir, lng_col=lng_col, lat_col=lat_col,
+                             tiebreak=tiebreak, compression=compression,
+                             row_group_size=row_group_size,
+                             properties=man.properties)
+    extent = tuple(man.extent)
+
+    if "lng_i" not in (ds.schema().names if ds.schema() is not None else []):
+        ds = ds.map_batches(
+            quantize_batch, fn_kwargs={"lng_col": lng_col, "lat_col": lat_col},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    def _clamped_hilbert(batch: pa.Table) -> pa.Table:
+        from geomedea_ray.functions.hilbert import scaled_hilbert
+
+        gx = np.clip(batch["lng_i"].to_numpy(), extent[0], extent[2])
+        gy = np.clip(batch["lat_i"].to_numpy(), extent[1], extent[3])
+        h = scaled_hilbert(gx, gy, extent)
+        return batch.append_column("hilbert", pa.array(h, pa.uint32()))
+
+    ds = ds.map_batches(_clamped_hilbert, batch_format="pyarrow", zero_copy_batch=True)
+    if tiebreak is None:
+        ds = ds.sort("hilbert", descending=True)
+    else:
+        ds = ds.sort(["hilbert", tiebreak], descending=[True, False])
+    summaries = ds.map_batches(
+        write_partition,
+        fn_kwargs={"dataset_dir": dataset_dir, "compression": compression,
+                   "row_group_size": row_group_size},
+        batch_format="pyarrow", batch_size=None,
+    ).take_all()
+    summaries.sort(key=lambda r: (-r["hilbert_max"], -r["hilbert_min"], r["path"]))
+
+    next_id = max((p.partition_id for p in man.partitions), default=-1) + 1
+    new_parts = [
+        PartitionMeta(
+            partition_id=next_id + i,
+            path=r["path"], index_path=r["index_path"], row_count=r["row_count"],
+            hilbert_max=r["hilbert_max"], hilbert_min=r["hilbert_min"],
+            bounds=(r["min_lng"], r["min_lat"], r["max_lng"], r["max_lat"]),
+            byte_size=r["byte_size"],
+        )
+        for i, r in enumerate(summaries)
+    ]
+    # true extent grows with the data (keys stay under the ORIGINAL
+    # extent; the manifest records both)
+    new_extent = extent
+    for p in new_parts:
+        new_extent = (min(new_extent[0], p.bounds[0]), min(new_extent[1], p.bounds[1]),
+                      max(new_extent[2], p.bounds[2]), max(new_extent[3], p.bounds[3]))
+    props = dict(man.properties)
+    props.setdefault("key_extent", list(extent))
+    man2 = Manifest(
+        version=man.version,
+        extent=new_extent,
+        row_count=man.row_count + sum(p.row_count for p in new_parts),
+        partitions=man.partitions + new_parts,
+        properties=props,
+    )
+    man2.save(dataset_dir)  # atomic replace = the append commit point
+
+    from geomedea_ray.state.checkpoint import CheckpointLog, LineageRecord, op_chain_hash
+
+    chash = op_chain_hash("spatial_append", lng_col, lat_col, tiebreak, extent)
+    log = CheckpointLog(os.path.join(dataset_dir, "lineage.jsonl"))
+    log.append_all(
+        [
+            LineageRecord(
+                job_id=f"spatial_append:{os.path.basename(os.path.normpath(dataset_dir))}",
+                partition_id=p.path, op_chain_hash=chash, row_count=p.row_count,
+                out_path=p.path,
+                metrics={"byte_size": p.byte_size, "wall_s": s["wall_s"],
+                         "hilbert_range": [p.hilbert_min, p.hilbert_max]},
+            )
+            for p, s in zip(new_parts, summaries)
+        ]
+    )
+    return man2

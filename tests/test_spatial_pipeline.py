@@ -218,3 +218,75 @@ class TestWriteCombos:
         got = bbox_slice(out, (-10.0, -10.0, 10.0, 10.0)).to_pandas()
         mask = (lng >= -10) & (lng <= 10) & (lat >= -10) & (lat <= 10)
         assert len(got) == int(mask.sum())
+
+
+class TestEmptyDataset:
+    def test_empty_write_and_queries(self, ray_session, tmp_path):
+        """The reference writes a valid empty file (lib.rs:145-151);
+        ours writes a valid empty manifest and every query handles it."""
+        import pyarrow as pa
+        import ray.data
+
+        empty = pa.table({"pid": pa.array([], pa.int64()),
+                          "lng": pa.array([], pa.float64()),
+                          "lat": pa.array([], pa.float64())})
+        d = str(tmp_path / "empty")
+        man = spatial_write(ray.data.from_arrow(empty), d, tiebreak="pid")
+        assert man.row_count == 0 and man.partitions == []
+        assert count(d) == 0
+        assert bbox_slice(d, (0, 0, 1, 1)).count() == 0
+        assert select_all(d).count() == 0
+
+
+class TestAppend:
+    def test_append_grows_and_queries_stay_exact(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.pipelines.spatial_write import spatial_append
+
+        rng = np.random.default_rng(31)
+
+        def mk(n, lo, hi, start):
+            return pa.table({
+                "pid": pa.array(np.arange(start, start + n), pa.int64()),
+                "lng": rng.uniform(lo, hi, n),
+                "lat": rng.uniform(-40, 40, n),
+            })
+
+        d = str(tmp_path / "appendable")
+        t1 = mk(3000, -100, 0, 0)
+        spatial_write(ray.data.from_arrow(t1), d, tiebreak="pid")
+        # second batch partially OUTSIDE the original extent
+        t2 = mk(2000, -20, 120, 3000)
+        man = spatial_append(ray.data.from_arrow(t2), d, tiebreak="pid")
+        assert man.row_count == 5000
+        assert count(d) == 5000
+        assert set(select_all(d).to_pandas()["pid"]) == set(range(5000))
+        # bbox query exact across both appends, incl. beyond-extent data
+        all_lng = np.concatenate([t1["lng"].to_numpy(), t2["lng"].to_numpy()])
+        all_lat = np.concatenate([t1["lat"].to_numpy(), t2["lat"].to_numpy()])
+        all_pid = np.arange(5000)
+        for rect in [(-10, -10, 50, 10), (80, -40, 120, 40), (-100, -40, 120, 40)]:
+            qx = quantize(all_lng); qy = quantize(all_lat)
+            q = [quantize([rect[0]])[0], quantize([rect[1]])[0],
+                 quantize([rect[2]])[0], quantize([rect[3]])[0]]
+            want = set(all_pid[(qx >= q[0]) & (qx <= q[2]) & (qy >= q[1]) & (qy <= q[3])].tolist())
+            got = set(bbox_slice(d, rect).to_pandas()["pid"])
+            assert got == want, f"rect {rect}"
+
+    def test_append_to_empty(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.pipelines.spatial_write import spatial_append
+
+        d = str(tmp_path / "fromempty")
+        empty = pa.table({"pid": pa.array([], pa.int64()),
+                          "lng": pa.array([], pa.float64()),
+                          "lat": pa.array([], pa.float64())})
+        spatial_write(ray.data.from_arrow(empty), d, tiebreak="pid")
+        t = pa.table({"pid": pa.array([1, 2], pa.int64()),
+                      "lng": [10.0, 20.0], "lat": [5.0, 6.0]})
+        man = spatial_append(ray.data.from_arrow(t), d, tiebreak="pid")
+        assert man.row_count == 2 and count(d) == 2
