@@ -151,7 +151,7 @@ def point_in_polygon(lng, lat, poly_x: np.ndarray, poly_y: np.ndarray) -> np.nda
         x1, y1 = poly_x[i], poly_y[i]
         x2, y2 = poly_x[j], poly_y[j]
         cond = (y1 <= py) != (y2 <= py)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xcross = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
         inside ^= cond & (px < xcross)
         j = i
