@@ -66,6 +66,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return thumbnails(F.images_ds(sf_dir)).limit(100)
 
+    def _training_prep(sf_dir: str):
+        """Composite chain: decode-verify -> phash dedup -> caption
+        quality filter -> geocode -> tile -> PIP join (pipelines/prep)."""
+        from geomedea_ray.pipelines.prep import training_prep
+
+        return training_prep(sf_dir).select_columns(
+            ["image_id", "n_tokens", "tile_x", "tile_y", "poly_id"]
+        )
+
     def _image_reencode(sf_dir: str):
         """Transcode every image to qnt and verify the input_hint
         invariant per row: decoded-pixel PSNR >= 40 dB vs the
@@ -140,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tile_counts": F.image_tile_counts,
         "image_thumbnails": _image_thumbnails,
         "image_reencode": _image_reencode,
+        "training_prep": _training_prep,          # composite end-to-end prep chain
     }
 
 
