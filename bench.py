@@ -43,10 +43,14 @@ BENCH_QUERIES = [
     "tile_counts",
     "q1_pricing",
     "revenue_by_nation",
+    "purchase_asof_signup",
+    "user_sessions",
+    "knn_indexed",
     "doc_quality",
     "dedup_text",
     "ann_topk",
     "minhash_pairs",
+    "training_prep",
 ]
 
 

@@ -11,9 +11,9 @@ SURVEY §2.5); built per SURVEY §7.2 step 7 as a two-stage top-k:
 2. a tiny ``groupby(qid).map_groups`` final top-k over the candidates
    (the only shuffle, over k·Q·B rows).
 
-With a spatially-written dataset, candidate generation can further
-prune via ``hilbert_range_scan`` windows around each query (the
-Hilbert-window path is provided for single-query point lookups).
+With a spatially-written dataset, ``knn_indexed`` serves the same
+queries from the packed R-tree instead (expanding-radius range
+search — no full scan).
 
 Distance metrics: 'planar' = squared planar degrees (the exact
 expression an SQL oracle reproduces bit-for-bit), 'haversine' = great
