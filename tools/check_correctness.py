@@ -43,6 +43,11 @@ def main():
     import ray
 
     args = [a for a in sys.argv[1:]]
+    if "--determinism" in args:
+        args.remove("--determinism")
+        sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+        only = set(args[1:]) if args and os.path.isdir(args[0]) else set(args)
+        sys.exit(1 if check_determinism(sf_dir, only or None) else 0)
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args[1:]) if args and os.path.isdir(args[0]) else set(args)
 
@@ -99,6 +104,39 @@ def main():
     print(f"\n{n_pass} pass, {n_fail} fail")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
+
+
+
+
+def check_determinism(sf_dir: str, only=None):
+    """Run every queries() entry TWICE and compare value hashes —
+    catches partitioning/order nondeterminism the single-run gate
+    can't see. Usage: python tools/check_correctness.py --determinism [sf_dir]"""
+    import time
+
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        h1 = value_hash(to_pandas(fn(sf_dir)))
+        h2 = value_hash(to_pandas(fn(sf_dir)))
+        ok = h1 == h2
+        bad += not ok
+        print(f"{'ok  ' if ok else 'FAIL'} {name}: {'deterministic' if ok else f'{h1} != {h2}'} ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) - bad} deterministic, {bad} nondeterministic")
+    ray.shutdown()
+    return bad
 
 
 if __name__ == "__main__":
