@@ -112,10 +112,11 @@ def spatial_join_tiles_scaled(sf_dir: str, repeat: int = 1, zoom: int = 6):
     executor sees a single wide read, NOT a ``union`` DAG (measured:
     union serializes branches — 51.7 s vs 3.1 s for the same rows).
 
-    ``override_num_blocks ≈ 2-4× CPUs`` (min 64): with blocks == CPUs
-    the 450 MB full-column fragments degrade pathologically (measured
-    76 s vs 8.5 s at 32 CPUs); with far more blocks, per-task fixed
-    cost (~9 ms driver-side) dominates."""
+    Fragment sizing (sources/synth.py): ~50 MB fragments × repeat give
+    the executor enough native blocks for full width WITHOUT
+    ``override_num_blocks`` — overriding makes Ray insert SplitBlocks,
+    which un-fuses the read from the chain (measured: the split plan
+    ships full-column blocks through the object store)."""
     import glob
 
     import ray
@@ -123,9 +124,11 @@ def spatial_join_tiles_scaled(sf_dir: str, repeat: int = 1, zoom: int = 6):
 
     files = sorted(glob.glob(os.path.join(image_table_path(n_images_for(sf_dir)),
                                           "*.parquet")))
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    nblocks = max(64, cpus * 2)
-    base = ray.data.read_parquet(files * max(1, repeat), override_num_blocks=nblocks)
+    # no override_num_blocks: the fixture's fragment count × repeat
+    # already exceeds any cluster width here, and overriding makes Ray
+    # insert SplitBlocks which breaks read→map fusion (full-column
+    # blocks would round-trip the object store)
+    base = ray.data.read_parquet(files * max(1, repeat))
     # plain task fn (lazy per-process init), NOT an actor pool: task
     # stages fuse with the read into one task, so full-column blocks
     # never round-trip through the object store

@@ -107,7 +107,7 @@ def image_table_path(n: int, seed: int = 42, cache_root: str = "/tmp/geomedea_ra
     # dominates 4k-row fragments and makes every downstream pipeline
     # read-bound; 30k+-row fragments match how a real deployment sizes
     # files (0.5-1 GB) and keep reads ~free relative to transforms
-    n_files = max(4, n // 30_000)
+    n_files = max(4, n // 7_500)  # ~50 MB/fragment: big enough to amortize per-file read cost, numerous enough that a 32-CPU read needs no block splitting (splits break read→map fusion)
     (
         ray.data.range(n)
         .map_batches(_batch, batch_format="pyarrow", batch_size=2048)
