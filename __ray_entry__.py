@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_count": G.q_spatial_count,       # header count (S2)
         "knn": G.q_knn,                           # §7.2 step 7 (full scan)
         "knn_indexed": G.q_knn_indexed,           # §7.2 step 7 (packed-index path)
+        "nn_join": G.q_nn_join,                   # nearest-neighbor join (broadcast left)
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (W-tile)
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all (rows-only)
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,
         "knn": G.q_knn_sql(),
         "knn_indexed": G.q_knn_sql(),
+        "nn_join": G.q_nn_join_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
         "q1_pricing": R.Q1_SQL,

@@ -260,3 +260,36 @@ def q_hilbert_scan(sf_dir: str):
     SQL-expressible; bit-level goldens live in pytest instead)."""
     d = spatial_dataset(sf_dir)
     return Q.select_all(d, columns=["pid", "hilbert"]).limit(1000)
+
+
+def q_nn_join(sf_dir: str, k: int = 2):
+    """Nearest-neighbor join (stages/knn.nn_join): every document
+    point → its k nearest lineitem points (planar). Left side (500-5k
+    doc points) broadcasts; right side streams."""
+    from geomedea_ray.sources.tables import add_doc_points
+    from geomedea_ray.stages.knn import nn_join
+
+    docs = tables.read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        add_doc_points, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.rename_columns(["qid", "lng", "lat"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = nn_join(docs, linepoints_ds(sf_dir), k=k, right_id_col="pid")
+    return out.select_columns(["qid", "pid", "rank"])
+
+
+def q_nn_join_sql(k: int = 2) -> str:
+    from geomedea_ray.sources.tables import LAT_SQL, LNG_SQL
+
+    return (
+        LINEPOINTS_CTE
+        + f""", q AS (SELECT doc_id AS qid, {LNG_SQL} AS qlng, {LAT_SQL} AS qlat FROM documents),
+d AS (SELECT qid, pid,
+        (lng - qlng) * (lng - qlng) + (lat - qlat) * (lat - qlat) AS dist
+      FROM pts CROSS JOIN q),
+r AS (SELECT qid, pid,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, pid) AS "rank"
+      FROM d)
+SELECT qid, pid, "rank" FROM r WHERE "rank" <= {k}"""
+    )

@@ -47,23 +47,35 @@ class _BatchTopK:
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         out_qid, out_id, out_dist = [], [], []
-        for qid, qlng, qlat in self.queries:
-            if self.metric == "planar":
-                dx = lng - qlng
-                dy = lat - qlat
-                d = dx * dx + dy * dy
-            elif self.metric == "haversine":
-                d = haversine_m(lng, lat, qlng, qlat)
-            else:
-                raise ValueError(f"unknown metric {self.metric!r}")
-            k = min(self.k, len(d))
-            if k == 0:
-                continue
-            # local top-k, then exact ordering among them
-            part = np.argpartition(d, k - 1)[:k]
-            out_qid.append(np.full(k, qid, np.int64))
-            out_id.append(ids[part])
-            out_dist.append(d[part])
+        k = min(self.k, len(lng))
+        if k and self.metric == "planar" and len(self.queries) > 1:
+            # vectorized multi-query path: one (n × Q) distance matrix,
+            # one axis-0 argpartition — scales to 100s of query points
+            # (the nn-join case) with no per-query Python loop
+            qarr = np.asarray([(q[1], q[2]) for q in self.queries], np.float64)
+            dx = lng[:, None] - qarr[None, :, 0]
+            dy = lat[:, None] - qarr[None, :, 1]
+            d = dx * dx + dy * dy                      # (n, Q)
+            part = np.argpartition(d, k - 1, axis=0)[:k]   # (k, Q)
+            qids = np.asarray([q[0] for q in self.queries], np.int64)
+            out_qid.append(np.repeat(qids, k))
+            out_id.append(ids[part.T.reshape(-1)])
+            out_dist.append(np.take_along_axis(d, part, axis=0).T.reshape(-1))
+        elif k:
+            for qid, qlng, qlat in self.queries:
+                if self.metric == "planar":
+                    dx = lng - qlng
+                    dy = lat - qlat
+                    d = dx * dx + dy * dy
+                elif self.metric == "haversine":
+                    d = haversine_m(lng, lat, qlng, qlat)
+                else:
+                    raise ValueError(f"unknown metric {self.metric!r}")
+                # local top-k, then exact ordering among them
+                part = np.argpartition(d, k - 1)[:k]
+                out_qid.append(np.full(k, qid, np.int64))
+                out_id.append(ids[part])
+                out_dist.append(d[part])
         if not out_qid:
             return pa.table(
                 {
@@ -185,3 +197,31 @@ def knn_indexed(
         df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
         out_frames.append(df)
     return pd.concat(out_frames, ignore_index=True)
+
+
+def nn_join(
+    left_ds_or_points,
+    right_ds,
+    k: int = 1,
+    left_id_col: str = "qid",
+    right_id_col: str = "pid",
+    batch_size: int = 16384,
+):
+    """Nearest-neighbor JOIN: for every LEFT point, its k nearest RIGHT
+    points (planar metric). The left side is broadcast (small side —
+    100s-1000s of probe points); the right side streams through the
+    same two-stage partial-top-k as ``knn`` with the vectorized
+    multi-query distance matrix. For a large left side, chunk it and
+    run this per chunk (each chunk is an independent broadcast).
+
+    ``left_ds_or_points``: a Dataset with (left_id_col, lng, lat) —
+    materialized driver-side (it must broadcast) — or a prebuilt list
+    of (id, lng, lat) tuples.
+    """
+    if hasattr(left_ds_or_points, "take_all"):
+        rows = left_ds_or_points.take_all()  # small side by contract
+        queries = [(int(r[left_id_col]), float(r["lng"]), float(r["lat"])) for r in rows]
+    else:
+        queries = list(left_ds_or_points)
+    return knn(right_ds, queries, k, id_col=right_id_col, metric="planar",
+               batch_size=batch_size)
