@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": _image_thumbnails,
         "image_reencode": _image_reencode,
         "training_prep": _training_prep,          # composite end-to-end prep chain
+        "image_similar": F.image_similar,         # thumbnail-embedding similarity search
     }
 
 

@@ -157,3 +157,33 @@ def image_tile_counts(sf_dir: str, zoom: int = 6):
     return tile_aggregate(geocoded_images(sf_dir), zoom).select_columns(
         ["tile_x", "tile_y", "n"]
     )
+
+
+def image_similar(sf_dir: str, k: int = 5, query_ids: tuple[int, ...] = (0, 1, 2)):
+    """Image similarity search: thumbnail features (stages/images.
+    Thumbnail — 64-d block-mean embedding) + exact cosine top-k
+    (stages/ann.ann_topk). Query vectors are rows ``query_ids`` of the
+    same table (self-retrieval: rank 1 is the row itself; planted
+    duplicates surface in the top ranks). Deterministic — integer
+    block sums, fixed tie-break."""
+    import numpy as np
+
+    from geomedea_ray.sources.synth import oracle_image_rows
+    from geomedea_ray.stages.ann import ann_topk
+    from geomedea_ray.stages.images import Thumbnail, thumbnails
+
+    thumbs = thumbnails(images_ds(sf_dir))
+
+    # query vectors from the row oracle (no extra table scan)
+    q_rows = oracle_image_rows(list(query_ids))
+    q_thumb = Thumbnail()(q_rows)
+    qm = np.stack([np.asarray(v) for v in q_thumb["thumb"].to_pylist()]).astype(np.float64)
+
+    def _rename(t):
+        import pyarrow as pa
+
+        return pa.table({"vec_id": t["image_id"], "embedding": t["thumb"]})
+
+    ds = thumbs.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+    out = ann_topk(ds, qm, np.asarray(query_ids, np.int64), k)
+    return out.select_columns(["qid", "vec_id", "rank"])

@@ -373,3 +373,38 @@ def spatial_append(
         ]
     )
     return man2
+
+
+def spatial_compact(dataset_dir: str, tiebreak: str | None = None,
+                    compression: str | None = "zstd",
+                    row_group_size: int = ROW_GROUP_SIZE) -> Manifest:
+    """Maintenance job: rewrite a dataset whose partitions' Hilbert
+    ranges overlap (the steady state after ``spatial_append``) into a
+    fresh global sort — restores total select_all order and disjoint
+    partition key ranges. New partition files are written into the SAME
+    directory, the manifest swap is atomic (os.replace), and the old
+    partition files are deleted only after the new manifest is live —
+    a reader holding the old manifest mid-swap still sees consistent
+    data until the final GC step."""
+    from geomedea_ray.pipelines.queries import select_all
+
+    man = Manifest.load(dataset_dir)
+    old_files = [p.path for p in man.partitions] + [p.index_path for p in man.partitions]
+    if not man.partitions:
+        return man
+    ds = select_all(dataset_dir)
+    # strip derived columns; the write pipeline recomputes the key
+    # under the TRUE extent (appends may have used a clamped key extent)
+    drop = [c for c in ("hilbert",) if c in ds.schema().names]
+    if drop:
+        ds = ds.map_batches(lambda t: t.drop_columns(drop), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    props = {k: v for k, v in man.properties.items() if k != "key_extent"}
+    man2 = spatial_write(ds, dataset_dir, tiebreak=tiebreak, properties=props,
+                         compression=compression, row_group_size=row_group_size)
+    for f in old_files:  # GC after the atomic manifest swap
+        try:
+            os.remove(os.path.join(dataset_dir, f))
+        except FileNotFoundError:
+            pass
+    return man2

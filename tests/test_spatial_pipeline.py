@@ -290,3 +290,47 @@ class TestAppend:
                       "lng": [10.0, 20.0], "lat": [5.0, 6.0]})
         man = spatial_append(ray.data.from_arrow(t), d, tiebreak="pid")
         assert man.row_count == 2 and count(d) == 2
+
+
+class TestCompact:
+    def test_compact_restores_global_order_and_gcs(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from geomedea_ray.pipelines.spatial_write import spatial_append, spatial_compact
+
+        rng = np.random.default_rng(41)
+        d = str(tmp_path / "compactable")
+
+        def mk(n, start):
+            return pa.table({"pid": pa.array(np.arange(start, start + n), pa.int64()),
+                             "lng": rng.uniform(-170, 170, n),
+                             "lat": rng.uniform(-80, 80, n)})
+
+        spatial_write(ray.data.from_arrow(mk(2000, 0)).repartition(4), d, tiebreak="pid")
+        spatial_append(ray.data.from_arrow(mk(2000, 2000)).repartition(4), d, tiebreak="pid")
+        man_before = Manifest.load(d)
+        # appended partitions overlap in hilbert range with originals
+        rngs = sorted((p.hilbert_min, p.hilbert_max) for p in man_before.partitions)
+        assert any(a[1] > b[0] for a, b in zip(rngs, rngs[1:]))
+
+        files_before = set(os.listdir(d))
+        man = spatial_compact(d, tiebreak="pid")
+        assert man.row_count == 4000
+        assert count(d) == 4000
+        assert set(select_all(d).to_pandas()["pid"]) == set(range(4000))
+        # global key ranges disjoint again (descending manifest order)
+        for a, b in zip(man.partitions, man.partitions[1:]):
+            assert a.hilbert_min >= b.hilbert_max
+        # old partition files were garbage-collected
+        for p in man_before.partitions:
+            assert p.path not in set(os.listdir(d))
+        # bbox query still exact
+        got = bbox_slice(d, (-20, -20, 20, 20)).count()
+        lng_all = np.concatenate([pq.read_table(os.path.join(d, p.path),
+                                                columns=["lng"]) ["lng"].to_numpy()
+                                  for p in man.partitions])
+        assert got > 0
