@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": T.q_langid,                     # rows-only
         "ann_topk": T.q_ann_topk,
         "ann_topk_lsh": T.q_ann_topk_lsh,     # LSH-bucketed scale path (rows-only)
+        "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (rows-only)
+        "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
         "embedding_neardup": _embedding_neardup,  # rows-only
@@ -183,4 +185,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_text": T.Q_DEDUP_TEXT_SQL,
         "lang_source_agg": T.Q_LANG_SOURCE_SQL,
         "ann_topk": T.q_ann_topk_sql(),
+        "label_centroids": T.Q_LABEL_CENTROIDS_SQL,
     }

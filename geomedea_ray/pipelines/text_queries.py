@@ -159,3 +159,67 @@ def q_ann_topk_lsh(sf_dir: str):
     out = ann_topk_lsh(ds, qm, qids, ANN_K, nbits=8, nprobe=16,
                        id_col="vec_id", emb_col="embedding")
     return out.select_columns(["qid", "vec_id", "rank"])
+
+
+def q_minhash_verified(sf_dir: str, threshold: float = 0.5):
+    """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard
+    (functions/text.jaccard_words) — the full near-dup chain with the
+    verification stage on (texts broadcast via ray.put). Rows-only;
+    the planted-duplicate recall is asserted in tests/test_dedup.py."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.stages.dedup import minhash_lsh_pairs
+
+    t = pq.read_table(tables.path(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts_by_id = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, verify_threshold=threshold, texts_by_id=texts_by_id)
+
+
+def q_label_centroids(sf_dir: str):
+    """Vector aggregate over the embedding column: per-label centroid
+    (mean embedding), emitted long-form (label, pos, mean_r6). Partial
+    vector sums per batch (tiny label cardinality), combined per label
+    — the numeric-reduce-over-list-columns pattern."""
+    import pandas as pd
+
+    from geomedea_ray.stages.ann import _emb_matrix
+
+    ds = tables.read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, "embedding")
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(labels)
+        rows = []
+        for lb in uniq:
+            sel = m[labels == lb]
+            rows.append({"label": lb, "vsum": sel.sum(axis=0).tolist(),
+                         "n": int(sel.shape[0])})
+        return pa.Table.from_pylist(rows)
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.stack(g["vsum"].to_numpy()).sum(axis=0)
+        n = int(g["n"].sum())
+        mean = np.round(vs / n, 6)
+        return pd.DataFrame(
+            {"label": g["label"].iloc[0], "pos": np.arange(len(mean), dtype=np.int64),
+             "mean_r6": mean}
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(_combine, batch_format="pandas")
+    )
+
+
+#: embedding dim is fixed at 64 across all sf tags (checked); DuckDB
+#: 1.0 has no WITH ORDINALITY, so positions come from a RANGE table
+Q_LABEL_CENTROIDS_SQL = """
+SELECT label,
+       CAST(p.pos AS BIGINT) AS pos,
+       ROUND(AVG(embedding[CAST(p.pos AS INT) + 1]::DOUBLE), 6) AS mean_r6
+FROM embeddings, (SELECT UNNEST(RANGE(0, 64)) AS pos) p
+GROUP BY label, p.pos
+"""
