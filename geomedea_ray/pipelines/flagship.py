@@ -124,11 +124,12 @@ def spatial_join_tiles_scaled(sf_dir: str, repeat: int = 1, zoom: int = 6):
 
     files = sorted(glob.glob(os.path.join(image_table_path(n_images_for(sf_dir)),
                                           "*.parquet")))
-    # no override_num_blocks: the fixture's fragment count × repeat
-    # already exceeds any cluster width here, and overriding makes Ray
-    # insert SplitBlocks which breaks read→map fusion (full-column
-    # blocks would round-trip the object store)
-    base = ray.data.read_parquet(files * max(1, repeat))
+    # override_num_blocks == the EXACT native fragment count: more
+    # makes Ray insert SplitBlocks, fewer coalesces — both break
+    # read→map fusion (full-column blocks would round-trip the object
+    # store); exact match keeps one fused task per fragment
+    flist = files * max(1, repeat)
+    base = ray.data.read_parquet(flist, override_num_blocks=len(flist))
     # plain task fn (lazy per-process init), NOT an actor pool: task
     # stages fuse with the read into one task, so full-column blocks
     # never round-trip through the object store
