@@ -105,3 +105,96 @@ def pip_join(
     return points_ds.map_batches(
         _pip, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+
+
+def pip_join_sharded(
+    points_ds,
+    polygons: list,
+    id_cols: list[str],
+    exact: bool = True,
+    zoom: int = 4,
+    num_shards: int = 64,
+):
+    """Shuffle-based PIP join — the fallback for polygon sides too big
+    to broadcast (module docstring): both sides are co-sharded by
+    raster tile at ``zoom`` and each shard raycasts only its local
+    (point, polygon) tile pairs.
+
+    - polygon side: each polygon is replicated to every tile its BBOX
+      covers (tiles are rectangular — coverage is a trivial integer
+      range, unlike Hilbert cells);
+    - point side: each point belongs to exactly ONE tile, so every
+      (point, polygon) pair is tested exactly once — output equals the
+      broadcast ``pip_join`` row-for-row.
+
+    ``polygons`` is the same (pid, name, xs, ys, bbox) list; at true
+    scale it would arrive as a Dataset and the explode step would be a
+    ``map_batches`` over it — the shard/probe machinery is identical.
+    """
+    import pandas as pd
+
+    from geomedea_ray.functions.cells import tile_xy_eq
+    from geomedea_ray.functions.geo import point_in_polygon
+
+    n_tiles = 1 << zoom
+
+    # driver-side explode (polygon side is a list here): tile -> polys
+    tile_polys: dict[int, list] = {}
+    for pid, name, xs, ys, bbox in polygons:
+        tx0, ty1 = tile_xy_eq(np.array([bbox[0]]), np.array([bbox[1]]), zoom)
+        tx1, ty0 = tile_xy_eq(np.array([bbox[2]]), np.array([bbox[3]]), zoom)
+        for tx in range(int(tx0[0]), int(tx1[0]) + 1):
+            for ty in range(int(ty0[0]), int(ty1[0]) + 1):
+                tile_polys.setdefault(tx * n_tiles + ty, []).append(
+                    (pid, name, xs, ys, bbox)
+                )
+    import ray
+
+    tp_ref = ray.put(tile_polys)
+
+    def _probe(df: pd.DataFrame) -> pd.DataFrame:
+        from geomedea_ray.util import get_once
+
+        tp = get_once(tp_ref)
+        out = []
+        df = df.sort_values("_tile", kind="mergesort")
+        tiles = df["_tile"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(tiles[1:] != tiles[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(tiles)]])
+        for s, e in zip(starts, ends):
+            polys = tp.get(int(tiles[s]))
+            if not polys:
+                continue
+            sub = df.iloc[s:e]
+            lng = sub["lng"].to_numpy()
+            lat = sub["lat"].to_numpy()
+            for pid, name, xs, ys, bbox in polys:
+                m = (lng >= bbox[0]) & (lng <= bbox[2]) & (lat >= bbox[1]) & (lat <= bbox[3])
+                if not m.any():
+                    continue
+                cand = np.nonzero(m)[0]
+                if exact:
+                    inside = point_in_polygon(lng[cand], lat[cand], xs, ys)
+                    cand = cand[inside]
+                if len(cand):
+                    rows = sub.iloc[cand][id_cols].copy()
+                    rows["poly_id"] = np.int64(pid)
+                    rows["poly_name"] = name
+                    out.append(rows)
+        if not out:
+            empty = df.iloc[0:0][id_cols].copy()
+            empty["poly_id"] = pd.Series([], dtype=np.int64)
+            empty["poly_name"] = pd.Series([], dtype=str)
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = tile_xy_eq(df["lng"].to_numpy(), df["lat"].to_numpy(), zoom)
+        tile = tx.astype(np.int64) * n_tiles + ty
+        return df.assign(_tile=tile, _shard=(tile % num_shards).astype(np.int64))
+
+    return (
+        points_ds.map_batches(_tag, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_probe, batch_format="pandas")
+    )

@@ -98,3 +98,29 @@ class TestSampleFraction:
         # pure function of key: same rows selected in a fresh pass
         c = set(sample_fraction(_ds(t), "pid", 0.2).to_pandas()["pid"])
         assert a == c
+
+
+class TestPipJoinSharded:
+    def test_equals_broadcast_pip(self, ray_session):
+        """The shuffle-based PIP fallback must equal the broadcast
+        join row-for-row on the polygon fixture set."""
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.sources.polygons import polygon_arrays
+        from geomedea_ray.stages.pip import pip_join, pip_join_sharded
+
+        rng = np.random.default_rng(51)
+        n = 20_000
+        tbl = pa.table({
+            "pid": pa.array(np.arange(n), pa.int64()),
+            "lng": rng.uniform(-179, 179, n),
+            "lat": rng.uniform(-84, 84, n),
+        })
+        polys = polygon_arrays()
+        a = pip_join(ray.data.from_arrow(tbl), polys, id_cols=["pid"], exact=True).to_pandas()
+        b = pip_join_sharded(ray.data.from_arrow(tbl), polys, id_cols=["pid"],
+                             exact=True).to_pandas()
+        key = lambda df: set(zip(df["pid"], df["poly_id"]))
+        assert key(a) == key(b)
+        assert len(a) == len(b)
