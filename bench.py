@@ -8,11 +8,12 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
     {"metric": ..., "value": N, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N}
 
-``--scaling`` runs the headline pipeline twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on the same input and reports both
-throughputs plus scaling efficiency T32/(4*T8) — the sandbox stand-in
-for the north rule's N-node vs 4N-node cluster comparison (no real
-cluster here; see BASELINE.md).
+``--scaling`` runs the FULL image chain (decode-verify + geocode +
+tile + PIP join) in FRESH processes at num_cpus = 2, 8 and 32 (best of
+3 runs each) and reports throughputs plus N-vs-4N scaling efficiency
+(primary: 2→8; supplementary: 8→32 with the single-box DRAM caveat) —
+the sandbox stand-in for the north rule's N-node vs 4N-node cluster
+comparison (no real cluster here; methodology + results in BASELINE.md).
 
 This script OWNS its Ray session (unlike __ray_entry__.py).
 """
