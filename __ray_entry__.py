@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": R.top_events_per_user,       # windowed top-k
         "lineitem_sample": R.lineitem_sample,               # deterministic sampling
         "user_sessions": R.user_sessions,                   # gap sessionization
+        "late_events": R.late_events_by_type,               # watermark / late-data accounting
         # --- text / dedup / similarity (training-data ops) ---
         "doc_tokens": T.q_doc_tokens,
         "doc_quality": T.q_doc_quality,
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": R.TOP_EVENTS_SQL,
         "lineitem_sample": R.lineitem_sample_sql(),
         "user_sessions": R.USER_SESSIONS_SQL,
+        "late_events": R.LATE_EVENTS_SQL,
         "doc_tokens": T.Q_DOC_TOKENS_SQL,
         "doc_quality": T.Q_DOC_QUALITY_SQL,
         "dedup_text": T.Q_DEDUP_TEXT_SQL,

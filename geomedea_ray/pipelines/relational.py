@@ -423,3 +423,45 @@ SELECT user_id, event_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS BIGINT) AS event_seq
 FROM s
 """
+
+
+def late_events_by_type(sf_dir: str, delay_h: int = 1):
+    """Watermark/late-data accounting (stages/joins.watermark_late_flags):
+    processing events in arrival order (event_id), watermark =
+    running_max(ts) - delay; count late vs total per event type.
+    Oracle = the same running max as a SQL window function."""
+    from ray.data.aggregate import Count, Sum
+
+    from geomedea_ray.stages.joins import watermark_late_flags
+
+    ev = tables.read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    flagged = watermark_late_flags(ev, ts_col="ts", arrival_col="event_id",
+                                   delay=f"{delay_h}h")
+
+    def _fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "late": b["is_late"].cast(pa.int64()),
+        })
+
+    out = (
+        flagged.map_batches(_fin, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("late", alias_name="n_late"), Count(alias_name="n_total"))
+    )
+    return out.select_columns(["event_type", "n_late", "n_total"])
+
+
+LATE_EVENTS_SQL = """
+WITH w AS (
+  SELECT event_id, event_type, epoch_ns(ts) AS tns,
+         MAX(epoch_ns(ts)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - 3600000000000 AS wm
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN wm IS NOT NULL AND tns < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       COUNT(*) AS n_total
+FROM w GROUP BY event_type
+"""

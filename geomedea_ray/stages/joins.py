@@ -314,3 +314,75 @@ def sessionize(
         .groupby("_shard")
         .map_groups(_sess, batch_format="pandas")
     )
+
+
+def watermark_late_flags(
+    ds,
+    ts_col: str,
+    arrival_col: str,
+    delay,
+    band: int = 10_000,
+):
+    """Event-time watermark semantics (the streaming gap — SURVEY §2.5:
+    the reference's "streaming" is I/O streaming only): processing
+    events in ARRIVAL order (``arrival_col``), the watermark is
+    ``running_max(ts) - delay``; an event is LATE iff its own ts is
+    below the watermark of everything that arrived before it.
+
+    Distributed as a two-phase prefix scan (no sequential pass):
+    1. rows are banded by ``arrival // band``; one partial pass
+       computes each band's max ts (tiny aggregate);
+    2. the driver prefix-maxes the band partials (one row per band)
+       and broadcasts the carry-in per band;
+    3. a final map computes the within-band running max + carry —
+       exact global ``running_max`` over arrival order, any
+       partitioning.
+
+    Returns the dataset + ``is_late`` (bool) and ``watermark_ts``
+    (the watermark in force when the row arrived; int64 ns).
+    """
+    import ray
+
+    def _band(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_band=(df[arrival_col].to_numpy(np.int64) // band))
+
+    banded = ds.map_batches(_band, batch_format="pandas")
+
+    # phase 1: per-band max ts (one partial row per band per block,
+    # combined by the aggregate — tiny)
+    from ray.data.aggregate import Max
+
+    parts = banded.groupby("_band").aggregate(Max(ts_col, alias_name="band_max")).take_all()
+    parts.sort(key=lambda r: r["_band"])
+    bands = np.array([r["_band"] for r in parts], np.int64)
+    maxes = np.array([pd.Timestamp(r["band_max"]).value if not isinstance(r["band_max"], (int, float, np.integer))
+                      else int(r["band_max"]) for r in parts], np.int64)
+    # phase 2: carry-in for band i = max over all earlier bands
+    carry = np.full(len(bands), np.iinfo(np.int64).min, np.int64)
+    run = np.iinfo(np.int64).min
+    for i in range(len(bands)):
+        carry[i] = run
+        run = max(run, maxes[i])
+    carry_map = {int(b): int(c) for b, c in zip(bands, carry)}
+    ref = ray.put(carry_map)
+    delay_ns = int(pd.Timedelta(delay).value)
+
+    def _flag(df: pd.DataFrame) -> pd.DataFrame:
+        from geomedea_ray.util import get_once
+
+        cm = get_once(ref)
+        df = df.sort_values(arrival_col, kind="mergesort")
+        ts = df[ts_col].to_numpy()
+        ts = ts.astype("datetime64[ns]").astype(np.int64) if np.issubdtype(ts.dtype, np.datetime64) else ts.astype(np.int64)
+        b = df["_band"].to_numpy(np.int64)
+        # within-band running max of PRIOR rows + carry-in
+        prior = np.concatenate([[np.iinfo(np.int64).min], np.maximum.accumulate(ts)[:-1]])
+        # reset at band boundaries is NOT needed: each group df here is
+        # exactly one band (grouped below), so prior+carry is exact
+        carry_in = cm.get(int(b[0]), np.iinfo(np.int64).min)
+        run_max = np.maximum(prior, carry_in)
+        wm = run_max - delay_ns
+        wm[run_max == np.iinfo(np.int64).min] = np.iinfo(np.int64).min
+        return df.assign(is_late=ts < wm, watermark_ts=wm).drop(columns="_band")
+
+    return banded.groupby("_band").map_groups(_flag, batch_format="pandas")

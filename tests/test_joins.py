@@ -124,3 +124,38 @@ class TestPipJoinSharded:
         key = lambda df: set(zip(df["pid"], df["poly_id"]))
         assert key(a) == key(b)
         assert len(a) == len(b)
+
+
+class TestWatermarkLateFlags:
+    def test_hand_built_scenario(self, ray_session):
+        """arrival order: t=100, 200, 150(on-time), 90(late), 300,
+        140(late) with delay 50."""
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.stages.joins import watermark_late_flags
+
+        t = pa.table({"eid": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                      "t": pa.array([100, 200, 150, 90, 300, 140], pa.int64())})
+        out = watermark_late_flags(ray.data.from_arrow(t), ts_col="t",
+                                   arrival_col="eid", delay="50ns", band=2).to_pandas()
+        got = dict(zip(out["eid"], out["is_late"]))
+        # watermarks: -, 50, 150, 150, 150, 250 → late iff t < wm
+        assert got == {0: False, 1: False, 2: False, 3: True, 4: False, 5: True}
+
+    def test_partitioning_invariant(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.stages.joins import watermark_late_flags
+
+        rng = np.random.default_rng(77)
+        n = 5000
+        t = pa.table({"eid": pa.array(np.arange(n), pa.int64()),
+                      "t": pa.array(rng.integers(0, 10**9, n), pa.int64())})
+        a = watermark_late_flags(ray.data.from_arrow(t), "t", "eid", "1000ns",
+                                 band=512).to_pandas().sort_values("eid")
+        b = watermark_late_flags(ray.data.from_arrow(t).repartition(13), "t", "eid",
+                                 "1000ns", band=97).to_pandas().sort_values("eid")
+        assert a["is_late"].tolist() == b["is_late"].tolist()
+        assert a["watermark_ts"].tolist() == b["watermark_ts"].tolist()
