@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "purchase_asof_signup",
     "user_sessions",
+    "late_events",
     "knn_indexed",
     "doc_quality",
     "dedup_text",

@@ -49,18 +49,22 @@ class _BatchTopK:
         out_qid, out_id, out_dist = [], [], []
         k = min(self.k, len(lng))
         if k and self.metric == "planar" and len(self.queries) > 1:
-            # vectorized multi-query path: one (n × Q) distance matrix,
-            # one axis-0 argpartition — scales to 100s of query points
-            # (the nn-join case) with no per-query Python loop
+            # vectorized multi-query path: (n × Qchunk) distance matrix,
+            # one axis-0 argpartition — no per-query Python loop. The
+            # query dimension is CHUNKED so the matrix stays ≤ ~320 MB
+            # regardless of how many query points an nn-join broadcasts.
             qarr = np.asarray([(q[1], q[2]) for q in self.queries], np.float64)
-            dx = lng[:, None] - qarr[None, :, 0]
-            dy = lat[:, None] - qarr[None, :, 1]
-            d = dx * dx + dy * dy                      # (n, Q)
-            part = np.argpartition(d, k - 1, axis=0)[:k]   # (k, Q)
-            qids = np.asarray([q[0] for q in self.queries], np.int64)
-            out_qid.append(np.repeat(qids, k))
-            out_id.append(ids[part.T.reshape(-1)])
-            out_dist.append(np.take_along_axis(d, part, axis=0).T.reshape(-1))
+            qids_all = np.asarray([q[0] for q in self.queries], np.int64)
+            qchunk = max(1, int(4e7 // max(len(lng), 1)))
+            for off in range(0, len(qarr), qchunk):
+                qa = qarr[off: off + qchunk]
+                dx = lng[:, None] - qa[None, :, 0]
+                dy = lat[:, None] - qa[None, :, 1]
+                d = dx * dx + dy * dy                      # (n, Qc)
+                part = np.argpartition(d, k - 1, axis=0)[:k]   # (k, Qc)
+                out_qid.append(np.repeat(qids_all[off: off + qchunk], k))
+                out_id.append(ids[part.T.reshape(-1)])
+                out_dist.append(np.take_along_axis(d, part, axis=0).T.reshape(-1))
         elif k:
             for qid, qlng, qlat in self.queries:
                 if self.metric == "planar":
