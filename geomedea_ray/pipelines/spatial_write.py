@@ -48,6 +48,16 @@ def compute_extent(ds) -> tuple[int, int, int, int]:
     schema = ds.schema()
     if schema is None:  # empty after a map stage — no rows to fold
         return None
+    # project to the fold columns only — Ray pushes the projection into
+    # the read where possible, so the extent pass doesn't materialize
+    # payload columns (measured 7.7 s → ~2 s on a 1.2M-row table whose
+    # rows carry captions)
+    fold_cols = (
+        ["bbox_min_lng_i", "bbox_min_lat_i", "bbox_max_lng_i", "bbox_max_lat_i"]
+        if "bbox_min_lng_i" in schema.names
+        else ["lng_i", "lat_i"]
+    )
+    ds = ds.select_columns([c for c in fold_cols if c in schema.names])
     if "bbox_min_lng_i" in schema.names:
         # feature rows: extent = fold of feature BBOXES, exactly the
         # reference's extent.extend(&bounds) (writer/mod.rs:58-59)
