@@ -138,7 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": T.q_doc_quality,
         "dedup_text": T.q_dedup_text,
         "lang_source_agg": T.q_lang_source_agg,
-        "langid": T.q_langid,                     # rows-only
+        "langid": T.q_langid,
         "ann_topk": T.q_ann_topk,
         "ann_topk_lsh": T.q_ann_topk_lsh,     # LSH-bucketed scale path (rows-only)
         "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (rows-only)
@@ -188,4 +188,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_agg": T.Q_LANG_SOURCE_SQL,
         "ann_topk": T.q_ann_topk_sql(),
         "label_centroids": T.Q_LABEL_CENTROIDS_SQL,
+        "langid": T.LANGID_SQL,
     }

@@ -223,3 +223,36 @@ SELECT label,
 FROM embeddings, (SELECT UNNEST(RANGE(0, 64)) AS pos) p
 GROUP BY label, p.pos
 """
+
+
+#: SQL mirror of functions/text.detect_lang — same stopword lists, same
+#: CJK-ratio branch, same tie-break (first language in sorted order
+#: with the strictly-greatest score; 0 matches → 'und')
+LANGID_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         text,
+         CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
+           / GREATEST(length(text), 1) AS cjk,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> x IN ('der','die','das','und','ein','eine','ist','zu','den','von'))) AS de,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS en,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> x IN ('el','la','los','de','y','un','una','es','que','por'))) AS es,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN length(text) = 0 THEN 'und'
+         WHEN cjk > 0.2 THEN 'zh'
+         WHEN GREATEST(de, en, es, fr) = 0 THEN 'und'
+         WHEN de = GREATEST(de, en, es, fr) THEN 'de'
+         WHEN en = GREATEST(de, en, es, fr) THEN 'en'
+         WHEN es = GREATEST(de, en, es, fr) THEN 'es'
+         ELSE 'fr'
+       END AS lang_pred
+FROM s
+"""
