@@ -117,7 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_indexed": G.q_knn_indexed,           # §7.2 step 7 (packed-index path)
         "nn_join": G.q_nn_join,                   # nearest-neighbor join (broadcast left)
         "pip_join": G.q_pip_join,                 # §7.2 step 5
-        "tile_counts": G.q_tile_counts,           # §7.2 step 6 (W-tile)
+        "tile_counts": G.q_tile_counts,           # §7.2 step 6 (eq scheme, SQL-oracled)
+        "tile_counts_mercator": G.q_tile_counts_mercator,  # production scheme (rows-only)
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all (rows-only)
         "geojson_roundtrip": G.q_geojson_roundtrip,  # S4/S5 bridge (rows-only)
         "cell_compact": G.q_cell_compact,            # H3-compact analogue (rows-only)

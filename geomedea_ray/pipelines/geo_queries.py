@@ -293,3 +293,15 @@ r AS (SELECT qid, pid,
       FROM d)
 SELECT qid, pid, "rank" FROM r WHERE "rank" <= {k}"""
     )
+
+
+def q_tile_counts_mercator(sf_dir: str):
+    """Raster-tile aggregate under the PRODUCTION Web-Mercator scheme
+    (functions/cells.tile_xy_mercator). Rows-only: transcendental libm
+    functions can differ by ulps from any SQL engine, so the mercator
+    path is validated against a scalar oracle in pytest
+    (tests/test_functions.py) instead of hash-compared."""
+    from geomedea_ray.pipelines.tiles import tile_aggregate
+
+    out = tile_aggregate(linepoints_ds(sf_dir), TILE_ZOOM, scheme="mercator")
+    return out.select_columns(["tile_x", "tile_y", "n"])
