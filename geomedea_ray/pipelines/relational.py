@@ -25,7 +25,6 @@ import pyarrow.compute as pc
 
 from geomedea_ray.sources import tables
 
-from geomedea_ray.util import auto_pool
 
 
 def _round2(x):

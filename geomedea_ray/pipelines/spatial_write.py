@@ -301,7 +301,6 @@ def spatial_append(
     weakens to per-append order (bbox/cell queries are unaffected —
     they prune by per-partition bounds/ranges, not global order).
     """
-    import pyarrow.compute as pc
 
     man = Manifest.load(dataset_dir)
     if man.row_count == 0:

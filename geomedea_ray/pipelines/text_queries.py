@@ -74,7 +74,6 @@ Q_DEDUP_TEXT_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
 def q_lang_source_agg(sf_dir: str):
-    import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
     ds = tables.read(sf_dir, "documents", columns=["lang", "source", "n_chars"])

@@ -243,7 +243,6 @@ def sample_fraction(ds, key_col: str, fraction: float):
     of the key — reproducible across runs, partitionings and engines
     (the SQL oracle evaluates the identical expression)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     threshold = int(fraction * (1 << 32))
 

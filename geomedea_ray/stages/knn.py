@@ -28,7 +28,6 @@ import pyarrow as pa
 
 from geomedea_ray.functions.geo import haversine_m, planar_sq_dist
 
-from geomedea_ray.util import auto_pool
 
 
 class _BatchTopK:

@@ -4,7 +4,6 @@ functions/text.py (task brief; no reference counterpart)."""
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from geomedea_ray.functions import text as T
