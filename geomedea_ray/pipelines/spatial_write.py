@@ -308,7 +308,12 @@ def spatial_append(
                              tiebreak=tiebreak, compression=compression,
                              row_group_size=row_group_size,
                              properties=man.properties)
-    extent = tuple(man.extent)
+    # the KEY extent is the one the FIRST write used — the manifest's
+    # ``extent`` grows to the true data bounds on every append, so keys
+    # must come from the stashed original or appends after the first
+    # would hash under a different grid (incomparable hilbert ranges
+    # across partitions → broken range pruning)
+    extent = tuple(man.properties.get("key_extent", man.extent))
 
     if "lng_i" not in (ds.schema().names if ds.schema() is not None else []):
         ds = ds.map_batches(

@@ -334,3 +334,50 @@ class TestCompact:
                                                 columns=["lng"]) ["lng"].to_numpy()
                                   for p in man.partitions])
         assert got > 0
+
+
+class TestAppendKeyExtent:
+    def test_keys_comparable_across_appends(self, ray_session, tmp_path):
+        """Regression: every append must compute Hilbert keys under the
+        ORIGINAL key extent (stashed as properties.key_extent), not the
+        grown manifest extent — otherwise hilbert_range_scan pruning
+        mixes incomparable key spaces."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from geomedea_ray.functions.hilbert import scaled_hilbert
+        from geomedea_ray.pipelines.spatial_write import spatial_append
+
+        rng = np.random.default_rng(71)
+
+        def mk(n, lo, hi, start):
+            return pa.table({"pid": pa.array(np.arange(start, start + n), pa.int64()),
+                             "lng": rng.uniform(lo, hi, n), "lat": rng.uniform(-30, 30, n)})
+
+        d = str(tmp_path / "ext")
+        spatial_write(ray.data.from_arrow(mk(2000, -50, 0, 0)), d, tiebreak="pid")
+        key_extent = tuple(Manifest.load(d).extent)
+        # two appends, the second AFTER the manifest extent has grown
+        spatial_append(ray.data.from_arrow(mk(1000, 0, 80, 2000)), d, tiebreak="pid")
+        spatial_append(ray.data.from_arrow(mk(1000, 80, 160, 3000)), d, tiebreak="pid")
+        man = Manifest.load(d)
+        assert tuple(man.properties["key_extent"]) == key_extent
+        # every stored hilbert value must equal the key computed under
+        # the ORIGINAL extent (clamped), for every partition
+        for p in man.partitions:
+            t = pq.read_table(os.path.join(d, p.path),
+                              columns=["lng_i", "lat_i", "hilbert"])
+            gx = np.clip(t["lng_i"].to_numpy(), key_extent[0], key_extent[2])
+            gy = np.clip(t["lat_i"].to_numpy(), key_extent[1], key_extent[3])
+            expect = scaled_hilbert(gx, gy, key_extent)
+            assert np.array_equal(t["hilbert"].to_numpy(), expect), p.path
+        # range scan returns exactly the filter-equivalent rows
+        from geomedea_ray.pipelines.queries import hilbert_range_scan, select_all
+
+        lo, hi = 1 << 30, 3 << 30
+        got = hilbert_range_scan(d, lo, hi).count()
+        full = select_all(d, columns=["hilbert"]).to_pandas()["hilbert"]
+        assert got == int(((full >= lo) & (full < hi)).sum())
