@@ -88,7 +88,6 @@ def bbox_slice(
     dataset_dir: str,
     rect_deg: tuple[float, float, float, float],
     columns: list[str] | None = None,
-    concurrency: int = 4,
 ):
     """``select_bbox`` (R2): rows whose feature bbox intersects the
     query rect — closed intervals on scaled int32, NO exact-geometry

@@ -147,4 +147,4 @@ def resumable_map(
             )
             log.append(rec)
             recs.append(rec)
-    return {"processed": len(recs), "skipped": len(done), "records": recs}
+    return {"processed": len(recs), "skipped": len(frags) - len(todo), "records": recs}

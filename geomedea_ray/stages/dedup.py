@@ -324,6 +324,14 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embeddin
     from geomedea_ray.stages.ann import add_lsh_bucket, lsh_planes
 
     first = ds.take(1)
+    if not first:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.string()),
+                      "id_b": pa.array([], pa.string()),
+                      "cosine": pa.array([], pa.float64())})
+        )
     dim = len(first[0][emb_col])
     planes = lsh_planes(dim, nbits)
     ds = ds.map_batches(

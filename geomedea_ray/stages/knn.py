@@ -60,10 +60,15 @@ class _BatchTopK:
                 dx = lng[:, None] - qa[None, :, 0]
                 dy = lat[:, None] - qa[None, :, 1]
                 d = dx * dx + dy * dy                      # (n, Qc)
-                part = np.argpartition(d, k - 1, axis=0)[:k]   # (k, Qc)
-                out_qid.append(np.repeat(qids_all[off: off + qchunk], k))
-                out_id.append(ids[part.T.reshape(-1)])
-                out_dist.append(np.take_along_axis(d, part, axis=0).T.reshape(-1))
+                # keep EVERY row tied with the k-th distance — a plain
+                # argpartition[:k] drops an arbitrary tied row, making
+                # candidate generation batch-layout dependent and able
+                # to lose the lower-id row the final tie-break wants
+                kth = np.partition(d, k - 1, axis=0)[k - 1]    # (Qc,)
+                rows, cols = np.nonzero(d <= kth[None, :])
+                out_qid.append(qids_all[off + cols])
+                out_id.append(ids[rows])
+                out_dist.append(d[rows, cols])
         elif k:
             for qid, qlng, qlat in self.queries:
                 if self.metric == "planar":
@@ -74,11 +79,13 @@ class _BatchTopK:
                     d = haversine_m(lng, lat, qlng, qlat)
                 else:
                     raise ValueError(f"unknown metric {self.metric!r}")
-                # local top-k, then exact ordering among them
-                part = np.argpartition(d, k - 1)[:k]
-                out_qid.append(np.full(k, qid, np.int64))
-                out_id.append(ids[part])
-                out_dist.append(d[part])
+                # local top-k INCLUDING ties at the k-th distance (see
+                # the vectorized path for why)
+                kth = np.partition(d, k - 1)[k - 1]
+                sel = np.flatnonzero(d <= kth)
+                out_qid.append(np.full(len(sel), qid, np.int64))
+                out_id.append(ids[sel])
+                out_dist.append(d[sel])
         if not out_qid:
             return pa.table(
                 {

@@ -159,3 +159,28 @@ class TestWatermarkLateFlags:
                                  "1000ns", band=97).to_pandas().sort_values("eid")
         assert a["is_late"].tolist() == b["is_late"].tolist()
         assert a["watermark_ts"].tolist() == b["watermark_ts"].tolist()
+
+
+class TestKnnTieBoundary:
+    def test_ties_at_kth_distance_keep_lowest_ids(self, ray_session):
+        """Four points equidistant from the query, k=2: the final
+        tie-break (dist, id) must yield the two LOWEST ids no matter
+        how candidate generation batches the input."""
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.stages.knn import knn
+
+        # ids deliberately ordered so naive argpartition could keep the
+        # wrong subset; distances exactly equal by symmetry
+        t = pa.table({
+            "pid": pa.array([40, 10, 30, 20, 99], pa.int64()),
+            "lng": [1.0, -1.0, 0.0, 0.0, 50.0],
+            "lat": [0.0, 0.0, 1.0, -1.0, 50.0],
+        })
+        for nblocks in (1, 5):
+            ds = ray.data.from_arrow(t)
+            if nblocks > 1:
+                ds = ds.repartition(nblocks)
+            out = knn(ds, [(0, 0.0, 0.0)], 2, id_col="pid").to_pandas().sort_values("rank")
+            assert out["pid"].tolist() == [10, 20], f"nblocks={nblocks}"
