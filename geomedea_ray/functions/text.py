@@ -49,8 +49,9 @@ def token_count(texts) -> np.ndarray:
 
 
 def quality_stats(texts) -> dict[str, np.ndarray]:
-    """Per-text quality features: length, token count, mean token
-    length, alpha ratio, punctuation ratio, uppercase ratio."""
+    """Per-text quality features: length, token count, mean chars per
+    token (total length / token count — includes separators; mirrored
+    verbatim by the SQL oracle), alpha/punct/uppercase ratios."""
     s = pd.Series(texts, dtype="object").fillna("")
     n_chars = s.str.len().to_numpy(np.int64)
     n_tokens = s.str.count(_WORD_RE.pattern).to_numpy(np.int64)

@@ -221,6 +221,11 @@ def read_geojson(paths: str | list[str]):
         out = []
         for row in batch.to_pylist():
             feats = load_geojson_features(row["path"])
+            if len(feats) >= 10_000_000:
+                raise ValueError(
+                    f"{row['path']}: {len(feats)} features exceeds the 10M-per-file "
+                    "fid block; split the input (fids must stay unique across files)"
+                )
             out.append(
                 parse_features_batch(feats, fid_start=row["file_idx"] * 10_000_000)
             )

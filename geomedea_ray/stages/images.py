@@ -13,8 +13,8 @@ model) or needs GPU placement. Codecs are the sandbox's raw/pngz/qnt
 stage with no pipeline change (the NotImplementedError branches mark
 exactly where).
 
-Batches stay SMALL (default 256) because rows are wide — a 64×64 RGB
-row is ~12 KiB encoded (batch 1024 ≈ 12 MiB); batch_size × concurrency × row width must fit
+Batches stay bounded (default 1024 ≈ 12 MiB of 64×64 RGB rows)
+because rows are wide; batch_size × concurrency × row width must fit
 worker heaps (SURVEY §4 memory row)."""
 
 from __future__ import annotations
@@ -80,7 +80,11 @@ class DecodeStats:
             mean_px[idxs] = mean
             std_px[idxs] = np.sqrt(np.maximum(s2 / npx - mean * mean, 0.0))
             phash_rt[idxs] = codecs.average_phash_batch(stack)
-        ok = codecs.hamming64(phash_rt, phash) <= 8  # lossy fmts drift a few bits
+        # integrity threshold per format: lossless decode is bit-exact
+        # (recomputed hash must MATCH), only the lossy codec may drift
+        thresh = np.where(np.isin(np.asarray(fmts, object),
+                                  list(codecs.LOSSY_FMTS)), 8, 0)
+        ok = codecs.hamming64(phash_rt, phash) <= thresh
         return pa.table(
             {
                 "image_id": batch["image_id"],
