@@ -27,10 +27,6 @@ from geomedea_ray.sources import tables
 
 
 
-def _round2(x):
-    return pc.round(x, ndigits=2)
-
-
 def _cents(x):
     """Sum-of-doubles → integer cents: CAST(ROUND(x*100) AS BIGINT).
     Summation-order float drift (~1e-12) cannot flip an integer cent,
@@ -138,12 +134,14 @@ def revenue_by_nation(sf_dir: str):
     c_key = cust["c_custkey"].to_numpy()
     c_nat = cust["c_nationkey"].to_numpy()
     order_ = np.argsort(c_key)
+    n_key = nat["n_nationkey"].to_numpy()
+    n_order = np.argsort(n_key)  # searchsorted needs BOTH lookups sorted
     lookup_ref = ray.put(
         {
             "cust_keys": c_key[order_],
             "cust_nat": c_nat[order_],
-            "nat_keys": nat["n_nationkey"].to_numpy(),
-            "nat_names": np.asarray(nat["n_name"].to_pylist(), dtype=object),
+            "nat_keys": n_key[n_order],
+            "nat_names": np.asarray(nat["n_name"].to_pylist(), dtype=object)[n_order],
         }
     )
 

@@ -54,23 +54,17 @@ def raycast_sql(lng_expr: str, lat_expr: str, verts: list[tuple[float, float]]) 
     for i in range(n):
         x1, y1 = verts[i]
         x2, y2 = verts[j]
+        j_prev, j = j, i
+        if y1 == y2:
+            # horizontal edge: the half-open guard (y1<=p)!=(y2<=p) is
+            # identically false, so the term never contributes — skip
+            # it entirely rather than emit a division by (y2-y1)=0
+            # whose safety would hinge on SQL type-promotion quirks
+            continue
         cond = f"((({y1!r} <= {lat_expr}) != ({y2!r} <= {lat_expr}))"
         cross = (
             f" AND ({lng_expr} < {x1!r} + ({lat_expr} - {y1!r}) * "
             f"({x2!r} - {x1!r}) / ({y2!r} - {y1!r})))"
         )
         terms.append(f"(CASE WHEN {cond}{cross} THEN 1 ELSE 0 END)")
-        j = i
     return f"(({' + '.join(terms)}) % 2 = 1)"
-
-
-def pip_oracle_sql(points_cte: str, lng_expr: str = "lng", lat_expr: str = "lat") -> str:
-    """Full oracle: UNION ALL of one SELECT per polygon over a points
-    CTE named ``pts`` (provided by ``points_cte``)."""
-    selects = []
-    for pid, name, verts in POLYGONS:
-        selects.append(
-            f"SELECT doc_id, {pid} AS poly_id, '{name}' AS poly_name FROM pts "
-            f"WHERE {raycast_sql(lng_expr, lat_expr, verts)}"
-        )
-    return points_cte + "\n" + "\nUNION ALL\n".join(selects)
