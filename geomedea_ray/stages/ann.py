@@ -35,6 +35,21 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def _final_topk(k: int, id_col: str, round_decimals: int):
+    """Shared final stage: round similarity, rank with id tie-break."""
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["simr"] = g["sim"].round(round_decimals)
+        g = g.sort_values(["simr", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", id_col, "rank"]]
+
+    return _final
+
+
+
 class _CosineTopK:
     def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
         import ray
@@ -48,6 +63,12 @@ class _CosineTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 self.id_col: batch[self.id_col].slice(0, 0),
+                 "sim": pa.array([], pa.float64())}
+            )
         m = _emb_matrix(batch, self.emb_col)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -100,15 +121,9 @@ def ann_topk(
         _topk, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["simr"] = g["sim"].round(round_decimals)
-        g = g.sort_values(["simr", id_col], ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", id_col, "rank"]]
-
-    return cands.groupby("qid").map_groups(_final, batch_format="pandas")
+    return cands.groupby("qid").map_groups(
+        _final_topk(k, id_col, round_decimals), batch_format="pandas"
+    )
 
 
 def add_lsh_bucket(batch: pa.Table, planes: np.ndarray, emb_col: str = "embedding") -> pa.Table:
@@ -233,12 +248,6 @@ def ann_topk_lsh(
         concurrency=auto_pool(), zero_copy_batch=True,
     )
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["simr"] = g["sim"].round(round_decimals)
-        g = g.sort_values(["simr", id_col], ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", id_col, "rank"]]
-
-    return cands.groupby("qid").map_groups(_final, batch_format="pandas")
+    return cands.groupby("qid").map_groups(
+        _final_topk(k, id_col, round_decimals), batch_format="pandas"
+    )
