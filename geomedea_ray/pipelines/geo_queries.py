@@ -262,14 +262,23 @@ def q_hilbert_scan(sf_dir: str):
     return Q.select_all(d, columns=["pid", "hilbert"]).limit(1000)
 
 
+#: nn_join left-side cap — keeps the ORACLE's cross join bounded
+#: (docs × lineitem grows quadratically with sf; ~3e9 pairs at sf0.1
+#: stalls DuckDB for tens of minutes). The operator has no such limit;
+#: the cap only defines the oracle-checked query.
+NN_JOIN_MAX_QID = 200
+
+
 def q_nn_join(sf_dir: str, k: int = 2):
-    """Nearest-neighbor join (stages/knn.nn_join): every document
-    point → its k nearest lineitem points (planar). Left side (500-5k
-    doc points) broadcasts; right side streams."""
+    """Nearest-neighbor join (stages/knn.nn_join): each of the first
+    NN_JOIN_MAX_QID document points → its k nearest lineitem points
+    (planar). Left side broadcasts; right side streams."""
     from geomedea_ray.sources.tables import add_doc_points
     from geomedea_ray.stages.knn import nn_join
 
-    docs = tables.read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+    docs = tables.read(sf_dir, "documents", columns=["doc_id"]).filter(
+        expr=f"doc_id < {NN_JOIN_MAX_QID}"
+    ).map_batches(
         add_doc_points, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
         lambda t: t.rename_columns(["qid", "lng", "lat"]),
@@ -284,7 +293,8 @@ def q_nn_join_sql(k: int = 2) -> str:
 
     return (
         LINEPOINTS_CTE
-        + f""", q AS (SELECT doc_id AS qid, {LNG_SQL} AS qlng, {LAT_SQL} AS qlat FROM documents),
+        + f""", q AS (SELECT doc_id AS qid, {LNG_SQL} AS qlng, {LAT_SQL} AS qlat FROM documents
+       WHERE doc_id < {NN_JOIN_MAX_QID}),
 d AS (SELECT qid, pid,
         (lng - qlng) * (lng - qlng) + (lat - qlat) * (lat - qlat) AS dist
       FROM pts CROSS JOIN q),
