@@ -59,7 +59,9 @@ def cmd_inspect(dataset_dir: str) -> int:
     man = Manifest.load(dataset_dir)
     cmd_info(dataset_dir)
     print()
-    hdr = f"{'part':>4} {'rows':>8} {'bytes':>10} {'hilbert range':>23} {'index nodes':>11} {'levels':>6}  bbox(deg)"
+    # hilbert range prints max..min — partitions STORE descending
+    # Hilbert order (reference writer/mod.rs:77-82), so first..last
+    hdr = f"{'part':>4} {'rows':>8} {'bytes':>10} {'hilbert (desc)':>23} {'index nodes':>11} {'levels':>6}  bbox(deg)"
     print(hdr)
     for p in man.partitions:
         tree = PackedRTree.load(os.path.join(dataset_dir, p.index_path))
