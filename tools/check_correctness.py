@@ -124,17 +124,18 @@ def check_determinism(sf_dir: str, only=None):
     import __ray_entry__ as E
 
     qs = E.queries()
-    bad = 0
+    bad = checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         h1 = value_hash(to_pandas(fn(sf_dir)))
         h2 = value_hash(to_pandas(fn(sf_dir)))
         ok = h1 == h2
         bad += not ok
         print(f"{'ok  ' if ok else 'FAIL'} {name}: {'deterministic' if ok else f'{h1} != {h2}'} ({time.time()-t0:.1f}s)")
-    print(f"\n{len(qs) - bad} deterministic, {bad} nondeterministic")
+    print(f"\n{checked - bad} deterministic, {bad} nondeterministic")
     ray.shutdown()
     return bad
 
