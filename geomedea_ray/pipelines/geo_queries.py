@@ -231,11 +231,14 @@ def q_geojson_roundtrip(sf_dir: str):
         }
         for pid, name, verts in POLYGONS
     ]
-    src = "/tmp/geomedea_ray_cache/geojson_roundtrip_src.json"
+    # per-process scratch paths: two concurrent gate/bench processes
+    # must not race on a shared rmtree+rebuild (ADVICE r1)
+    scratch = f"/tmp/geomedea_ray_cache/geojson_roundtrip_pid{os.getpid()}"
+    src = scratch + "_src.json"
     os.makedirs(os.path.dirname(src), exist_ok=True)
     with open(src, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
-    out_dir = "/tmp/geomedea_ray_cache/geojson_roundtrip_ds"
+    out_dir = scratch + "_ds"
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)

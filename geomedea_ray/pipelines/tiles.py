@@ -42,6 +42,18 @@ def tile_aggregate(ds, zoom: int, scheme: str = "eq", value_col: str | None = No
     )
 
     def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # schema-stable empty partial: upstream filters can emit
+            # empty blocks; starts=[0] would index into a size-0 array
+            cols = {
+                "tile_id": pa.array([], pa.int64()),
+                "tile_x": pa.array([], pa.int32()),
+                "tile_y": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+            }
+            if value_col is not None:
+                cols[f"sum_{value_col}"] = pa.array([], pa.float64())
+            return pa.table(cols)
         tid = batch["tile_id"].to_numpy()
         order = np.argsort(tid, kind="stable")
         tid_s = tid[order]

@@ -77,13 +77,52 @@ def compact_cells(ds, cell_col: str = "cell_id", res: int = 8,
             c, r = compact_cell_array(g[cell_col].to_numpy(np.int64), res)
             return pd.DataFrame({"cell_id": c, "cell_res": r})
 
-    return (
+    compacted = (
         distinct.map_batches(_shard, batch_format="pandas")
         .groupby("_shard")
         .map_groups(
             Compactor, batch_format="pandas",
             concurrency=concurrency if concurrency is not None else auto_pool(),
         )
+    )
+
+    # Root-merge epilogue: pass 1 shards on the res-1 top quad, so the
+    # ONE merge that crosses shards — 4 res-1 siblings → the res-0
+    # root — can never happen there. Route every cell_res<=1 row (at
+    # most 4 in the whole output) to shard 0 of a second sharded pass;
+    # all other rows hash-spread and pass through untouched.
+    n2 = 32
+
+    def _shard2(df: pd.DataFrame) -> pd.DataFrame:
+        low = df["cell_res"].to_numpy() <= 1
+        s = 1 + (df["cell_id"].to_numpy(np.int64).astype(np.uint64)
+                 % np.uint64(n2 - 1)).astype(np.int64)
+        s[low] = 0
+        return df.assign(_s2=s)
+
+    def _finish(g: pd.DataFrame) -> pd.DataFrame:
+        shard = int(g["_s2"].iloc[0])
+        g = g.drop(columns="_s2")
+        if shard != 0:
+            return g
+        low = g[g["cell_res"] <= 1]
+        if len(low) == 0:
+            return g
+        hi = g[g["cell_res"] > 1]
+        roots = low[low["cell_res"] == 0]
+        r1 = np.unique(low[low["cell_res"] == 1]["cell_id"].to_numpy(np.int64))
+        if len(r1) == 4:
+            merged = pd.DataFrame({"cell_id": [0], "cell_res": [0]})
+            r1 = np.empty(0, np.int64)
+        else:
+            merged = pd.DataFrame({"cell_id": [], "cell_res": []}, dtype=np.int64)
+        keep1 = pd.DataFrame({"cell_id": r1, "cell_res": np.ones(len(r1), np.int64)})
+        return pd.concat([hi, roots, keep1, merged], ignore_index=True)
+
+    return (
+        compacted.map_batches(_shard2, batch_format="pandas")
+        .groupby("_s2")
+        .map_groups(_finish, batch_format="pandas")
     )
 
 

@@ -59,7 +59,18 @@ def op_chain_hash(*parts: Any) -> str:
 
     def norm(p: Any) -> str:
         if callable(p):
-            return f"{getattr(p, '__module__', '?')}.{getattr(p, '__qualname__', repr(p))}"
+            name = f"{getattr(p, '__module__', '?')}.{getattr(p, '__qualname__', repr(p))}"
+            # fold the BODY in too: editing a function (same qualname,
+            # same kwargs) must not resume into stale outputs
+            code = getattr(p, "__code__", None) or getattr(
+                getattr(p, "__call__", None), "__code__", None
+            )
+            if code is not None:
+                body = hashlib.sha256(
+                    code.co_code + repr(code.co_consts).encode()
+                ).hexdigest()[:12]
+                return f"{name}@{body}"
+            return name
         if isinstance(p, dict):
             return json.dumps({k: norm(v) for k, v in sorted(p.items())})
         if isinstance(p, (list, tuple)):

@@ -20,7 +20,23 @@ def auto_pool(cap: int | None = None, min_actors: int = 1) -> tuple[int, int]:
     return (min_actors, hi)
 
 
-_OBJ_CACHE: dict = {}
+from collections import OrderedDict
+
+#: Per-process memo for broadcast values and stage instances. BOUNDED:
+#: a long-lived worker serving many distinct queries (each bbox rect is
+#: a distinct cache key for its partition probe) must not accumulate
+#: loaded R-tree indexes forever — least-recently-used entries are
+#: evicted past the cap.
+_OBJ_CACHE: OrderedDict = OrderedDict()
+_OBJ_CACHE_MAX = 64
+
+
+def _cache_put(key, value):
+    _OBJ_CACHE[key] = value
+    _OBJ_CACHE.move_to_end(key)
+    while len(_OBJ_CACHE) > _OBJ_CACHE_MAX:
+        _OBJ_CACHE.popitem(last=False)
+    return value
 
 
 def get_once(ref):
@@ -33,7 +49,8 @@ def get_once(ref):
 
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _OBJ_CACHE:
-        _OBJ_CACHE[key] = ray.get(ref)
+        return _cache_put(key, ray.get(ref))
+    _OBJ_CACHE.move_to_end(key)
     return _OBJ_CACHE[key]
 
 
@@ -42,5 +59,6 @@ def cached_instance(key, factory):
     get_once): a plain task fn constructs its stage object once per
     process and stays fusable with the upstream read."""
     if key not in _OBJ_CACHE:
-        _OBJ_CACHE[key] = factory()
+        return _cache_put(key, factory())
+    _OBJ_CACHE.move_to_end(key)
     return _OBJ_CACHE[key]

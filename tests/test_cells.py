@@ -84,6 +84,32 @@ class TestCompactDataset:
         c, r = compact_cell_array(np.unique(raw), res)
         assert got_set == set(zip(c.tolist(), r.tolist()))
 
+    def test_full_space_merges_to_root(self, ray_session):
+        """The res-0 root merge crosses top-quad shards — the sharded
+        pass alone can never produce it (ADVICE r1). Full coverage at
+        any res must compact to the single root cell."""
+        import pyarrow as pa
+        import ray.data
+
+        for res in (1, 2, 3):
+            every = np.arange(1 << (2 * res), dtype=np.int64)
+            ds = ray.data.from_arrow(pa.table({"cell_id": pa.array(every, pa.int64())}))
+            got = compact_cells(ds, res=res).to_pandas()
+            assert got["cell_id"].tolist() == [0] and got["cell_res"].tolist() == [0]
+
+    def test_three_top_quads_full(self, ray_session):
+        """3 of 4 top quads fully covered: merges stop at res 1 (no
+        root), and the epilogue must not invent one."""
+        import pyarrow as pa
+        import ray.data
+
+        res = 3
+        every = np.arange(3 << (2 * res - 2), dtype=np.int64)  # quads 0,1,2
+        ds = ray.data.from_arrow(pa.table({"cell_id": pa.array(every, pa.int64())}))
+        got = compact_cells(ds, res=res).to_pandas().sort_values("cell_id")
+        assert got["cell_id"].tolist() == [0, 1, 2]
+        assert got["cell_res"].tolist() == [1, 1, 1]
+
 
 class TestSaltedGroupApply:
     def test_matches_unsalted_on_hot_key(self, ray_session):
@@ -120,3 +146,28 @@ class TestSaltedGroupApply:
         assert (got["n"] == exp["count"]).all()
         assert np.allclose(got["s"], exp["sum"])
         assert np.allclose(got["mx"], exp["max"])
+
+
+class TestTileAggregateEmpty:
+    def test_empty_and_filtered_input(self, ray_session):
+        """Zero-row batches (empty dataset, or a filter that empties a
+        block) must produce a schema-stable empty partial, not an
+        IndexError (ADVICE r1)."""
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.pipelines.tiles import tile_aggregate
+
+        empty = pa.table({"lng": pa.array([], pa.float64()),
+                          "lat": pa.array([], pa.float64()),
+                          "v": pa.array([], pa.float64())})
+        out = tile_aggregate(ray.data.from_arrow(empty), 4, value_col="v").to_pandas()
+        assert len(out) == 0  # no IndexError; Ray returns a 0-row frame
+
+        # mixed: one block empties after a filter, another keeps rows
+        t = pa.table({"lng": pa.array([10.0, 10.0, -170.0]),
+                      "lat": pa.array([5.0, 5.0, 88.0]),
+                      "keep": pa.array([True, True, False])})
+        ds = ray.data.from_arrow(t).filter(lambda r: r["keep"])
+        out = tile_aggregate(ds.drop_columns(["keep"]), 4).to_pandas()
+        assert out["n"].sum() == 2
