@@ -62,9 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return phash_dedup(F.images_ds(sf_dir, columns=["image_id", "phash"]))
 
     def _image_thumbnails(sf_dir: str):
-        from geomedea_ray.stages.images import thumbnails
-
-        return thumbnails(F.images_ds(sf_dir)).limit(100)
+        # long integer form (image_id, block_idx, tq) over a fixed id
+        # range — deterministic row set, integer-exact hash compare
+        return F.image_thumbnails_q(sf_dir)
 
     def _training_prep(sf_dir: str):
         """Composite chain: decode-verify -> phash dedup -> caption
@@ -160,11 +160,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
     from geomedea_ray.pipelines import geo_queries as G
+    from geomedea_ray.pipelines import image_sql as I
     from geomedea_ray.pipelines import relational as R
     from geomedea_ray.pipelines import text_queries as T
 
-    return {
+    # the driver gate runs at sf0.01; tools/check_correctness.py sets
+    # GEOMEDEA_SF_DIR so local runs at other scales stay comparable
+    sf_dir = os.environ.get("GEOMEDEA_SF_DIR", "/root/testdata/sf0.01")
+    sqls = I.image_oracle_sqls(sf_dir)
+    sqls.update({
         "bbox_select": G.q_bbox_select_sql(),
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,
         "knn": G.q_knn_sql(),
@@ -190,4 +197,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": T.q_ann_topk_sql(),
         "label_centroids": T.Q_LABEL_CENTROIDS_SQL,
         "langid": T.LANGID_SQL,
-    }
+    })
+    return sqls

@@ -26,6 +26,10 @@ CACHE_ROOT = "/tmp/geomedea_ray_cache"
 #: image-table rows per testdata scale tag
 N_IMAGES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 120_000}
 
+#: image_similar query rows + k — shared with the SQL oracle (image_sql.py)
+IMAGE_SIMILAR_IDS = (0, 1, 2)
+IMAGE_SIMILAR_K = 5
+
 
 def n_images_for(sf_dir: str) -> int:
     return N_IMAGES.get(os.path.basename(os.path.normpath(sf_dir)), 2_000)
@@ -39,8 +43,16 @@ def images_ds(sf_dir: str, columns: list[str] | None = None):
     return ray.data.read_parquet(path, columns=columns)
 
 
-def geocoded_images(sf_dir: str, with_bytes: bool = False):
-    cols = ["image_id", "phash", "caption"] + (["bytes", "w", "h", "fmt"] if with_bytes else [])
+def geocoded_images(sf_dir: str, with_bytes: bool = False,
+                    columns: list[str] | None = None):
+    """Geocoded image stream. ``columns`` prunes the projection at the
+    READ (plus the always-needed ``phash``): an aggregate that never
+    looks at ``caption`` must not ship it through the chain."""
+    if columns is None:
+        cols = ["image_id", "phash", "caption"]
+    else:
+        cols = list(dict.fromkeys(list(columns) + ["phash"]))
+    cols += ["bytes", "w", "h", "fmt"] if with_bytes else []
     return images_ds(sf_dir, columns=cols).map_batches(
         add_phash_lnglat, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -155,12 +167,52 @@ def image_bbox_slice(sf_dir: str, rect_deg=( -60.005, -40.005, 20.005, 30.005)):
 
 
 def image_tile_counts(sf_dir: str, zoom: int = 6):
-    return tile_aggregate(geocoded_images(sf_dir), zoom).select_columns(
-        ["tile_x", "tile_y", "n"]
-    )
+    # tile counting touches only geography — read just (image_id, phash),
+    # not the caption column (round-1 VERDICT finding #5)
+    return tile_aggregate(
+        geocoded_images(sf_dir, columns=["image_id"]), zoom
+    ).select_columns(["tile_x", "tile_y", "n"])
 
 
-def image_similar(sf_dir: str, k: int = 5, query_ids: tuple[int, ...] = (0, 1, 2)):
+def image_thumbnails_q(sf_dir: str, max_id: str = "img-000000000100"):
+    """Driver-oracled thumbnail query: the first 100 rows' thumbnails in
+    LONG INTEGER form (image_id, block_idx, tq) — tq is the exact
+    integer block sum the float32 thumbnail is derived from
+    (tq = thumb · 3·bh·bw, recovered with rint; error ≪ 0.5 by
+    construction), so the hash compare is integer-exact while still
+    exercising the real distributed Thumbnail kernel."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geomedea_ray.stages.images import Thumbnail
+    from geomedea_ray.util import cached_instance
+
+    def _long(batch: pa.Table) -> pa.Table:
+        th = cached_instance("flagship.Thumbnail", Thumbnail)(batch)
+        n = th.num_rows
+        thumb = np.asarray(
+            th["thumb"].combine_chunks().values.to_numpy(zero_copy_only=False),
+            np.float64,
+        ).reshape(n, 64)
+        ws = batch["w"].to_numpy().astype(np.int64)
+        hs = batch["h"].to_numpy().astype(np.int64)
+        scale = (3 * (ws // 8) * (hs // 8)).astype(np.float64)
+        tq = np.rint(thumb * scale[:, None]).astype(np.int64)
+        ids = th["image_id"].take(pa.array(np.repeat(np.arange(n), 64)))
+        return pa.table(
+            {
+                "image_id": ids,
+                "block_idx": pa.array(np.tile(np.arange(64, dtype=np.int64), n)),
+                "tq": pa.array(tq.reshape(-1), pa.int64()),
+            }
+        )
+
+    ds = images_ds(sf_dir).filter(expr=f"image_id < '{max_id}'")
+    return ds.map_batches(_long, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def image_similar(sf_dir: str, k: int = IMAGE_SIMILAR_K,
+                  query_ids: tuple[int, ...] = IMAGE_SIMILAR_IDS):
     """Image similarity search: thumbnail features (stages/images.
     Thumbnail — 64-d block-mean embedding) + exact cosine top-k
     (stages/ann.ann_topk). Query vectors are rows ``query_ids`` of the

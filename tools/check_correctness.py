@@ -57,6 +57,9 @@ def main():
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    # image oracle fixture must match the sf under test (driver default sf0.01)
+    os.environ["GEOMEDEA_SF_DIR"] = sf_dir
+
     import __ray_entry__ as E
 
     qs, sqls = E.queries(), E.oracle_sql()
