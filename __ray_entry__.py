@@ -45,11 +45,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return simhash_pairs(ds)
 
     def _embedding_neardup(sf_dir: str):
-        from geomedea_ray.sources import tables
+        """Near-dup pairs over the planted-duplicates table (the raw
+        embeddings table has no pair above cosine 0.52 — an empty
+        result would verify nothing); exact-cosine SQL oracle."""
+        import ray.data
+
+        from geomedea_ray.sources.planted_embeddings import planted_embeddings_path
         from geomedea_ray.stages.dedup import embedding_neardup_pairs
 
-        ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        return embedding_neardup_pairs(ds, min_cosine=0.9).select_columns(["id_a", "id_b"])
+        ds = ray.data.read_parquet(planted_embeddings_path(sf_dir))
+        return embedding_neardup_pairs(ds, min_cosine=0.95).select_columns(["id_a", "id_b"])
 
     def _image_decode_stats(sf_dir: str):
         from geomedea_ray.stages.images import decode_stats
@@ -169,8 +174,11 @@ def oracle_sql() -> dict[str, str]:
 
     # the driver gate runs at sf0.01; tools/check_correctness.py sets
     # GEOMEDEA_SF_DIR so local runs at other scales stay comparable
+    from geomedea_ray.sources.planted_embeddings import neardup_sql
+
     sf_dir = os.environ.get("GEOMEDEA_SF_DIR", "/root/testdata/sf0.01")
     sqls = I.image_oracle_sqls(sf_dir)
+    sqls["embedding_neardup"] = neardup_sql(sf_dir)
     sqls.update({
         "bbox_select": G.q_bbox_select_sql(),
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,
@@ -195,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_text": T.Q_DEDUP_TEXT_SQL,
         "lang_source_agg": T.Q_LANG_SOURCE_SQL,
         "ann_topk": T.q_ann_topk_sql(),
+        "minhash_verified": T.MINHASH_VERIFIED_SQL,
         "label_centroids": T.Q_LABEL_CENTROIDS_SQL,
         "langid": T.LANGID_SQL,
     })

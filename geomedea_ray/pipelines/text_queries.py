@@ -163,8 +163,13 @@ def q_ann_topk_lsh(sf_dir: str):
 def q_minhash_verified(sf_dir: str, threshold: float = 0.5):
     """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard
     (functions/text.jaccard_words) — the full near-dup chain with the
-    verification stage on (texts broadcast via ray.put). Rows-only;
-    the planted-duplicate recall is asserted in tests/test_dedup.py."""
+    verification stage on (texts broadcast via ray.put). SQL-oracled:
+    the verified output equals the set of ALL pairs with 3-shingle
+    Jaccard ≥ threshold (MINHASH_VERIFIED_SQL computes that exactly)
+    whenever the LSH candidate stage has full recall on the
+    above-threshold pairs — which it does here and which the planted
+    duplicates in tests/test_dedup.py assert; a recall miss would
+    surface as a hash mismatch at the gate, which is the point."""
     import pyarrow.parquet as pq
 
     from geomedea_ray.stages.dedup import minhash_lsh_pairs
@@ -173,6 +178,30 @@ def q_minhash_verified(sf_dir: str, threshold: float = 0.5):
     texts_by_id = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
     ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, verify_threshold=threshold, texts_by_id=texts_by_id)
+
+
+#: exact 3-word-shingle Jaccard over all doc pairs — mirrors
+#: functions/text.word_shingles (<k tokens → one whole-text shingle;
+#: both-empty → Jaccard 1.0) and jaccard_words term by term
+MINHASH_VERIFIED_SQL = """
+WITH tok AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             FROM documents),
+sh0 AS (SELECT doc_id,
+   CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+        WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        ELSE list_transform(range(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+   FROM tok),
+sh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh0),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS ni,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS nu
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b FROM p
+WHERE CASE WHEN ni = 0 AND nu = 0 THEN 1.0
+           ELSE ni::DOUBLE / GREATEST(nu, 1) END >= 0.5
+"""
 
 
 def q_label_centroids(sf_dir: str):

@@ -55,8 +55,18 @@ def _runs(*keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, ends
 
 
+#: pair generation inside an LSH bucket is O(|bucket|²); one degenerate
+#: bucket (e.g. thousands of identical/empty docs sharing every band)
+#: would make its shard quadratic. Buckets above this cap are SKIPPED
+#: with an explicit log — a bucket this saturated means the band carries
+#: no discriminating information (run exact dedup first for mass-dup
+#: corpora). The cap is a parameter on every pair operator.
+DEFAULT_MAX_BUCKET = 4096
+
+
 def _bucket_pairs_df(df: pd.DataFrame, key_cols: list[str], id_col: str,
-                     extra: dict | None = None) -> pd.DataFrame:
+                     extra: dict | None = None,
+                     max_bucket: int | None = DEFAULT_MAX_BUCKET) -> pd.DataFrame:
     """All canonical (id_a < id_b) pairs within each distinct key of a
     shard. Sort once; only buckets with ≥2 members do any work."""
     df = df.sort_values(key_cols + [id_col], kind="mergesort")
@@ -64,6 +74,15 @@ def _bucket_pairs_df(df: pd.DataFrame, key_cols: list[str], id_col: str,
     ids = df[id_col].to_numpy()
     lens = ends - starts
     hot = np.flatnonzero(lens >= 2)
+    if max_bucket is not None:
+        over = hot[lens[hot] > max_bucket]
+        if len(over):
+            print(
+                f"[dedup] skipped {len(over)} oversized LSH bucket(s) "
+                f"(sizes {lens[over].tolist()[:5]}{'…' if len(over) > 5 else ''} "
+                f"> cap {max_bucket}); rows dropped from pairing: {int(lens[over].sum())}"
+            )
+        hot = hot[lens[hot] <= max_bucket]
     out_a, out_b, out_extra = [], [], {k: [] for k in (extra or {})}
     for j in hot:
         s, e = starts[j], ends[j]
@@ -198,6 +217,7 @@ def minhash_lsh_pairs(
     verify_threshold: float | None = None,
     texts_by_id: dict | None = None,
     num_shards: int = DEFAULT_SHARDS,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ):
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -229,7 +249,7 @@ def minhash_lsh_pairs(
     )
 
     def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_pairs_df(df, ["band", "band_hash"], id_col)
+        return _bucket_pairs_df(df, ["band", "band_hash"], id_col, max_bucket=max_bucket)
 
     pairs = exploded.groupby("_shard").map_groups(_shard_pairs, batch_format="pandas")
     uniq = _dedup_pairs(pairs, num_shards)
@@ -266,7 +286,8 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8,
-                  num_tables: int = 4, num_shards: int = DEFAULT_SHARDS):
+                  num_tables: int = 4, num_shards: int = DEFAULT_SHARDS,
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET):
     """Near-dup pairs by SimHash: band the 64-bit hash into
     ``num_tables`` 16-bit keys (any pair within Hamming ≤ 3·16/4 shares
     at least one band with high probability); verify exact Hamming."""
@@ -300,7 +321,8 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
     exploded = ds.map_batches(_explode, batch_format="pyarrow")
 
     def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = _bucket_pairs_df(df, ["band", "key"], id_col, extra={"h": "simhash"})
+        out = _bucket_pairs_df(df, ["band", "key"], id_col, extra={"h": "simhash"},
+                               max_bucket=max_bucket)
         if len(out) == 0:
             return pd.DataFrame({"id_a": out["id_a"], "id_b": out["id_b"],
                                  "hamming": pd.Series([], dtype=np.int64)})
@@ -314,17 +336,39 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
 
 # ---------------------------------------------------- embedding cosine
 
+def embedding_dim(ds, emb_col: str = "embedding") -> int | None:
+    """Embedding dim from the dataset schema when the column is a
+    fixed-size list (zero rows touched); falls back to peeking one row
+    for variable-length list columns. None for an empty dataset."""
+    typ = ds.schema().base_schema.field(emb_col).type
+    if pa.types.is_fixed_size_list(typ):
+        return typ.list_size
+    first = ds.take(1)
+    return len(first[0][emb_col]) if first else None
+
+
 def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embedding",
                             min_cosine: float = 0.95, nbits: int = 10,
-                            num_shards: int = DEFAULT_SHARDS):
-    """Embedding near-dup: LSH-bucket (random hyperplanes) →
-    per-bucket exact cosine — O(n·bucket) instead of O(n²). Buckets
-    are sharded (module docstring) and resolved vectorized: one matmul
-    per occupied bucket within the shard."""
-    from geomedea_ray.stages.ann import add_lsh_bucket, lsh_planes
+                            num_tables: int = 8,
+                            num_shards: int = DEFAULT_SHARDS,
+                            max_bucket: int | None = DEFAULT_MAX_BUCKET):
+    """Embedding near-dup: banded hyperplane LSH → per-bucket exact
+    cosine — O(n·bucket) instead of O(n²).
 
-    first = ds.take(1)
-    if not first:
+    ``num_tables`` independent nbits-bit hyperplane tables; a pair is a
+    candidate if it collides in ANY table (miss probability for a pair
+    at angle θ is ((1-(1-θ/π)^nbits))^num_tables — ≈1e-7 for planted
+    near-dups at cosine ≥0.999 with the 8×10-bit default, vs ~13% for
+    the single-table layout this replaces). Candidates are verified
+    with exact cosine inside the bucket, and the multi-table duplicates
+    are removed by a sharded pair-dedup pass. The embedding column is
+    shipped ``num_tables``× through the shuffle — the standard LSH
+    trade (at 10^12-row scale, drop num_tables and raise nbits, or
+    pre-materialize an id→embedding store and ship ids only)."""
+    from geomedea_ray.stages.ann import lsh_planes
+
+    dim = embedding_dim(ds, emb_col)
+    if dim is None:
         import ray.data
 
         return ray.data.from_arrow(
@@ -332,28 +376,62 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embeddin
                       "id_b": pa.array([], pa.string()),
                       "cosine": pa.array([], pa.float64())})
         )
-    dim = len(first[0][emb_col])
-    planes = lsh_planes(dim, nbits)
-    ds = ds.map_batches(
-        add_lsh_bucket, fn_kwargs={"planes": planes, "emb_col": emb_col},
-        batch_format="pyarrow",
-    )
+    # one (dim, nbits) plane block per table, all from one seeded draw
+    planes = np.stack(
+        [lsh_planes(dim, nbits, seed=20260817 + 7 * t) for t in range(num_tables)]
+    )  # (T, dim, nbits)
+    weights = (1 << np.arange(nbits, dtype=np.int64))
 
-    def _add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        shard = (df["lsh_bucket"].to_numpy().astype(np.uint64) % np.uint64(num_shards)).astype(
-            np.int64
-        )
-        return df.assign(_shard=shard)
+    def _explode(batch: pa.Table) -> pa.Table:
+        from geomedea_ray.stages.ann import _emb_matrix
+
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: batch[id_col].slice(0, 0),
+                emb_col: batch[emb_col].slice(0, 0),
+                "_table": pa.array([], pa.int64()),
+                "_bucket": pa.array([], pa.int64()),
+                "_shard": pa.array([], pa.int64()),
+            })
+        m = _emb_matrix(batch, emb_col)
+        bits = np.einsum("nd,tdb->tnb", m, planes) > 0          # (T, n, b)
+        buckets = (bits.astype(np.int64) * weights[None, None, :]).sum(axis=2)  # (T, n)
+        t_idx = np.repeat(np.arange(num_tables, dtype=np.int64), n)
+        bkt = buckets.reshape(-1)
+        with np.errstate(over="ignore"):
+            shard = (
+                (bkt.astype(np.uint64)
+                 ^ (t_idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+                % np.uint64(num_shards)
+            ).astype(np.int64)
+        rep = pa.array(np.tile(np.arange(n), num_tables))
+        return pa.table({
+            id_col: batch[id_col].take(rep),
+            emb_col: batch[emb_col].take(rep),
+            "_table": pa.array(t_idx),
+            "_bucket": pa.array(bkt),
+            "_shard": pa.array(shard),
+        })
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
     def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["lsh_bucket", id_col], kind="mergesort")
-        starts, ends = _runs(df["lsh_bucket"].to_numpy())
+        df = df.sort_values(["_table", "_bucket", id_col], kind="mergesort")
+        starts, ends = _runs(df["_table"].to_numpy(), df["_bucket"].to_numpy())
         ids = df[id_col].to_numpy()
         m = np.stack(df[emb_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1
         m = m / norms
-        hot = np.flatnonzero(ends - starts >= 2)
+        lens = ends - starts
+        hot = np.flatnonzero(lens >= 2)
+        if max_bucket is not None:
+            over = hot[lens[hot] > max_bucket]
+            if len(over):
+                print(f"[dedup] skipped {len(over)} oversized embedding-LSH "
+                      f"bucket(s) > cap {max_bucket}")
+            hot = hot[lens[hot] <= max_bucket]
         out_a, out_b, out_c = [], [], []
         for j in hot:
             s, e = starts[j], ends[j]
@@ -375,8 +453,5 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embeddin
             }
         )
 
-    return (
-        ds.map_batches(_add_shard, batch_format="pandas")
-        .groupby("_shard")
-        .map_groups(_shard_pairs, batch_format="pandas")
-    )
+    pairs = exploded.groupby("_shard").map_groups(_shard_pairs, batch_format="pandas")
+    return _dedup_pairs(pairs, num_shards)

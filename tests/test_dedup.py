@@ -129,13 +129,77 @@ class TestEmbeddingNeardup:
         ii, jj = np.where(np.triu(sims, 1) >= 0.98)
         expect = {tuple(sorted((ids[i], ids[j]))) for i, j in zip(ii, jj)}
         assert len(expect) >= 15
-        # LSH recall: every planted (high-cosine) pair must be found —
-        # at cosine 0.98 the 10-bit hyperplane LSH bucket match rate is
-        # ~(1-acos(.98)/pi)^10 ≈ 0.52 per table... so assert subset
-        # instead: everything found is a true pair, and ≥ half of the
-        # oracle pairs are found
-        assert got <= expect
-        assert len(got) >= len(expect) // 2
+        # banded multi-table LSH (8×10-bit): a pair at cosine ≥0.98
+        # misses ALL tables with prob ≈ (1-(1-θ/π)^10)^8 ≈ 3e-3, and
+        # the draw is seeded — with this fixture recall is exactly 1,
+        # so the distributed result equals the brute-force oracle
+        assert got == expect
+
+
+class TestHotBucketCap:
+    def test_degenerate_identical_docs_bounded(self, ray_session):
+        """5k identical docs share every LSH band — without the
+        hot-bucket cap each band bucket generates ~12.5M pairs × 16
+        bands (minutes of quadratic work); with the cap the buckets
+        are skipped with a log and the run is near-instant."""
+        import time
+
+        import ray.data
+
+        n = 5000
+        tbl = pa.table(
+            {
+                "doc_id": [f"d{i:05d}" for i in range(n)],
+                "text": ["the same exact document text repeated verbatim"] * n,
+            }
+        )
+        t0 = time.time()
+        df = minhash_lsh_pairs(ray.data.from_arrow(tbl)).to_pandas()
+        assert time.time() - t0 < 60
+        # every bucket exceeds the cap → no pairs emitted (exact dedup
+        # is the right operator for mass-identical corpora)
+        assert len(df) == 0
+
+    def test_cap_off_small_bucket_unaffected(self, ray_session, doc_table):
+        import ray.data
+
+        tbl, _ = doc_table
+        with_cap = _pair_set(minhash_lsh_pairs(ray.data.from_arrow(tbl)).to_pandas())
+        no_cap = _pair_set(
+            minhash_lsh_pairs(ray.data.from_arrow(tbl), max_bucket=None).to_pandas()
+        )
+        assert with_cap == no_cap
+
+
+class TestPlantedEmbeddings:
+    def test_fixture_and_recall_vs_exact_oracle(self, ray_session, tmp_path):
+        """The gate's embedding_neardup query: planted table, LSH
+        pairs == exact all-pairs cosine ≥ 0.95 (full recall on planted
+        near-dups, no false positives)."""
+        import ray.data
+
+        from geomedea_ray.sources.planted_embeddings import planted_embeddings_path
+
+        p = planted_embeddings_path("/root/testdata/sf0.001", cache_root=str(tmp_path))
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p)
+        assert pa.types.is_fixed_size_list(t.schema.field("embedding").type)
+        ids = t["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()]).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        ii, jj = np.where(np.triu(sims, 1) >= 0.95)
+        expect = {tuple(sorted((int(ids[i]), int(ids[j])))) for i, j in zip(ii, jj)}
+        assert len(expect) > 0
+
+        got = _pair_set(
+            embedding_neardup_pairs(
+                ray.data.read_parquet(p), min_cosine=0.95
+            ).to_pandas()
+        )
+        got = {(int(a), int(b)) for a, b in got}
+        assert got == expect
 
 
 class TestDedupExact:
