@@ -259,15 +259,17 @@ def purchase_asof_signup(sf_dir: str):
     """As-of join (stages/joins.py): each purchase event attached to
     the user's LATEST signup-or-earlier event. Oracle = DuckDB's
     native ASOF JOIN. (No reference counterpart — SURVEY §2.5.)"""
-    import pyarrow.compute as pc
-
-    from geomedea_ray.stages.joins import asof_join
+    from geomedea_ray.stages.joins import asof_join_single
 
     ev = tables.read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
-    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
-    signups = ev.filter(expr="event_type == 'signup'").drop_columns(["event_type"])
-    out = asof_join(purchases, signups, on="ts", by="user_id",
-                    right_cols=["event_id", "value"])
+    # both sides carved from ONE read — no Dataset.union branch
+    # serialization (round-1 VERDICT item 7)
+    out = asof_join_single(
+        ev, on="ts", by="user_id",
+        left_filter=lambda df: df["event_type"].to_numpy() == "purchase",
+        right_filter=lambda df: df["event_type"].to_numpy() == "signup",
+        right_cols=["event_id", "value"],
+    )
 
     def _fin(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -63,7 +63,50 @@ def asof_join(
 
     left = left_ds.map_batches(_tag(0), batch_format="pandas")
     right = right_ds.map_batches(_tag(1), batch_format="pandas")
+    # NOTE: union serializes branch execution (measured in CLAUDE.md);
+    # when both sides derive from ONE source, use asof_join_single —
+    # it tags sides in a single map over a single read, no union.
     both = left.union(right)
+    return _asof_merge(both, on, by, right_cols, suffix)
+
+
+def asof_join_single(
+    ds,
+    on: str,
+    by: str,
+    left_filter,
+    right_filter,
+    right_cols: list[str],
+    suffix: str = "_r",
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """``asof_join`` for sides carved out of the SAME dataset by pandas
+    boolean-mask callables (the common case: one event log filtered two
+    ways). One read, one map that emits each row tagged per side it
+    matches, ONE shuffle — no ``Dataset.union``, whose branch
+    serialization the round-1 bench measured at 16× on the scaled
+    chain."""
+
+    def _tag_both(df: pd.DataFrame) -> pd.DataFrame:
+        lm = np.asarray(left_filter(df), bool)
+        rm = np.asarray(right_filter(df), bool)
+        parts = []
+        if lm.any():
+            parts.append(df[lm].assign(_side=np.int8(0)))
+        if rm.any():
+            parts.append(df[rm].assign(_side=np.int8(1)))
+        out = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else df.iloc[0:0].assign(_side=pd.Series([], dtype=np.int8))
+        )
+        return out.assign(_shard=_shard_of(out[by], num_shards))
+
+    both = ds.map_batches(_tag_both, batch_format="pandas")
+    return _asof_merge(both, on, by, right_cols, suffix)
+
+
+def _asof_merge(both, on: str, by: str, right_cols: list[str], suffix: str):
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["_side"] == 0]

@@ -140,6 +140,103 @@ def knn(
     return cands.groupby("qid").map_groups(_final, batch_format="pandas")
 
 
+def _knn_probe_round(
+    dataset_dir: str,
+    man,
+    rects: dict[int, tuple[float, float, float, float]],
+    qxy: dict[int, tuple[float, float]],
+    k: int,
+    id_col: str,
+):
+    """ONE distributed pass serving every active query's probe rect:
+    partitions are pruned per rect driver-side, each surviving
+    partition's parquet file is read ONCE (union of all its rects'
+    index positions), rows are emitted qid-tagged, and a tiny
+    ``groupby(qid)`` reduces to per-query (top-k rows, count, k-th
+    distance). Returns a ≤ |queries|·k-row pandas frame."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from geomedea_ray.functions.geo import Bounds
+    from geomedea_ray.util import cached_instance
+
+    q_bounds = {qid: Bounds.from_degrees(*r) for qid, r in rects.items()}
+    part_qids: dict[str, tuple] = {}
+    for qid, b in q_bounds.items():
+        for p in man.prune_bbox(b):
+            part_qids.setdefault(p.path, (p, []))[1].append(qid)
+    if not part_qids:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64), id_col: [],
+                             "dist": pd.Series([], dtype=np.float64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "dk": pd.Series([], dtype=np.float64)})
+    items = [
+        {"path": p.path, "index_path": p.index_path, "qids": qids}
+        for p, qids in part_qids.values()
+    ]
+    bounds_ref = ray.put({qid: b.as_tuple() for qid, b in q_bounds.items()})
+    qxy_ref = ray.put(dict(qxy))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        from geomedea_ray.state.index import PackedRTree
+        from geomedea_ray.util import get_once
+
+        bmap = get_once(bounds_ref)
+        out = []
+        for row in batch.to_pylist():
+            # per-process tree cache keyed by index path only — shared
+            # across rects and rounds (ADVICE r1: no per-rect pinning)
+            tree = cached_instance(
+                ("knn.tree", dataset_dir, row["index_path"]),
+                lambda: PackedRTree.load(os.path.join(dataset_dir, row["index_path"])),
+            )
+            pos_by_qid = {}
+            for qid in row["qids"]:
+                pos = tree.query_bbox(Bounds(*bmap[qid]))
+                if len(pos):
+                    pos_by_qid[qid] = pos
+            if not pos_by_qid:
+                continue
+            union = np.unique(np.concatenate(list(pos_by_qid.values())))
+            tbl = pq.read_table(
+                os.path.join(dataset_dir, row["path"]),
+                columns=[id_col, "lng", "lat"],
+            ).take(pa.array(union))
+            for qid, pos in pos_by_qid.items():
+                sel = tbl.take(pa.array(np.searchsorted(union, np.sort(pos))))
+                out.append(sel.append_column(
+                    "qid", pa.array(np.full(sel.num_rows, qid, np.int64))
+                ))
+        if not out:
+            any_path = os.path.join(dataset_dir, batch["path"][0].as_py())
+            empty = pq.read_schema(any_path).empty_table().select([id_col, "lng", "lat"])
+            return empty.append_column("qid", pa.array([], pa.int64()))
+        return pa.concat_tables(out)
+
+    def _summ(g: pd.DataFrame) -> pd.DataFrame:
+        from geomedea_ray.util import get_once
+
+        qid = int(g["qid"].iloc[0])
+        qlng, qlat = get_once(qxy_ref)[qid]
+        d = planar_sq_dist(g["lng"].to_numpy(), g["lat"].to_numpy(), qlng, qlat)
+        n = len(g)
+        dk = float(np.sqrt(np.partition(d, k - 1)[k - 1])) if n >= k else np.inf
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(), "dist": d})
+        out = out.sort_values(["dist", id_col], kind="mergesort").head(k)
+        out.insert(0, "qid", np.int64(qid))
+        out["n"] = np.int64(n)
+        out["dk"] = dk
+        return out
+
+    cands = ray.data.from_items(items).map_batches(
+        _probe, batch_format="pyarrow", batch_size=4
+    )
+    return cands.groupby("qid").map_groups(_summ, batch_format="pandas").to_pandas()
+
+
 def knn_indexed(
     dataset_dir: str,
     queries: list[tuple[int, float, float]],
@@ -152,61 +249,81 @@ def knn_indexed(
     search (north star: the per-partition cell index "answers …
     kNN"; SURVEY §7.2 step 7 / §7.5 window-guarantee note):
 
-    1. query a bbox of radius r around the point (manifest prune +
-       packed-index probe — pipelines/queries.bbox_slice);
-    2. if it holds < k points, double r and retry;
+    1. probe a bbox of radius r around each point (manifest prune +
+       packed-index probe);
+    2. queries holding < k points double r and go again;
     3. once ≥ k points: d_k = k-th smallest planar distance; if
-       sqrt(d_k) > r, one FINAL query at radius sqrt(d_k) catches any
+       sqrt(d_k) > r, one FINAL probe at radius sqrt(d_k) catches any
        closer point outside the square (the square-vs-circle gap —
        without this step results near box corners would be wrong).
 
-    Driver-side loop over O(log) radii; each probe is distributed and
-    touches only intersecting partitions. Same result (and the same
-    SQL oracle) as the full-scan ``knn`` — verified in tests.
+    BATCHED rounds (round-1 VERDICT item 6): every round runs ONE
+    distributed probe pass over ALL still-active queries — a
+    1000-query workload costs O(log) jobs total, not 1000 sequential
+    job chains. Radii are density-seeded (E[points in r-box] =
+    density·(2r)² ⇒ r₀ ≈ √(k/density), ×1 slack), so most queries
+    resolve in 1-2 rounds. Same result (and the same SQL oracle) as
+    the full-scan ``knn`` — verified in tests and at the gate.
     """
     import pandas as pd
 
     from geomedea_ray.functions.geo import dequantize
-    from geomedea_ray.pipelines.queries import bbox_slice
     from geomedea_ray.state.manifest import Manifest
 
-    # density-seeded initial radius: E[points in r-box] = density·(2r)²
-    # ⇒ r₀ ≈ √(k/density)/2 (×2 slack) — typically 1-2 probes per query
-    # instead of log₂(r_k/0.25) blind doublings
     man = Manifest.load(dataset_dir)
     ext = dequantize(list(man.extent))
     area = max((ext[2] - ext[0]) * (ext[3] - ext[1]), 1e-9)
     density = max(man.row_count / area, 1e-12)
     r0 = min(max(np.sqrt(k / density), 1e-4), 45.0)
 
-    out_frames = []
-    for qid, qlng, qlat in queries:
-        r = float(r0)
-        pts = None
-        while True:
-            rect = (qlng - r, qlat - r, qlng + r, qlat + r)
-            pts = bbox_slice(dataset_dir, rect, columns=[id_col, "lng", "lat"]).to_pandas()
-            if len(pts) >= k or r >= max_radius_deg:
-                d = planar_sq_dist(pts["lng"].to_numpy(), pts["lat"].to_numpy(), qlng, qlat)
-                if len(pts) >= k:
-                    dk = np.sqrt(np.partition(d, k - 1)[k - 1])
-                    if dk > r and r < max_radius_deg:
-                        r = float(dk)
-                        rect = (qlng - r, qlat - r, qlng + r, qlat + r)
-                        pts = bbox_slice(
-                            dataset_dir, rect, columns=[id_col, "lng", "lat"]
-                        ).to_pandas()
-                        d = planar_sq_dist(
-                            pts["lng"].to_numpy(), pts["lat"].to_numpy(), qlng, qlat
-                        )
-                break
-            r *= 2.0
-        df = pd.DataFrame({id_col: pts[id_col].to_numpy(), "dist": d})
-        df = df.sort_values(["dist", id_col], kind="mergesort").head(k).reset_index(drop=True)
-        df.insert(0, "qid", np.int64(qid))
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        out_frames.append(df)
-    return pd.concat(out_frames, ignore_index=True)
+    qxy = {int(qid): (float(qlng), float(qlat)) for qid, qlng, qlat in queries}
+    radius = {qid: float(r0) for qid in qxy}
+    final_round = {qid: False for qid in qxy}
+    results: dict[int, pd.DataFrame] = {}
+
+    active = set(qxy)
+    while active:
+        rects = {
+            qid: (qxy[qid][0] - radius[qid], qxy[qid][1] - radius[qid],
+                  qxy[qid][0] + radius[qid], qxy[qid][1] + radius[qid])
+            for qid in active
+        }
+        summ = _knn_probe_round(dataset_dir, man, rects, qxy, k, id_col)
+        by_qid = {int(q): g for q, g in summ.groupby("qid")} if len(summ) else {}
+        for qid in list(active):
+            g = by_qid.get(qid)
+            n = int(g["n"].iloc[0]) if g is not None else 0
+            r = radius[qid]
+            if final_round[qid]:
+                results[qid] = g
+                active.discard(qid)
+            elif n >= k:
+                dk = float(g["dk"].iloc[0])
+                if dk <= r or r >= max_radius_deg:
+                    results[qid] = g
+                    active.discard(qid)
+                else:
+                    radius[qid] = dk
+                    final_round[qid] = True
+            elif r >= max_radius_deg:
+                results[qid] = g  # fewer than k points in the dataset
+                active.discard(qid)
+            else:
+                radius[qid] = r * 2.0
+
+    frames = []
+    for qid, _, _ in queries:
+        g = results.get(int(qid))
+        if g is None or g.empty:
+            continue
+        g = g.drop(columns=["n", "dk"]).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        frames.append(g)
+    if not frames:
+        return pd.DataFrame({"qid": pd.Series([], dtype=np.int64), id_col: [],
+                             "dist": pd.Series([], dtype=np.float64),
+                             "rank": pd.Series([], dtype=np.int64)})
+    return pd.concat(frames, ignore_index=True)
 
 
 def nn_join(

@@ -161,6 +161,42 @@ class TestKnnIndexed:
             sub = got[got["qid"] == qid].sort_values("rank")
             assert sub["pid"].tolist() == expect, f"qid {qid}"
 
+    def test_many_queries_batched(self, ray_session, tmp_path):
+        """Q=60 queries resolve in O(log) BATCHED rounds (one
+        distributed pass per round, not one job chain per query) and
+        still equal brute force exactly."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.functions.geo import planar_sq_dist
+        from geomedea_ray.pipelines.spatial_write import spatial_write
+        from geomedea_ray.stages.knn import knn_indexed
+
+        rng = np.random.default_rng(27)
+        n = 8000
+        lng = rng.uniform(-170, 170, n)
+        lat = rng.uniform(-80, 80, n)
+        ds = ray.data.from_arrow(
+            pa.table({"pid": pa.array(np.arange(n), pa.int64()), "lng": lng, "lat": lat})
+        )
+        out_dir = str(tmp_path / "knnds_many")
+        spatial_write(ds, out_dir, tiebreak="pid")
+
+        Q = 60
+        queries = [
+            (i, float(rng.uniform(-160, 160)), float(rng.uniform(-75, 75)))
+            for i in range(Q)
+        ]
+        k = 5
+        got = knn_indexed(out_dir, queries, k, id_col="pid")
+        assert len(got) == Q * k
+        for qid, qlng, qlat in queries[::7]:  # spot-check 9 of 60
+            d = planar_sq_dist(lng, lat, qlng, qlat)
+            order = np.lexsort((np.arange(n), d))[:k]
+            sub = got[got["qid"] == qid].sort_values("rank")
+            assert sub["pid"].tolist() == np.arange(n)[order].tolist()
+
 
 class TestSortSkew:
     def test_clustered_data_balanced_partitions(self, ray_session, tmp_path):
