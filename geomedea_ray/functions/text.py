@@ -72,48 +72,75 @@ def quality_stats(texts) -> dict[str, np.ndarray]:
 def detect_lang(texts) -> np.ndarray:
     """Heuristic language ID: CJK codepoint ratio → 'zh'; else the
     language whose stopword list matches the most tokens; 'und' when
-    nothing matches. Deterministic; ties broken by language code."""
-    out = []
-    for t in texts:
-        t = t or ""
-        if not t:
-            out.append("und")
-            continue
-        cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
-        if cjk / max(len(t), 1) > 0.2:
-            out.append("zh")
-            continue
-        toks = t.lower().split()
-        best_lang, best_score = "und", 0
-        for lang in sorted(_LANG_STOPWORDS):
-            sw = _LANG_STOPWORDS[lang]
-            if not sw:
-                continue
-            score = sum(1 for w in toks if w in sw)
-            if score > best_score:
-                best_lang, best_score = lang, score
-        out.append(best_lang)
-    return np.array(out, dtype=object)
+    nothing matches. Deterministic; ties broken by language code.
+
+    Vectorized (round-1 VERDICT item 1): CJK counting is one pandas
+    regex count, tokenization one split+explode, per-language scoring
+    one ``isin`` + ``bincount`` — no per-document Python loop. The
+    first-strict-max-in-sorted-language-order tie-break is exactly
+    ``argmax`` over the language-sorted score matrix."""
+    s = pd.Series(texts, dtype="object").fillna("")
+    n = len(s)
+    if n == 0:
+        return np.array([], dtype=object)
+    lens = s.str.len().to_numpy(np.int64)
+    nonempty = lens > 0
+    cjk = s.str.count("[一-鿿]").to_numpy(np.float64)
+    is_zh = nonempty & (cjk / np.maximum(lens, 1) > 0.2)
+
+    langs = sorted(lg for lg in _LANG_STOPWORDS if _LANG_STOPWORDS[lg])
+    ex = s.str.lower().str.split().explode().dropna()
+    idx = ex.index.to_numpy(np.int64)
+    vals = ex.to_numpy()
+    scores = np.zeros((n, len(langs)), np.int64)
+    for j, lang in enumerate(langs):
+        m = pd.Series(vals).isin(_LANG_STOPWORDS[lang]).to_numpy()
+        if m.any():
+            scores[:, j] = np.bincount(idx[m], minlength=n)
+    best = np.argmax(scores, axis=1)
+    maxsc = scores[np.arange(n), best]
+    pick = np.array(langs, dtype=object)[best]
+
+    out = np.full(n, "und", dtype=object)
+    sw_rows = nonempty & ~is_zh & (maxsc > 0)
+    out[sw_rows] = pick[sw_rows]
+    out[is_zh] = "zh"
+    return out
 
 
 def fingerprint64(texts) -> np.ndarray:
     """Rolling polynomial fingerprint of each text's UTF-8 bytes,
-    mod 2^64 (Horner with base 1099511628211, vectorized per text via
-    precomputed power ladder). Content-identical texts collide by
-    construction; used for exact-dup detection without shipping text."""
+    mod 2^64 (base 1099511628211). Content-identical texts collide by
+    construction; used for exact-dup detection without shipping text.
+
+    Fully vectorized across the batch (round-1 VERDICT item 1): one
+    concatenated byte buffer, one shared power ladder indexed by
+    per-byte exponent, one ``np.add.reduceat`` per-text sum (uint64
+    adds wrap mod 2^64 exactly like the per-text Horner this
+    replaces — bit-identical output)."""
+    n = len(texts)
+    out = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    if n == 0:
+        return out.astype(np.int64)
     base = np.uint64(1099511628211)
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(b) == 0:
-            out[i] = np.uint64(0xCBF29CE484222325)
-            continue
+    enc = [(t or "").encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in enc), np.int64, count=n)
+    total = int(lens.sum())
+    if total:
+        allb = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+        max_len = int(lens.max())
         with np.errstate(over="ignore"):
-            pows = np.empty(len(b), dtype=np.uint64)
+            pows = np.empty(max_len, dtype=np.uint64)
             pows[0] = np.uint64(1)
-            if len(b) > 1:
-                np.multiply.accumulate(np.full(len(b) - 1, base, dtype=np.uint64), out=pows[1:])
-            out[i] = np.uint64((b * pows[::-1]).sum()) ^ np.uint64(0xCBF29CE484222325)
+            if max_len > 1:
+                np.multiply.accumulate(
+                    np.full(max_len - 1, base, dtype=np.uint64), out=pows[1:]
+                )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            vals = allb * pows[np.repeat(lens, lens) - 1 - pos]
+            nz = lens > 0
+            out[nz] = np.add.reduceat(vals, starts[nz]) ^ np.uint64(0xCBF29CE484222325)
     return out.astype(np.int64)
 
 
@@ -141,30 +168,60 @@ _PERM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 def minhash_signature(texts, num_perm: int = 64, shingle_k: int = 3) -> np.ndarray:
     """MinHash signatures, shape (n_texts, num_perm), dtype uint64.
 
-    Batch-vectorized: ALL texts' k-word shingles are hashed in one
-    pandas siphash call, the ``num_perm`` universal-hash permutations
-    ``(a*h + b) mod 2^61-1`` are one (total_shingles × num_perm) outer
-    product, and per-text minima fall out of ``np.minimum.reduceat``
-    over the shingle→text boundaries (no per-document Python work
-    beyond shingle assembly)."""
+    Fully batch-vectorized (round-1 VERDICT item 1): tokenization is
+    one pandas split+explode, every token is hashed in ONE siphash
+    call, and a k-shingle's hash is the base-B polynomial combination
+    of its k token hashes (no per-document Python string assembly —
+    the previous layout built every shingle as a joined Python
+    string). The ``num_perm`` universal-hash permutations
+    ``(a*h + b) mod 2^61-1`` are one outer product and per-text minima
+    fall out of ``np.minimum.reduceat``. Only texts with fewer than k
+    tokens (whole-text single shingle) take a scalar path."""
     if num_perm not in _PERM_CACHE:
         _PERM_CACHE[num_perm] = _perm_params(num_perm)
     a, b = _PERM_CACHE[num_perm]
-    out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    all_sh: list[str] = []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        sh = word_shingles(t, shingle_k)
-        counts[i] = len(sh)
-        all_sh.extend(sh)
-    if not all_sh:
+    n = len(texts)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
         return out
-    h = stable_hash64(all_sh) & _MERSENNE61
+    s = pd.Series(texts, dtype="object").fillna("")
+    toks = s.str.split()
+    tc = toks.str.len().fillna(0).to_numpy(np.int64)
+    ex = toks.explode().dropna()
+    if len(ex) == 0:
+        return out
+    tok_h = stable_hash64(ex.to_numpy())
+    tstarts = np.concatenate([[0], np.cumsum(tc)[:-1]])
+    k = shingle_k
+    n_sh = np.where(tc >= k, tc - k + 1, (tc > 0).astype(np.int64))
+    total_sh = int(n_sh.sum())
+    if total_sh == 0:
+        return out
+    sh_row_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    h_all = np.empty(total_sh, dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        big = tc >= k
+        if big.any():
+            sc = tc[big] - k + 1
+            offs = np.arange(int(sc.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(sc)[:-1]]), sc
+            )
+            src = np.repeat(tstarts[big], sc) + offs
+            acc = np.zeros(int(sc.sum()), dtype=np.uint64)
+            for j in range(k):
+                acc = acc * B + tok_h[src + j]
+            h_all[np.repeat(sh_row_starts[big], sc) + offs] = acc
+        for r in np.flatnonzero((tc > 0) & (tc < k)):
+            acc = np.uint64(0)
+            for j in range(int(tc[r])):
+                acc = acc * B + tok_h[tstarts[r] + j]
+            h_all[sh_row_starts[r]] = acc
+    h = h_all & _MERSENNE61
     with np.errstate(over="ignore"):
         vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
-    nonempty = np.flatnonzero(counts)
-    starts = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
-    out[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
+    nzr = np.flatnonzero(n_sh)
+    out[nzr] = np.minimum.reduceat(vals, sh_row_starts[nzr], axis=0)
     return out
 
 
@@ -201,15 +258,15 @@ def simhash64(texts) -> np.ndarray:
     per-text bit accumulation via ``np.add.reduceat``, sign bits packed
     with a power-of-two dot product."""
     out = np.zeros(len(texts), dtype=np.int64)
-    all_toks: list[str] = []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split()
-        counts[i] = len(toks)
-        all_toks.extend(toks)
-    if not all_toks:
+    if len(texts) == 0:
         return out
-    h = stable_hash64(all_toks)
+    s = pd.Series(texts, dtype="object").fillna("")
+    tok_lists = s.str.split()
+    counts = tok_lists.str.len().fillna(0).to_numpy(np.int64)
+    ex = tok_lists.explode().dropna()
+    if len(ex) == 0:
+        return out
+    h = stable_hash64(ex.to_numpy())
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int8)
     signed = (2 * bits - 1).astype(np.int32)  # (total_tokens, 64)
     nonempty = np.flatnonzero(counts)
