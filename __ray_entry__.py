@@ -146,7 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_agg": T.q_lang_source_agg,
         "langid": T.q_langid,
         "ann_topk": T.q_ann_topk,
-        "ann_topk_lsh": T.q_ann_topk_lsh,     # LSH-bucketed scale path (rows-only)
+        "ann_topk_lsh": T.q_ann_topk_lsh,     # LSH per-batch-mask variant (rows-only)
+        "ann_topk_store": T.q_ann_topk_store, # bucket-SORTED store, file/row-group prune (rows-only)
+        "ann_radius": T.q_ann_radius,         # radius search from the store (SQL-oracled)
         "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (rows-only)
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "minhash_pairs": _minhash_pairs,          # rows-only
@@ -179,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
     sf_dir = os.environ.get("GEOMEDEA_SF_DIR", "/root/testdata/sf0.01")
     sqls = I.image_oracle_sqls(sf_dir)
     sqls["embedding_neardup"] = neardup_sql(sf_dir)
+    sqls["ann_radius"] = T.q_ann_radius_sql(sf_dir)
     sqls.update({
         "bbox_select": G.q_bbox_select_sql(),
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,

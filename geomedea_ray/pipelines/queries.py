@@ -57,6 +57,8 @@ class _PartitionProbe:
         return t
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from geomedea_ray.state.accounting import read_positions
+
         out: list[pa.Table] = []
         q = Bounds(*self.query["bounds"])
         for row in batch.to_pylist():
@@ -64,10 +66,12 @@ class _PartitionProbe:
             pos = tree.query_bbox(q)
             if len(pos) == 0:
                 continue
-            tbl = pq.read_table(
-                os.path.join(self.dataset_dir, row["path"]), columns=self.columns
-            )
-            out.append(tbl.take(pa.array(pos)))
+            # page-seek read (R5): only the row groups holding matched
+            # positions leave storage — the reference's ranged page
+            # fetches (http_reader.rs:121-187), not a full-file read
+            out.append(read_positions(
+                os.path.join(self.dataset_dir, row["path"]), pos, self.columns
+            ))
         if not out:
             # empty result with the right schema
             any_path = os.path.join(self.dataset_dir, batch["path"][0].as_py())

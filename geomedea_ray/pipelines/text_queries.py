@@ -160,6 +160,121 @@ def q_ann_topk_lsh(sf_dir: str):
     return out.select_columns(["qid", "vec_id", "rank"])
 
 
+#: ann_radius query rows (planted-duplicate sources: vec_id % 5 == 0)
+ANN_RADIUS_QIDS = (0, 5, 10)
+ANN_RADIUS_MIN_COSINE = 0.95
+
+
+def planted_store_dir(sf_dir: str) -> str:
+    """Bucket-sorted embedding store over the planted table (built
+    once per sf under /tmp, atomic dir rename)."""
+    import os
+    import shutil
+    import uuid
+
+    import ray.data
+
+    from geomedea_ray.sources.planted_embeddings import planted_embeddings_path
+    from geomedea_ray.stages.ann import build_bucketed_store
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/geomedea_ray_cache/emb_store_{tag}"
+    if os.path.exists(os.path.join(out, "store.json")):
+        return out
+    tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+    ds = ray.data.read_parquet(planted_embeddings_path(sf_dir))
+    build_bucketed_store(ds, tmp, nbits=8)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # concurrent builder won the race
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _planted_query_vecs(sf_dir: str, qids):
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.planted_embeddings import planted_embeddings_path
+
+    t = pq.read_table(planted_embeddings_path(sf_dir))
+    ids = t["vec_id"].to_numpy()
+    mask = np.isin(ids, qids)
+    order = np.argsort(ids[mask])
+    m = np.stack([np.asarray(v) for v in t.filter(pa.array(mask))["embedding"].to_pylist()])
+    return m[order].astype(np.float64), np.sort(ids[mask])
+
+
+def q_ann_radius(sf_dir: str):
+    """Near-duplicate RADIUS search served from the bucket-sorted
+    store (stages/ann.ann_radius_bucketed): probes prune files/row
+    groups; result = every vector with cosine ≥ 0.95 to each query.
+    Hash-verified against the exact all-pairs SQL oracle over the
+    planted table."""
+    from geomedea_ray.stages.ann import ann_radius_bucketed
+
+    qm, qids = _planted_query_vecs(sf_dir, list(ANN_RADIUS_QIDS))
+    return ann_radius_bucketed(
+        planted_store_dir(sf_dir), qm, qids, ANN_RADIUS_MIN_COSINE, nprobe=16
+    )
+
+
+def q_ann_radius_sql(sf_dir: str) -> str:
+    from geomedea_ray.sources.planted_embeddings import planted_embeddings_path
+
+    path = planted_embeddings_path(sf_dir)
+    ids = ", ".join(str(i) for i in ANN_RADIUS_QIDS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM read_parquet('{path}')),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({ids}))
+SELECT q.qid, e.vec_id
+FROM e CROSS JOIN q
+WHERE e.vec_id <> q.qid
+  AND list_cosine_similarity(e.v, q.qv) >= {ANN_RADIUS_MIN_COSINE!r}
+"""
+
+
+def q_ann_topk_store(sf_dir: str):
+    """``ann_topk_lsh`` served from the bucket-sorted STORE — files and
+    row groups outside the probe set never leave storage (rows-only
+    check; recall + scan-byte sub-linearity asserted in
+    tests/test_ann_lsh.py)."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources import tables as _t
+    from geomedea_ray.stages.ann import ann_topk_bucketed
+
+    t = pq.read_table(_t.path(sf_dir, "embeddings"))
+    mask = np.isin(t["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qm = np.stack(
+        [np.asarray(v) for v in t.filter(pa.array(mask))["embedding"].to_pylist()]
+    ).astype(np.float64)
+    qids = t.filter(pa.array(mask))["vec_id"].to_numpy()
+    out = ann_topk_bucketed(raw_store_dir(sf_dir), qm, qids, ANN_K, nprobe=16)
+    return out.select_columns(["qid", "vec_id", "rank"])
+
+
+def raw_store_dir(sf_dir: str) -> str:
+    """Bucket-sorted store over the RAW embeddings table."""
+    import os
+    import shutil
+    import uuid
+
+    from geomedea_ray.stages.ann import build_bucketed_store
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/geomedea_ray_cache/emb_store_raw_{tag}"
+    if os.path.exists(os.path.join(out, "store.json")):
+        return out
+    tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+    ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    build_bucketed_store(ds, tmp, nbits=8)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_minhash_verified(sf_dir: str, threshold: float = 0.5):
     """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard
     (functions/text.jaccard_words) — the full near-dup chain with the

@@ -200,11 +200,13 @@ def _knn_probe_round(
                     pos_by_qid[qid] = pos
             if not pos_by_qid:
                 continue
+            from geomedea_ray.state.accounting import read_positions
+
             union = np.unique(np.concatenate(list(pos_by_qid.values())))
-            tbl = pq.read_table(
-                os.path.join(dataset_dir, row["path"]),
+            tbl = read_positions(
+                os.path.join(dataset_dir, row["path"]), union,
                 columns=[id_col, "lng", "lat"],
-            ).take(pa.array(union))
+            )
             for qid, pos in pos_by_qid.items():
                 sel = tbl.take(pa.array(np.searchsorted(union, np.sort(pos))))
                 out.append(sel.append_column(

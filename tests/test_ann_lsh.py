@@ -37,3 +37,72 @@ def test_lsh_recall_vs_exact(ray_session):
         top = approx[(approx["qid"] == q) & (approx["rank"] == 1)]["vec_id"]
         assert list(top) == [q]
     assert np.mean(recalls) >= 0.6, f"mean recall {np.mean(recalls)} too low"
+
+
+class TestBucketedStore:
+    """LSH bucket as a STORAGE sort key (round-2 work): file/row-group
+    pruning must be sub-linear and results must match the mask-based
+    LSH path / brute force."""
+
+    def _table(self):
+        rng = np.random.default_rng(17)
+        n, dim = 4000, 32
+        centers = rng.normal(size=(20, dim)) * 3
+        vecs = centers[rng.integers(0, 20, n)] + rng.normal(size=(n, dim)) * 0.5
+        # plant near-dups of rows 0..9
+        planted = vecs[:10] + rng.normal(size=(10, dim)) * 0.01
+        allv = np.vstack([vecs, planted])
+        ids = np.concatenate([np.arange(n), np.arange(10) + 1_000_000])
+        tbl = pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(allv.astype(np.float32)),
+                                  pa.list_(pa.float32(), dim)),
+        })
+        return tbl, allv, ids
+
+    def test_store_topk_and_radius_and_pruning(self, ray_session, tmp_path):
+        import ray.data
+
+        from geomedea_ray.stages.ann import (
+            _probe_buckets,
+            ann_radius_bucketed,
+            ann_topk_bucketed,
+            ann_topk,
+            bucket_scan_stats,
+            build_bucketed_store,
+            lsh_planes,
+        )
+
+        tbl, allv, ids = self._table()
+        store = str(tmp_path / "store")
+        # small row groups so pruning granularity exists at test scale
+        meta = build_bucketed_store(ray.data.from_arrow(tbl), store, nbits=8,
+                                    row_group_size=512)
+        assert len(meta["files"]) >= 1
+
+        qm = allv[:5].astype(np.float64)
+        qids = np.arange(5)
+        k = 10
+        exact = ann_topk(ray.data.from_arrow(tbl), qm, qids, k).to_pandas()
+        approx = ann_topk_bucketed(store, qm, qids, k, nprobe=16).to_pandas()
+        recalls = [
+            len(set(exact[exact["qid"] == q]["vec_id"])
+                & set(approx[approx["qid"] == q]["vec_id"])) / k
+            for q in qids
+        ]
+        assert np.mean(recalls) >= 0.6
+
+        # radius search == brute force at a near-dup threshold
+        got = ann_radius_bucketed(store, qm, qids, 0.95, nprobe=16).to_pandas()
+        mn = allv / np.linalg.norm(allv, axis=1, keepdims=True)
+        for q in qids:
+            sims = mn @ mn[q]
+            expect = set(ids[(sims >= 0.95) & (ids != q)].tolist())
+            assert set(got[got["qid"] == q]["vec_id"]) == expect
+
+        # pruning: a single query's probe set touches a strict subset
+        planes = np.asarray(meta["planes"])
+        probes = _probe_buckets(qm[0], planes, 8)
+        st = bucket_scan_stats(store, probes)
+        assert st["bytes_touched"] < st["bytes_total"]
+        assert st["row_groups_touched"] < st["row_groups_total"]

@@ -118,6 +118,21 @@ class TestLargerRoundtrip:
             got = set(bbox_slice(d, rect).to_pandas()["seq"])
             assert got == want
 
+    def test_scan_accounting(self, big_dir):
+        """I/O accounting (round-2: the reference's bytes-fetched
+        metric): a selective bbox touches a strict subset of row
+        groups/bytes, and rows_matched equals the actual slice."""
+        from geomedea_ray.state.accounting import bbox_scan_stats, hilbert_scan_stats
+
+        d, _ = big_dir
+        rect = (-10, -10, 10, 10)
+        st = bbox_scan_stats(d, rect)
+        assert st["rows_matched"] == bbox_slice(d, rect).count()
+        assert 0 < st["bytes_touched"] < st["bytes_total"]
+        assert 0 < st["row_groups_touched"] < st["row_groups_total"]
+        hs = hilbert_scan_stats(d, 1 << 30, (1 << 30) + (1 << 28))
+        assert 0 < hs["bytes_touched"] < hs["bytes_total"]
+
     def test_hilbert_range_scan(self, big_dir):
         d, _ = big_dir
         lo, hi = 1 << 30, 3 << 30
