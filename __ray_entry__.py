@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts_mercator": G.q_tile_counts_mercator,  # production scheme (rows-only)
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all (rows-only)
         "geojson_roundtrip": G.q_geojson_roundtrip,  # S4/S5 bridge (rows-only)
+        "props_select": G.q_props_select,            # F5 typed props: bbox + property filter
+        "csv_points_select": G.q_csv_points_select,  # CSV+WKT ingest bridge, same oracle
         "cell_compact": G.q_cell_compact,            # H3-compact analogue (rows-only)
         # --- relational surface (SURVEY §2.5 gap ops) ---
         "q1_pricing": R.q1_pricing_summary,
@@ -190,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "nn_join": G.q_nn_join_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
+        "props_select": G.q_props_select_sql(),
+        "csv_points_select": G.q_props_select_sql(),
         "q1_pricing": R.Q1_SQL,
         "top_orders": R.TOP_ORDERS_SQL,
         "revenue_by_nation": R.REVENUE_BY_NATION_SQL,

@@ -258,6 +258,159 @@ def q_geojson_roundtrip(sf_dir: str):
     return pd.DataFrame(sorted(recs, key=lambda r: r["name"]))
 
 
+#: props_select filter constants (shared with the SQL oracle)
+PROPS_MIN_CHARS = 100
+
+
+def _docs_geojson_dataset(sf_dir: str) -> str:
+    """Spatially-written feature dataset with TYPED property columns
+    (F5): the documents table exported as NDJSON point features
+    (geography = the doc-point formula), re-ingested via
+    ``read_geojson(typed_props=True)`` and spatial_write'n. Cached per
+    sf under /tmp (atomic rename)."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources import geojson as GJ
+    from geomedea_ray.sources.tables import doc_lnglat
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(CACHE_ROOT, f"docfeatures_{tag}")
+    if os.path.exists(os.path.join(out, "manifest.json")):
+        return out
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "lang", "source", "n_chars"])
+    lng, lat = doc_lnglat(t["doc_id"].to_numpy())
+    import json as _json
+
+    src = os.path.join(CACHE_ROOT, f"docfeatures_{tag}.ndjson")
+    tmp_src = src + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    with open(tmp_src, "w") as f:
+        for i in range(t.num_rows):
+            f.write(_json.dumps({
+                "type": "Feature",
+                "geometry": {"type": "Point",
+                             "coordinates": [float(lng[i]), float(lat[i])]},
+                "properties": {
+                    "doc_id": int(t["doc_id"][i].as_py()),
+                    "lang": t["lang"][i].as_py(),
+                    "source": t["source"][i].as_py(),
+                    "n_chars": int(t["n_chars"][i].as_py()),
+                },
+            }) + "\n")
+    os.replace(tmp_src, src)
+
+    tmp_out = out + f".tmp-{uuid.uuid4().hex[:8]}"
+    spatial_write(GJ.read_geojson(src, typed_props=True), tmp_out, tiebreak="fid")
+    try:
+        os.rename(tmp_out, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    return out
+
+
+def q_props_select(sf_dir: str):
+    """bbox + typed-property filter over a feature dataset — no JSON
+    parsing in the filter path (round-1 VERDICT item 9): the packed
+    index prunes to the rect, then the predicate runs on real Arrow
+    columns ``p_lang``/``p_n_chars``."""
+    import pyarrow.compute as pc
+
+    d = _docs_geojson_dataset(sf_dir)
+    ds = Q.bbox_slice(d, BBOX_RECT,
+                      columns=["p_doc_id", "p_lang", "p_n_chars"])
+
+    def _filt(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["p_lang"], "en"),
+                       pc.greater_equal(t["p_n_chars"], PROPS_MIN_CHARS))
+        t = t.filter(keep)
+        return pa.table({"doc_id": t["p_doc_id"], "lang": t["p_lang"],
+                         "n_chars": t["p_n_chars"]})
+
+    return ds.map_batches(_filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_props_select_sql() -> str:
+    from geomedea_ray.sources.tables import LAT_SQL, LNG_SQL
+
+    a, b, c, e = BBOX_RECT
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {LNG_SQL} >= {a!r} AND {LNG_SQL} <= {c!r}
+  AND {LAT_SQL} >= {b!r} AND {LAT_SQL} <= {e!r}
+  AND lang = 'en' AND n_chars >= {PROPS_MIN_CHARS}
+"""
+
+
+def _docs_csv_dataset(sf_dir: str) -> str:
+    """Same doc-point feature dataset, ingested through the CSV+WKT
+    bridge (sources/csv_source.py) — a second ingestion path whose
+    result must be identical; cached per sf."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.csv_source import read_csv_features
+    from geomedea_ray.sources.tables import doc_lnglat
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(CACHE_ROOT, f"doccsv_{tag}")
+    if os.path.exists(os.path.join(out, "manifest.json")):
+        return out
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "lang", "source", "n_chars"])
+    lng, lat = doc_lnglat(t["doc_id"].to_numpy())
+    src = os.path.join(CACHE_ROOT, f"doccsv_{tag}.csv")
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp_src = src + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp_src, "w") as f:
+        f.write("doc_id,lang,source,n_chars,wkt\n")
+        for i in range(t.num_rows):
+            f.write(
+                f"{t['doc_id'][i].as_py()},{t['lang'][i].as_py()},"
+                f"{t['source'][i].as_py()},{t['n_chars'][i].as_py()},"
+                f"POINT ({lng[i]!r} {lat[i]!r})\n"
+            )
+    os.replace(tmp_src, src)
+
+    tmp_out = out + f".tmp-{uuid.uuid4().hex[:8]}"
+    spatial_write(read_csv_features(src, fid_col="doc_id", wkt_col="wkt"),
+                  tmp_out, tiebreak="fid")
+    try:
+        os.rename(tmp_out, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp_out, ignore_errors=True)
+    return out
+
+
+def q_csv_points_select(sf_dir: str):
+    """Identical query to q_props_select but over the CSV+WKT-ingested
+    dataset — shares its SQL oracle (a differential check that the two
+    ingest bridges agree)."""
+    import pyarrow.compute as pc
+
+    d = _docs_csv_dataset(sf_dir)
+    # doc_id was consumed as the fid (sort tiebreak) by the CSV bridge
+    ds = Q.bbox_slice(d, BBOX_RECT, columns=["fid", "p_lang", "p_n_chars"])
+
+    def _filt(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["p_lang"], "en"),
+                       pc.greater_equal(t["p_n_chars"], PROPS_MIN_CHARS))
+        t = t.filter(keep)
+        return pa.table({"doc_id": t["fid"], "lang": t["p_lang"],
+                         "n_chars": t["p_n_chars"]})
+
+    return ds.map_batches(_filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_hilbert_scan(sf_dir: str):
     """Stored-order scan sample (rows-only check: Hilbert keys are not
     SQL-expressible; bit-level goldens live in pytest instead)."""

@@ -119,10 +119,50 @@ def _unflatten_geometry(t: str, xy: np.ndarray, ring_lens: list[int],
     raise ValueError(f"unsupported geometry type {t!r}")
 
 
-def parse_features_batch(features: list[dict], fid_start: int = 0) -> pa.Table:
+def infer_prop_types(features: list[dict]) -> dict:
+    """Flat scalar property keys → Arrow type (F5 typed properties,
+    round-1 VERDICT item 9). bool→bool_, int→int64, float→float64,
+    str→string; mixed int/float widens to float64; keys with
+    conflicting scalar types or nested list/dict values are left OUT
+    (they stay reachable via ``props_json`` — mirroring the
+    reference's own geozero punt on nested PropertyValue::Vec/Map,
+    geomedea_geozero/src/lib.rs:31-32)."""
+    kinds: dict[str, set] = {}
+    for f in features:
+        for k, v in (f.get("properties") or {}).items():
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                kinds.setdefault(k, set()).add("bool")
+            elif isinstance(v, int):
+                kinds.setdefault(k, set()).add("int")
+            elif isinstance(v, float):
+                kinds.setdefault(k, set()).add("float")
+            elif isinstance(v, str):
+                kinds.setdefault(k, set()).add("str")
+            else:
+                kinds.setdefault(k, set()).add("nested")
+    out = {}
+    for k, ks in sorted(kinds.items()):
+        if ks == {"bool"}:
+            out[k] = pa.bool_()
+        elif ks == {"int"}:
+            out[k] = pa.int64()
+        elif ks in ({"float"}, {"int", "float"}):
+            out[k] = pa.float64()
+        elif ks == {"str"}:
+            out[k] = pa.string()
+        # anything else (nested / conflicting): props_json only
+    return out
+
+
+def parse_features_batch(features: list[dict], fid_start: int = 0,
+                         prop_types: dict | None = None) -> pa.Table:
     """A batch of GeoJSON Feature dicts → columnar feature table.
     Quantization is one vectorized numpy pass over the batch's
-    concatenated coordinates."""
+    concatenated coordinates. ``prop_types`` (key → Arrow type) adds
+    one REAL Arrow column ``p_<key>`` per flat scalar property —
+    downstream filters touch typed columns, not JSON."""
     n = len(features)
     geom_types, geom_jsons, props, ring_ls, part_ls = [], [], [], [], []
     gj_ids = []
@@ -182,6 +222,15 @@ def parse_features_batch(features: list[dict], fid_start: int = 0) -> pa.Table:
         else:
             coords_col.append([])
     cx, cy = bbox_center_i32(minx, miny, maxx, maxy)
+    typed_cols = {}
+    for key, typ in (prop_types or {}).items():
+        vals = []
+        for f in features:
+            v = (f.get("properties") or {}).get(key)
+            if v is not None and pa.types.is_floating(typ):
+                v = float(v)
+            vals.append(v)
+        typed_cols[f"p_{key}"] = pa.array(vals, typ)
     return pa.table(
         {
             "fid": pa.array(np.arange(fid_start, fid_start + n), pa.int64()),
@@ -198,20 +247,30 @@ def parse_features_batch(features: list[dict], fid_start: int = 0) -> pa.Table:
             "bbox_min_lat_i": pa.array(miny, pa.int32()),
             "bbox_max_lng_i": pa.array(maxx, pa.int32()),
             "bbox_max_lat_i": pa.array(maxy, pa.int32()),
+            **typed_cols,
         }
     )
 
 
-def read_geojson(paths: str | list[str]):
+def read_geojson(paths: str | list[str], typed_props: bool = False,
+                 prop_types: dict | None = None):
     """GeoJSON file(s) (FeatureCollection or NDJSON of Features) →
     Dataset of columnar features. One task per file (files are the
     resume/parallelism unit, as in pipelines/resumable.py); fids are
-    file-offset based so they're stable under any task order."""
+    file-offset based so they're stable under any task order.
+
+    ``typed_props=True`` infers flat scalar properties from the FIRST
+    file (the conventional schema source — every block must agree on
+    its schema) and emits them as real ``p_<key>`` Arrow columns;
+    pass ``prop_types`` explicitly to override the inference."""
     import ray.data
 
     if isinstance(paths, str):
         paths = [paths]
     paths = sorted(paths)
+
+    if typed_props and prop_types is None:
+        prop_types = infer_prop_types(load_geojson_features(paths[0]))
 
     # count features per file up front (driver, cheap metadata pass is
     # not possible for JSON — use byte offsets × file index instead)
@@ -227,7 +286,8 @@ def read_geojson(paths: str | list[str]):
                     "fid block; split the input (fids must stay unique across files)"
                 )
             out.append(
-                parse_features_batch(feats, fid_start=row["file_idx"] * 10_000_000)
+                parse_features_batch(feats, fid_start=row["file_idx"] * 10_000_000,
+                                     prop_types=prop_types)
             )
         return pa.concat_tables(out) if out else FEATURE_SCHEMA.empty_table()
 
