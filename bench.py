@@ -48,12 +48,59 @@ BENCH_QUERIES = [
     "user_sessions",
     "late_events",
     "knn_indexed",
+    "knn_indexed_q500",        # batched probe rounds, 500 queries
+    "knn_scan_q500",           # the full-scan comparison point
     "doc_quality",
     "dedup_text",
     "ann_topk",
+    "ann_radius",              # bucket-sorted store, file/row-group prune
     "minhash_pairs",
+    "minhash_verified",
+    "minhash_kernel",          # raw signature kernel throughput (driver-side)
+    "embedding_neardup",
+    "props_select",
     "training_prep",
 ]
+
+#: Q=500 kNN workload (seeded)
+def _knn500_queries():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [
+        (i, float(rng.uniform(-170, 170)), float(rng.uniform(-80, 80)))
+        for i in range(500)
+    ]
+
+
+def _bench_knn_indexed_q500(sf_dir: str):
+    from geomedea_ray.pipelines.geo_queries import spatial_dataset
+    from geomedea_ray.stages.knn import knn_indexed
+
+    return knn_indexed(spatial_dataset(sf_dir), _knn500_queries(), 5, id_col="pid")
+
+
+def _bench_knn_scan_q500(sf_dir: str):
+    from geomedea_ray.pipelines.geo_queries import linepoints_ds
+    from geomedea_ray.stages.knn import knn
+
+    return knn(linepoints_ds(sf_dir), _knn500_queries(), 5, id_col="pid")
+
+
+def _bench_minhash_kernel(sf_dir: str):
+    """Raw minhash-signature kernel throughput (docs/s recorded in the
+    rows field; the distributed stage is benched as minhash_pairs)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.functions.text import minhash_signature
+
+    texts = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["text"])["text"].to_pylist()
+    t0 = time.perf_counter()
+    minhash_signature(texts)
+    dt = time.perf_counter() - t0
+    return pd.DataFrame({"docs": [len(texts)], "docs_per_s": [round(len(texts) / dt)]})
 
 
 def _bench_spatial_write(sf_dir: str):
@@ -72,7 +119,45 @@ def _bench_spatial_write(sf_dir: str):
     return pd.DataFrame({"rows": [man.row_count], "partitions": [len(man.partitions)]})
 
 
-SPECIAL = {"spatial_write": _bench_spatial_write}
+SPECIAL = {
+    "spatial_write": _bench_spatial_write,
+    "knn_indexed_q500": _bench_knn_indexed_q500,
+    "knn_scan_q500": _bench_knn_scan_q500,
+    "minhash_kernel": _bench_minhash_kernel,
+}
+
+
+#: selectivity ladder for the prune-accounting table (centered rects,
+#: ~10% / ~1% / ~0.1% of the world's area; .005 offsets keep vertices
+#: off the synthetic point grid)
+PRUNE_RECTS = {
+    "sel_10pct": (-39.005, -39.005, 39.005, 39.005),
+    "sel_1pct": (-12.005, -12.005, 12.005, 12.005),
+    "sel_0.1pct": (-3.905, -3.905, 3.905, 3.905),
+}
+
+
+def prune_summary(sf_dir: str) -> dict:
+    """Bytes/row-groups touched vs full scan per selectivity — the
+    reference's bytes-fetched comparison (README.md:96-107: 81 MB /
+    153 requests vs a 340 MB full scan), computed exactly from local
+    Parquet metadata + index sidecars (state/accounting.py)."""
+    from geomedea_ray.pipelines.geo_queries import spatial_dataset
+    from geomedea_ray.state.accounting import bbox_scan_stats
+
+    d = spatial_dataset(sf_dir)
+    out = {}
+    for name, rect in PRUNE_RECTS.items():
+        st = bbox_scan_stats(d, rect)
+        out[name] = {
+            "rows_matched": st["rows_matched"],
+            "bytes_touched": st["bytes_touched"],
+            "bytes_total": st["bytes_total"],
+            "bytes_pct": round(100 * st["bytes_touched"] / max(st["bytes_total"], 1), 2),
+            "row_groups": f"{st['row_groups_touched']}/{st['row_groups_total']}",
+            "requests": st["requests"],
+        }
+    return out
 
 
 def _consume(res) -> int:
@@ -166,6 +251,7 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
         "headline_input_rows": n_in,
         "headline_rows_per_s": round(n_in / head, 1) if head else None,
         "total_s": round(sum(timings.values()), 3),
+        "prune": prune_summary(sf_dir),
     }
 
 
