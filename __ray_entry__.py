@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_join": G.q_nn_join,                   # nearest-neighbor join (broadcast left)
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (eq scheme, SQL-oracled)
+        "tile_pyramid": G.q_tile_pyramid,         # pyramid rollup (per-level SQL oracle)
+        "pip_join_sharded": G.q_pip_join_sharded, # shuffle-fallback PIP (same oracle)
         "tile_counts_mercator": G.q_tile_counts_mercator,  # production scheme (rows-only)
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all (rows-only)
         "geojson_roundtrip": G.q_geojson_roundtrip,  # S4/S5 bridge (rows-only)
@@ -192,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "nn_join": G.q_nn_join_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
+        "tile_pyramid": G.q_tile_pyramid_sql(),
+        "pip_join_sharded": G.q_pip_join_sql(),
         "props_select": G.q_props_select_sql(),
         "csv_points_select": G.q_props_select_sql(),
         "q1_pricing": R.Q1_SQL,

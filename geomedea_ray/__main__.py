@@ -7,7 +7,7 @@ convert example).
     python -m geomedea_ray inspect <dataset_dir>
     python -m geomedea_ray convert <in.geojson> <dataset_dir>
     python -m geomedea_ray export  <dataset_dir> <out.geojson>
-    python -m geomedea_ray bbox    <dataset_dir> MINLNG MINLAT MAXLNG MAXLAT
+    python -m geomedea_ray bbox    <dataset_dir> MINLNG MINLAT MAXLNG MAXLAT [--stats]
     python -m geomedea_ray decode  <parquet_dir> <out_dir>   # resumable; re-run to resume
 
 This entry point OWNS a Ray session (guarded init; the library never
@@ -98,13 +98,29 @@ def cmd_export(dataset_dir: str, out_path: str) -> int:
 
 
 def cmd_bbox(dataset_dir: str, *rect: str) -> int:
-    """select_bbox row count (R2; bbox-intersects semantics)."""
+    """select_bbox row count (R2; bbox-intersects semantics). Append
+    --stats for exact I/O accounting (bytes / row groups / ranged
+    requests touched vs full scan — the reference's bytes-fetched
+    report, state/accounting.py)."""
+    want_stats = "--stats" in rect
+    rect = tuple(x for x in rect if x != "--stats")
     _ensure_ray()
     from geomedea_ray.pipelines.queries import bbox_slice
 
     r = tuple(float(x) for x in rect)
     n = bbox_slice(dataset_dir, r).count()
     print(f"select_bbox{r} -> {n} rows")
+    if want_stats:
+        import json as _json
+
+        from geomedea_ray.state.accounting import bbox_scan_stats
+
+        st = bbox_scan_stats(dataset_dir, r)
+        pct = 100 * st["bytes_touched"] / max(st["bytes_total"], 1)
+        print(f"bytes touched: {st['bytes_touched']:,} / {st['bytes_total']:,} "
+              f"({pct:.1f}%), row groups {st['row_groups_touched']}/"
+              f"{st['row_groups_total']}, requests {st['requests']}")
+        print(_json.dumps(st))
     return 0
 
 
@@ -144,7 +160,8 @@ def main(argv: list[str] | None = None) -> int:
         print(__doc__.strip())
         return 2
     fn, nargs = COMMANDS[argv[0]]
-    if len(argv) - 1 != nargs:
+    n_pos = len([a for a in argv[1:] if not a.startswith("--")])
+    if n_pos != nargs:
         print(f"error: '{argv[0]}' takes {nargs} argument(s)\n")
         print(__doc__.strip())
         return 2

@@ -189,6 +189,45 @@ FROM pts GROUP BY 1, 2"""
     )
 
 
+def q_pip_join_sharded(sf_dir: str):
+    """Same join as q_pip_join through the SHUFFLE fallback
+    (stages/pip.pip_join_sharded — both sides co-sharded by tile, for
+    polygon sets too big to broadcast); shares q_pip_join's SQL oracle
+    as a differential check of the two execution strategies."""
+    from geomedea_ray.stages.pip import pip_join_sharded
+
+    return pip_join_sharded(linepoints_ds(sf_dir), polygon_arrays(), id_cols=["pid"])
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Tile pyramid: base-zoom aggregate rolled up to zoom 0 by
+    integer halving (pipelines/tiles.tile_pyramid). The SQL oracle
+    recomputes every level DIRECTLY from the points — the identity
+    floor(floor(u·2^b)/2^(b-z)) = floor(u·2^z) makes halving and
+    direct computation provably equal."""
+    from geomedea_ray.pipelines.tiles import tile_aggregate, tile_pyramid
+
+    base = (
+        tile_aggregate(linepoints_ds(sf_dir), TILE_ZOOM, scheme="eq")
+        .select_columns(["tile_id", "tile_x", "tile_y", "n"])
+        .to_pandas()
+    )
+    out = tile_pyramid(base, TILE_ZOOM)
+    return out[["zoom", "tile_x", "tile_y", "n"]]
+
+
+def q_tile_pyramid_sql() -> str:
+    levels = []
+    for z in range(TILE_ZOOM + 1):
+        n = float(1 << z)
+        levels.append(
+            f"SELECT {z} AS zoom, CAST(FLOOR((lng + 180.0) / 360.0 * {n!r}) AS INT) AS tile_x,\n"
+            f"       CAST(FLOOR((90.0 - lat) / 180.0 * {n!r}) AS INT) AS tile_y, COUNT(*) AS n\n"
+            f"FROM pts GROUP BY 1, 2, 3"
+        )
+    return LINEPOINTS_CTE + "\nUNION ALL\n".join(levels)
+
+
 def q_cell_compact(sf_dir: str, res: int = 6):
     """H3-compaction analogue (stages/cells.py): the distinct res-6
     Hilbert-quadtree cells occupied by the point set, compacted to the
