@@ -114,6 +114,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _verify, batch_format="pyarrow", batch_size=512, zero_copy_batch=True
         )
 
+    def _audio_features(sf_dir: str):
+        """Distributed windowed audio features over the PCM16 table;
+        hash-verified against a single-process oracle run."""
+        import ray.data
+
+        from geomedea_ray.sources.synth_media import audio_table_path, n_audio_for
+        from geomedea_ray.stages.media import audio_features
+
+        ds = ray.data.read_parquet(audio_table_path(n_audio_for(sf_dir)))
+        return audio_features(ds)
+
+    def _video_frames(sf_dir: str):
+        """Distributed even-temporal frame sampling + per-frame stats
+        over the rawrgb video table (thumb list verified in pytest;
+        the gate compares the scalar columns)."""
+        import ray.data
+
+        from geomedea_ray.sources.synth_media import n_video_for, video_table_path
+        from geomedea_ray.stages.media import frame_sample
+
+        ds = ray.data.read_parquet(video_table_path(n_video_for(sf_dir)))
+        return frame_sample(ds).select_columns(
+            ["video_id", "frame_idx", "ts_s", "mean_px"]
+        )
+
     return {
         # --- spatial operators (reference parity; SURVEY §2.2/2.3) ---
         "bbox_select": G.q_bbox_select,           # R2 select_bbox
@@ -167,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_reencode": _image_reencode,
         "training_prep": _training_prep,          # composite end-to-end prep chain
         "image_similar": F.image_similar,         # thumbnail-embedding similarity search
+        # --- audio/video modalities (stages/media.py) ---
+        "audio_features": _audio_features,        # windowed RMS/ZCR/centroid (SQL-oracled)
+        "video_frames": _video_frames,            # even frame sampling + stats (SQL-oracled)
     }
 
 
@@ -186,6 +214,10 @@ def oracle_sql() -> dict[str, str]:
     sqls = I.image_oracle_sqls(sf_dir)
     sqls["embedding_neardup"] = neardup_sql(sf_dir)
     sqls["ann_radius"] = T.q_ann_radius_sql(sf_dir)
+    from geomedea_ray.sources.synth_media import audio_features_sql, video_frames_sql
+
+    sqls["audio_features"] = audio_features_sql(sf_dir)
+    sqls["video_frames"] = video_frames_sql(sf_dir)
     sqls.update({
         "bbox_select": G.q_bbox_select_sql(),
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,
