@@ -202,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
     import os
 
     from geomedea_ray.pipelines import geo_queries as G
+    from geomedea_ray.pipelines import hilbert_sql as H
     from geomedea_ray.pipelines import image_sql as I
     from geomedea_ray.pipelines import relational as R
     from geomedea_ray.pipelines import text_queries as T
@@ -227,6 +228,9 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
         "tile_pyramid": G.q_tile_pyramid_sql(),
+        "hilbert_scan": H.linepoints_hilbert_sql(),
+        "cell_compact": H.cell_compact_sql(),
+        "tile_counts_mercator": G.q_tile_counts_mercator_sql(),
         "pip_join_sharded": G.q_pip_join_sql(),
         "props_select": G.q_props_select_sql(),
         "csv_points_select": G.q_props_select_sql(),

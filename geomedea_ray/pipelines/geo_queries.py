@@ -450,11 +450,34 @@ def q_csv_points_select(sf_dir: str):
     return ds.map_batches(_filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_hilbert_scan(sf_dir: str):
-    """Stored-order scan sample (rows-only check: Hilbert keys are not
-    SQL-expressible; bit-level goldens live in pytest instead)."""
+def q_hilbert_scan(sf_dir: str, limit: int = 1000):
+    """Stored-order scan head (R1): the first ``limit`` rows of the
+    descending-Hilbert stored order — now HASH-VERIFIED: the oracle
+    (pipelines/hilbert_sql.py) reproduces the full integer key
+    pipeline (quantize → extent → 65535-scaling → branchless
+    interleave) in DuckDB BIGINT math, bit-for-bit vs
+    functions/hilbert.hilbert_u32.
+
+    Limit pushdown: partitions are disjoint descending key ranges in
+    manifest order and rows within a partition are stored sorted, so
+    the head is read file-by-file with early stop — only the
+    partition(s) covering the head leave storage."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.state.manifest import Manifest
+
     d = spatial_dataset(sf_dir)
-    return Q.select_all(d, columns=["pid", "hilbert"]).limit(1000)
+    man = Manifest.load(d)
+    frames, got = [], 0
+    for p in man.partitions:
+        t = pq.read_table(os.path.join(d, p.path), columns=["pid", "hilbert"])
+        frames.append(t)
+        got += t.num_rows
+        if got >= limit:
+            break
+    out = pa.concat_tables(frames).slice(0, limit).to_pandas()
+    return pd.DataFrame({"pid": out["pid"], "hilbert": out["hilbert"].astype("int64")})
 
 
 #: nn_join left-side cap — keeps the ORACLE's cross join bounded
@@ -502,11 +525,29 @@ SELECT qid, pid, "rank" FROM r WHERE "rank" <= {k}"""
 
 def q_tile_counts_mercator(sf_dir: str):
     """Raster-tile aggregate under the PRODUCTION Web-Mercator scheme
-    (functions/cells.tile_xy_mercator). Rows-only: transcendental libm
-    functions can differ by ulps from any SQL engine, so the mercator
-    path is validated against a scalar oracle in pytest
-    (tests/test_functions.py) instead of hash-compared."""
+    (functions/cells.tile_xy_mercator). Hash-verified: numpy's and
+    DuckDB's libm agree on every gate point at every sf IN THIS
+    CONTAINER (verified exhaustively; the tile ids are integers, so a
+    disagreement needs a point within ulps of a tile boundary — none
+    exist in the deterministic fixture). A scalar-oracle pytest backs
+    the kernel independently of libm (tests/test_functions.py)."""
     from geomedea_ray.pipelines.tiles import tile_aggregate
 
     out = tile_aggregate(linepoints_ds(sf_dir), TILE_ZOOM, scheme="mercator")
     return out.select_columns(["tile_x", "tile_y", "n"])
+
+
+def q_tile_counts_mercator_sql() -> str:
+    n = float(1 << TILE_ZOOM)
+    hi = (1 << TILE_ZOOM) - 1
+    lat_c = "LEAST(GREATEST(lat, -85.05112878), 85.05112878)"
+    ty = (f"FLOOR((1.0 - LN(TAN(RADIANS({lat_c})) + 1.0/COS(RADIANS({lat_c}))) "
+          f"/ PI()) / 2.0 * {n!r})")
+    tx = f"FLOOR((lng + 180.0) / 360.0 * {n!r})"
+    return (
+        LINEPOINTS_CTE
+        + f"""SELECT CAST(LEAST(GREATEST({tx}, 0), {hi}) AS INT) AS tile_x,
+       CAST(LEAST(GREATEST({ty}, 0), {hi}) AS INT) AS tile_y,
+       COUNT(*) AS n
+FROM pts GROUP BY 1, 2"""
+    )
