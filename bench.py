@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "props_select",
     "training_prep",
+    "audio_features",
+    "video_frames",
 ]
 
 #: Q=500 kNN workload (seeded)

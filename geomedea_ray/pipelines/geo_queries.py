@@ -471,9 +471,13 @@ def q_hilbert_scan(sf_dir: str, limit: int = 1000):
     man = Manifest.load(d)
     frames, got = [], 0
     for p in man.partitions:
-        t = pq.read_table(os.path.join(d, p.path), columns=["pid", "hilbert"])
-        frames.append(t)
-        got += t.num_rows
+        pf = pq.ParquetFile(os.path.join(d, p.path))
+        for rg in range(pf.metadata.num_row_groups):
+            t = pf.read_row_group(rg, columns=["pid", "hilbert"])
+            frames.append(t)
+            got += t.num_rows
+            if got >= limit:
+                break
         if got >= limit:
             break
     out = pa.concat_tables(frames).slice(0, limit).to_pandas()
