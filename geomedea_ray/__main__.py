@@ -160,7 +160,14 @@ def main(argv: list[str] | None = None) -> int:
         print(__doc__.strip())
         return 2
     fn, nargs = COMMANDS[argv[0]]
-    n_pos = len([a for a in argv[1:] if not a.startswith("--")])
+    flags = [a for a in argv[1:] if a.startswith("--")]
+    known = {"bbox": {"--stats"}}.get(argv[0], set())
+    if any(f not in known for f in flags):
+        bad = [f for f in flags if f not in known]
+        print(f"error: '{argv[0]}' does not accept {' '.join(bad)}\n")
+        print(__doc__.strip())
+        return 2
+    n_pos = len(argv[1:]) - len(flags)
     if n_pos != nargs:
         print(f"error: '{argv[0]}' takes {nargs} argument(s)\n")
         print(__doc__.strip())

@@ -30,6 +30,10 @@ N_IMAGES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 120_000}
 IMAGE_SIMILAR_IDS = (0, 1, 2)
 IMAGE_SIMILAR_K = 5
 
+#: thumbnail gate-query id cutoff (first 100 zero-padded ids) — shared
+#: with the SQL oracle so the two row sets can't desynchronize
+THUMB_MAX_ID = "img-000000000100"
+
 
 def n_images_for(sf_dir: str) -> int:
     return N_IMAGES.get(os.path.basename(os.path.normpath(sf_dir)), 2_000)
@@ -174,7 +178,7 @@ def image_tile_counts(sf_dir: str, zoom: int = 6):
     ).select_columns(["tile_x", "tile_y", "n"])
 
 
-def image_thumbnails_q(sf_dir: str, max_id: str = "img-000000000100"):
+def image_thumbnails_q(sf_dir: str, max_id: str = THUMB_MAX_ID):
     """Driver-oracled thumbnail query: the first 100 rows' thumbnails in
     LONG INTEGER form (image_id, block_idx, tq) — tq is the exact
     integer block sum the float32 thumbnail is derived from

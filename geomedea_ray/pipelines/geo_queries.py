@@ -414,7 +414,7 @@ def _docs_csv_dataset(sf_dir: str) -> str:
             f.write(
                 f"{t['doc_id'][i].as_py()},{t['lang'][i].as_py()},"
                 f"{t['source'][i].as_py()},{t['n_chars'][i].as_py()},"
-                f"POINT ({lng[i]!r} {lat[i]!r})\n"
+                f"POINT ({float(lng[i])!r} {float(lat[i])!r})\n"
             )
     os.replace(tmp_src, src)
 

@@ -17,12 +17,15 @@ always runs at sf0.01; tools/check_correctness.py sets
 
 from __future__ import annotations
 
-from geomedea_ray.pipelines.flagship import IMAGE_SIMILAR_IDS, n_images_for
+from geomedea_ray.pipelines.flagship import (
+    IMAGE_SIMILAR_IDS,
+    THUMB_MAX_ID,
+    n_images_for,
+)
 from geomedea_ray.sources.polygons import POLYGONS, raycast_sql
 
 TILE_ZOOM = 6
 MIN_TOKENS, MAX_TOKENS = 3, 64  # pipelines/prep.py bounds
-THUMB_MAX_ID = "img-000000000100"  # first 100 rows (zero-padded ids sort lexically)
 
 
 def img_cte(n: int) -> str:

@@ -275,7 +275,12 @@ def raw_store_dir(sf_dir: str) -> str:
     return out
 
 
-def q_minhash_verified(sf_dir: str, threshold: float = 0.5):
+#: exact-Jaccard verification threshold — shared with
+#: MINHASH_VERIFIED_SQL so the query and its oracle can't diverge
+MINHASH_VERIFY_THRESHOLD = 0.5
+
+
+def q_minhash_verified(sf_dir: str, threshold: float = MINHASH_VERIFY_THRESHOLD):
     """MinHash-LSH candidates VERIFIED by exact n-gram Jaccard
     (functions/text.jaccard_words) — the full near-dup chain with the
     verification stage on (texts broadcast via ray.put). SQL-oracled:
@@ -298,7 +303,7 @@ def q_minhash_verified(sf_dir: str, threshold: float = 0.5):
 #: exact 3-word-shingle Jaccard over all doc pairs — mirrors
 #: functions/text.word_shingles (<k tokens → one whole-text shingle;
 #: both-empty → Jaccard 1.0) and jaccard_words term by term
-MINHASH_VERIFIED_SQL = """
+MINHASH_VERIFIED_SQL = f"""
 WITH tok AS (SELECT doc_id,
                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
              FROM documents),
@@ -315,7 +320,7 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b FROM p
 WHERE CASE WHEN ni = 0 AND nu = 0 THEN 1.0
-           ELSE ni::DOUBLE / GREATEST(nu, 1) END >= 0.5
+           ELSE ni::DOUBLE / GREATEST(nu, 1) END >= {MINHASH_VERIFY_THRESHOLD}
 """
 
 

@@ -38,7 +38,11 @@ def planted_embeddings_path(sf_dir: str, cache_root: str = CACHE_ROOT) -> str:
     src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id", "embedding"])
     ids = src["vec_id"].to_numpy()
-    m = np.stack([np.asarray(v, np.float32) for v in src["embedding"].to_pylist()])
+    # zero-copy-ish flat view (uniform-length list column), no per-row
+    # Python objects — same layout trick as stages/ann._emb_matrix
+    emb = src["embedding"].combine_chunks()
+    flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    m = flat.reshape(len(emb), -1)
     dim = m.shape[1]
 
     sel = np.flatnonzero(ids % PLANT_EVERY == 0)

@@ -94,18 +94,20 @@ def synth_video_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
 
 
 def _table_path(kind: str, synth_fn, n: int, seed: int) -> str:
-    """Materialize via Ray (distributed gen, like the image table)."""
-    out = os.path.join(CACHE_ROOT, f"{kind}_n{n}_seed{seed}")
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
-        return out
+    """Materialize via Ray (distributed gen, like the image table).
+    Built into a unique temp dir + atomic rename so concurrent
+    builders can't publish a half-written table (same pattern as the
+    oracle fixtures)."""
     import shutil
+    import uuid
 
+    out = os.path.join(CACHE_ROOT, f"{kind}_n{n}_seed{seed}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
     import ray.data
 
-    if os.path.exists(out):
-        shutil.rmtree(out)
-    os.makedirs(out, exist_ok=True)
+    tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
 
     def _batch(batch: pa.Table) -> pa.Table:
         return synth_fn(batch["id"].to_numpy(), seed=seed)
@@ -114,10 +116,14 @@ def _table_path(kind: str, synth_fn, n: int, seed: int) -> str:
         ray.data.range(n)
         .map_batches(_batch, batch_format="pyarrow", batch_size=256)
         .repartition(max(4, n // 400))
-        .write_parquet(out)
+        .write_parquet(tmp)
     )
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(tmp, out)
+    except OSError:  # concurrent builder won
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

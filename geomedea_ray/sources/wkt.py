@@ -76,6 +76,8 @@ def parse_wkt(s: str) -> dict | None:
     if rest.upper().startswith("EMPTY"):
         if t == "POINT":
             return None
+        if t == "GEOMETRYCOLLECTION":
+            return {"type": "GeometryCollection", "geometries": []}
         return {"type": _gj_name(t), "coordinates": []}
     inner, _ = _coords_text(rest, 0)
     if t == "POINT":
@@ -123,8 +125,12 @@ def parse_wkt(s: str) -> dict | None:
         upseg = seg.upper()
         for t2 in _TYPES:
             if upseg.startswith(t2):
-                p0 = seg.index("(")
-                _, end = _coords_text(seg, p0)
+                after = seg[len(t2):].lstrip()
+                if after.upper().startswith("EMPTY"):
+                    end = len(seg) - len(after) + 5  # past 'EMPTY'
+                else:
+                    p0 = seg.index("(")
+                    _, end = _coords_text(seg, p0)
                 geoms.append(parse_wkt(seg[:end]))
                 i = off + end
                 while i < len(inner) and inner[i] in ", ":
@@ -148,11 +154,16 @@ def _fmt_pts(pts) -> str:
 
 
 def format_wkt(geom: dict | None) -> str:
-    """GeoJSON geometry dict → WKT string."""
+    """GeoJSON geometry dict → WKT string (empty geometries emit the
+    WKT 'EMPTY' keyword, keeping parse→format→parse a fixed point)."""
     if geom is None:
         return "POINT EMPTY"
     t = geom["type"]
     c = geom.get("coordinates", [])
+    if t == "GeometryCollection" and not geom.get("geometries"):
+        return "GEOMETRYCOLLECTION EMPTY"
+    if t != "GeometryCollection" and not len(c):
+        return f"{t.upper()} EMPTY"
     if t == "Point":
         return f"POINT ({_fmt_pts([c])})"
     if t == "LineString":

@@ -285,9 +285,14 @@ def knn_indexed(
 
     active = set(qxy)
     while active:
+        # clamp to valid degrees: quantize() wraps int32 past ±214.748°,
+        # so an unclamped wide-radius rect near lng ±170 would invert
+        # (min > max) and silently prune everything
         rects = {
-            qid: (qxy[qid][0] - radius[qid], qxy[qid][1] - radius[qid],
-                  qxy[qid][0] + radius[qid], qxy[qid][1] + radius[qid])
+            qid: (max(qxy[qid][0] - radius[qid], -180.0),
+                  max(qxy[qid][1] - radius[qid], -90.0),
+                  min(qxy[qid][0] + radius[qid], 180.0),
+                  min(qxy[qid][1] + radius[qid], 90.0))
             for qid in active
         }
         summ = _knn_probe_round(dataset_dir, man, rects, qxy, k, id_col)

@@ -21,6 +21,10 @@ CASES = [
     "GEOMETRYCOLLECTION (POINT (40 10), LINESTRING (10 10, 20 20, 10 40), "
     "POLYGON ((40 40, 20 45, 45 30, 40 40)))",
     "POINT EMPTY",
+    "LINESTRING EMPTY",
+    "MULTIPOLYGON EMPTY",
+    "GEOMETRYCOLLECTION EMPTY",
+    "GEOMETRYCOLLECTION (POINT EMPTY, POINT (1 2))",
 ]
 
 

@@ -176,6 +176,36 @@ class TestKnnIndexed:
             sub = got[got["qid"] == qid].sort_values("rank")
             assert sub["pid"].tolist() == expect, f"qid {qid}"
 
+    def test_wide_radius_near_antimeridian(self, ray_session, tmp_path):
+        """Regression: a query near lng ±170 whose radius must grow
+        wide used to build an unclamped rect past ±214.75°, where
+        quantize() wraps int32 and the inverted rect pruned everything
+        — the query silently vanished from the output."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.functions.geo import planar_sq_dist
+        from geomedea_ray.pipelines.spatial_write import spatial_write
+        from geomedea_ray.stages.knn import knn_indexed
+
+        rng = np.random.default_rng(3)
+        # sparse: all points far east of the query point
+        lng = rng.uniform(120, 170, 40)
+        lat = rng.uniform(-30, 30, 40)
+        ds = ray.data.from_arrow(
+            pa.table({"pid": pa.array(np.arange(40), pa.int64()),
+                      "lng": lng, "lat": lat})
+        )
+        out_dir = str(tmp_path / "antimeridian")
+        spatial_write(ds, out_dir, tiebreak="pid")
+        k = 5
+        got = knn_indexed(out_dir, [(0, -170.0, 0.0)], k, id_col="pid")
+        assert len(got) == k
+        d = planar_sq_dist(lng, lat, -170.0, 0.0)
+        expect = np.arange(40)[np.lexsort((np.arange(40), d))[:k]].tolist()
+        assert got.sort_values("rank")["pid"].tolist() == expect
+
     def test_many_queries_batched(self, ray_session, tmp_path):
         """Q=60 queries resolve in O(log) BATCHED rounds (one
         distributed pass per round, not one job chain per query) and
