@@ -150,12 +150,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (eq scheme, SQL-oracled)
         "tile_pyramid": G.q_tile_pyramid,         # pyramid rollup (per-level SQL oracle)
         "pip_join_sharded": G.q_pip_join_sharded, # shuffle-fallback PIP (same oracle)
-        "tile_counts_mercator": G.q_tile_counts_mercator,  # production scheme (rows-only)
-        "hilbert_scan": G.q_hilbert_scan,         # R1 select_all (rows-only)
+        "tile_counts_mercator": G.q_tile_counts_mercator,  # production scheme (SQL-oracled)
+        "hilbert_scan": G.q_hilbert_scan,         # R1 select_all head (SQL-mirrored hilbert)
         "geojson_roundtrip": G.q_geojson_roundtrip,  # S4/S5 bridge (rows-only)
         "props_select": G.q_props_select,            # F5 typed props: bbox + property filter
         "csv_points_select": G.q_csv_points_select,  # CSV+WKT ingest bridge, same oracle
-        "cell_compact": G.q_cell_compact,            # H3-compact analogue (rows-only)
+        "cell_compact": G.q_cell_compact,            # H3-compact analogue (SQL-oracled)
         # --- relational surface (SURVEY §2.5 gap ops) ---
         "q1_pricing": R.q1_pricing_summary,
         "top_orders": R.top_orders,
@@ -178,12 +178,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": T.q_ann_topk_lsh,     # LSH per-batch-mask variant (rows-only)
         "ann_topk_store": T.q_ann_topk_store, # bucket-SORTED store, file/row-group prune (rows-only)
         "ann_radius": T.q_ann_radius,         # radius search from the store (SQL-oracled)
-        "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (rows-only)
+        "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (SQL-oracled)
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
-        "embedding_neardup": _embedding_neardup,  # rows-only
-        # --- image+caption table (flagship; rows-only + pytest oracle) ---
+        "embedding_neardup": _embedding_neardup,  # planted table, exact-cosine oracle
+        # --- image+caption table (flagship; SQL-oracled vs the single-process fixture) ---
         "image_decode_stats": _image_decode_stats,
         "image_phash_dedup": _image_phash_dedup,
         "image_spatial_join_tiles": F.spatial_join_tiles,
