@@ -66,12 +66,14 @@ def image_spatial_dataset(sf_dir: str) -> str:
     """Hilbert-sorted + packed-indexed image table (metadata columns
     only — ``bytes`` stays in the source files and is fetched by id,
     so the sort shuffle moves ~60 B/row instead of ~15 KiB/row)."""
+    from geomedea_ray.sources.cache import cached_spatial_dataset
+
     n = n_images_for(sf_dir)
-    out = os.path.join(CACHE_ROOT, f"images_spatial_n{n}")
-    if os.path.exists(os.path.join(out, "manifest.json")):
-        return out
-    spatial_write(geocoded_images(sf_dir), out, tiebreak="image_id")
-    return out
+    return cached_spatial_dataset(
+        os.path.join(CACHE_ROOT, f"images_spatial_n{n}"),
+        lambda tmp: spatial_write(geocoded_images(sf_dir), tmp, tiebreak="image_id"),
+        expected_rows=n,
+    )
 
 
 def spatial_join_tiles(sf_dir: str, zoom: int = 6):

@@ -70,13 +70,20 @@ def linepoints_ds(sf_dir: str):
 
 def spatial_dataset(sf_dir: str) -> str:
     """Build (or reuse) the Hilbert-sorted, packed-indexed spatial
-    dataset for this sf_dir; returns its directory."""
+    dataset for this sf_dir; returns its directory. Cached via
+    cache.cached_spatial_dataset — manifest row counts re-checked
+    against parquet footers on every reuse, atomic publish."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.cache import cached_spatial_dataset
+
+    expected = pq.ParquetFile(tables.path(sf_dir, "lineitem")).metadata.num_rows
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(CACHE_ROOT, f"linepoints_{tag}")
-    if os.path.exists(os.path.join(out, "manifest.json")):
-        return out
-    spatial_write(linepoints_ds(sf_dir), out, tiebreak="pid")
-    return out
+    return cached_spatial_dataset(
+        os.path.join(CACHE_ROOT, f"linepoints_{tag}"),
+        lambda tmp: spatial_write(linepoints_ds(sf_dir), tmp, tiebreak="pid"),
+        expected_rows=expected,
+    )
 
 
 # ------------------------------------------------------------ queries
@@ -314,43 +321,40 @@ def _docs_geojson_dataset(sf_dir: str) -> str:
     from geomedea_ray.sources import geojson as GJ
     from geomedea_ray.sources.tables import doc_lnglat
 
+    from geomedea_ray.sources.cache import cached_spatial_dataset
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(CACHE_ROOT, f"docfeatures_{tag}")
-    if os.path.exists(os.path.join(out, "manifest.json")):
-        return out
+    expected = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
 
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "lang", "source", "n_chars"])
-    lng, lat = doc_lnglat(t["doc_id"].to_numpy())
-    import json as _json
+    def _build(tmp_out: str) -> None:
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang", "source", "n_chars"])
+        lng, lat = doc_lnglat(t["doc_id"].to_numpy())
+        import json as _json
 
-    src = os.path.join(CACHE_ROOT, f"docfeatures_{tag}.ndjson")
-    tmp_src = src + f".tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(CACHE_ROOT, exist_ok=True)
-    with open(tmp_src, "w") as f:
-        for i in range(t.num_rows):
-            f.write(_json.dumps({
-                "type": "Feature",
-                "geometry": {"type": "Point",
-                             "coordinates": [float(lng[i]), float(lat[i])]},
-                "properties": {
-                    "doc_id": int(t["doc_id"][i].as_py()),
-                    "lang": t["lang"][i].as_py(),
-                    "source": t["source"][i].as_py(),
-                    "n_chars": int(t["n_chars"][i].as_py()),
-                },
-            }) + "\n")
-    os.replace(tmp_src, src)
+        src = os.path.join(CACHE_ROOT, f"docfeatures_{tag}.ndjson")
+        tmp_src = src + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        with open(tmp_src, "w") as f:
+            for i in range(t.num_rows):
+                f.write(_json.dumps({
+                    "type": "Feature",
+                    "geometry": {"type": "Point",
+                                 "coordinates": [float(lng[i]), float(lat[i])]},
+                    "properties": {
+                        "doc_id": int(t["doc_id"][i].as_py()),
+                        "lang": t["lang"][i].as_py(),
+                        "source": t["source"][i].as_py(),
+                        "n_chars": int(t["n_chars"][i].as_py()),
+                    },
+                }) + "\n")
+        os.replace(tmp_src, src)
+        spatial_write(GJ.read_geojson(src, typed_props=True), tmp_out, tiebreak="fid")
 
-    tmp_out = out + f".tmp-{uuid.uuid4().hex[:8]}"
-    spatial_write(GJ.read_geojson(src, typed_props=True), tmp_out, tiebreak="fid")
-    try:
-        os.rename(tmp_out, out)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp_out, ignore_errors=True)
-    return out
+    return cached_spatial_dataset(out, _build, expected_rows=expected)
 
 
 def q_props_select(sf_dir: str):
@@ -397,37 +401,34 @@ def _docs_csv_dataset(sf_dir: str) -> str:
     from geomedea_ray.sources.csv_source import read_csv_features
     from geomedea_ray.sources.tables import doc_lnglat
 
+    from geomedea_ray.sources.cache import cached_spatial_dataset
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(CACHE_ROOT, f"doccsv_{tag}")
-    if os.path.exists(os.path.join(out, "manifest.json")):
-        return out
+    expected = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
 
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "lang", "source", "n_chars"])
-    lng, lat = doc_lnglat(t["doc_id"].to_numpy())
-    src = os.path.join(CACHE_ROOT, f"doccsv_{tag}.csv")
-    os.makedirs(CACHE_ROOT, exist_ok=True)
-    tmp_src = src + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp_src, "w") as f:
-        f.write("doc_id,lang,source,n_chars,wkt\n")
-        for i in range(t.num_rows):
-            f.write(
-                f"{t['doc_id'][i].as_py()},{t['lang'][i].as_py()},"
-                f"{t['source'][i].as_py()},{t['n_chars'][i].as_py()},"
-                f"POINT ({float(lng[i])!r} {float(lat[i])!r})\n"
-            )
-    os.replace(tmp_src, src)
+    def _build(tmp_out: str) -> None:
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang", "source", "n_chars"])
+        lng, lat = doc_lnglat(t["doc_id"].to_numpy())
+        src = os.path.join(CACHE_ROOT, f"doccsv_{tag}.csv")
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        tmp_src = src + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp_src, "w") as f:
+            f.write("doc_id,lang,source,n_chars,wkt\n")
+            for i in range(t.num_rows):
+                f.write(
+                    f"{t['doc_id'][i].as_py()},{t['lang'][i].as_py()},"
+                    f"{t['source'][i].as_py()},{t['n_chars'][i].as_py()},"
+                    f"POINT ({float(lng[i])!r} {float(lat[i])!r})\n"
+                )
+        os.replace(tmp_src, src)
+        spatial_write(read_csv_features(src, fid_col="doc_id", wkt_col="wkt"),
+                      tmp_out, tiebreak="fid")
 
-    tmp_out = out + f".tmp-{uuid.uuid4().hex[:8]}"
-    spatial_write(read_csv_features(src, fid_col="doc_id", wkt_col="wkt"),
-                  tmp_out, tiebreak="fid")
-    try:
-        os.rename(tmp_out, out)
-    except OSError:
-        import shutil
-
-        shutil.rmtree(tmp_out, ignore_errors=True)
-    return out
+    return cached_spatial_dataset(out, _build, expected_rows=expected)
 
 
 def q_csv_points_select(sf_dir: str):

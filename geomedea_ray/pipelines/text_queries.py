@@ -167,28 +167,28 @@ ANN_RADIUS_MIN_COSINE = 0.95
 
 def planted_store_dir(sf_dir: str) -> str:
     """Bucket-sorted embedding store over the planted table (built
-    once per sf under /tmp, atomic dir rename)."""
+    once per sf under /tmp via cache.cached_table: atomic publish,
+    row-count validated before publish AND on every reuse)."""
     import os
-    import shutil
-    import uuid
 
-    import ray.data
+    import pyarrow.parquet as pq
 
+    from geomedea_ray.sources.cache import cached_table
     from geomedea_ray.sources.planted_embeddings import planted_embeddings_path
-    from geomedea_ray.stages.ann import build_bucketed_store
+
+    src = planted_embeddings_path(sf_dir)
+    expected = pq.ParquetFile(src).metadata.num_rows
+
+    def _build(tmp: str) -> None:
+        import ray.data
+
+        from geomedea_ray.stages.ann import build_bucketed_store
+
+        build_bucketed_store(ray.data.read_parquet(src), tmp, nbits=8)
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/geomedea_ray_cache/emb_store_{tag}"
-    if os.path.exists(os.path.join(out, "store.json")):
-        return out
-    tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
-    ds = ray.data.read_parquet(planted_embeddings_path(sf_dir))
-    build_bucketed_store(ds, tmp, nbits=8)
-    try:
-        os.rename(tmp, out)
-    except OSError:  # concurrent builder won the race
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return cached_table(f"/tmp/geomedea_ray_cache/emb_store_{tag}",
+                        _build, expected_rows=expected)
 
 
 def _planted_query_vecs(sf_dir: str, qids):
@@ -254,25 +254,25 @@ def q_ann_topk_store(sf_dir: str):
 
 
 def raw_store_dir(sf_dir: str) -> str:
-    """Bucket-sorted store over the RAW embeddings table."""
+    """Bucket-sorted store over the RAW embeddings table (validated
+    cache, same pattern as planted_store_dir)."""
     import os
-    import shutil
-    import uuid
 
-    from geomedea_ray.stages.ann import build_bucketed_store
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.cache import cached_table
+
+    expected = pq.ParquetFile(tables.path(sf_dir, "embeddings")).metadata.num_rows
+
+    def _build(tmp: str) -> None:
+        from geomedea_ray.stages.ann import build_bucketed_store
+
+        ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_bucketed_store(ds, tmp, nbits=8)
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/geomedea_ray_cache/emb_store_raw_{tag}"
-    if os.path.exists(os.path.join(out, "store.json")):
-        return out
-    tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
-    ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    build_bucketed_store(ds, tmp, nbits=8)
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return cached_table(f"/tmp/geomedea_ray_cache/emb_store_raw_{tag}",
+                        _build, expected_rows=expected)
 
 
 #: exact-Jaccard verification threshold — shared with

@@ -1,0 +1,253 @@
+"""Validated, atomically-published fixture caches (round-2 VERDICT
+item 1 + ADVICE high).
+
+Round 2 failed 8/50 gate queries because /tmp fixture dirs held TWO
+complete parquet generations (two write-UUID prefixes) and every
+loader trusted a bare ``_SUCCESS`` marker.  Two mechanisms can double
+a table:
+
+1. non-atomic publish — ``rmtree`` + ``write_parquet`` straight into
+   the live dir lets two concurrent builders interleave;
+2. a retried/duplicated ``write_parquet`` execution INSIDE one build
+   (the only way the already tmp+rename media builder could have
+   produced two UUID groups) — the streaming executor re-running write
+   tasks leaves both generations in the tmp dir, which then gets
+   renamed whole.
+
+Defences, all here, shared by every builder:
+
+- build into a fresh uuid-named tmp dir (empty by construction;
+  asserted) and publish with a single ``os.rename`` — atomic on one
+  filesystem, and ``rename`` onto an existing non-empty dir FAILS
+  rather than merging, so a racing winner is never clobbered;
+- count rows from parquet FOOTERS before publishing and refuse to
+  publish a tmp dir whose count differs from ``expected_rows``
+  (catches mechanism 2 at the source);
+- the ``_SUCCESS`` marker carries the row count as JSON, and EVERY
+  load re-checks it against the parquet footers (cheap: metadata
+  only) — a poisoned dir, however it got poisoned (including legacy
+  ``ok`` markers from pre-fix builds), is evicted and rebuilt instead
+  of served forever;
+- eviction is rename-aside-then-delete so a concurrent *valid*
+  publish can never be deleted by a stale checker.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Callable
+
+import pyarrow.parquet as pq
+
+MARKER = "_SUCCESS"
+
+
+def dir_parquet_rows(d: str) -> int:
+    """Sum of row counts across every .parquet file in ``d`` (footer
+    metadata only — no data pages are read)."""
+    total = 0
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return total
+
+
+def _marker_rows(out: str) -> int | None:
+    """Row count recorded in the marker, or None if absent/legacy."""
+    try:
+        with open(os.path.join(out, MARKER)) as f:
+            meta = json.loads(f.read())
+        return int(meta["rows"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def table_is_valid(
+    out: str,
+    expected_rows: int | None = None,
+    validate: Callable[[str], bool] | None = None,
+) -> bool:
+    """True iff ``out`` has a row-count-bearing marker whose count
+    matches the parquet footers (and ``expected_rows`` / ``validate``
+    when given). Legacy bare-``ok`` markers are invalid by design."""
+    recorded = _marker_rows(out)
+    if recorded is None:
+        return False
+    actual = dir_parquet_rows(out)
+    if actual != recorded:
+        return False
+    if expected_rows is not None and actual != expected_rows:
+        return False
+    if validate is not None and not validate(out):
+        return False
+    return True
+
+
+def _evict(out: str) -> None:
+    """Remove an invalid dir atomically: rename aside first so a
+    concurrent valid publish is never deleted mid-check."""
+    trash = f"{out}.trash-{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(out, trash)
+    except OSError:
+        return  # already evicted (or republished) by someone else
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def cached_table(
+    out: str,
+    build_fn: Callable[[str], None],
+    expected_rows: int | None = None,
+    validate: Callable[[str], bool] | None = None,
+    attempts: int = 3,
+) -> str:
+    """Return ``out`` containing a VALIDATED parquet table, building
+    it via ``build_fn(tmp_dir)`` if absent or poisoned.
+
+    ``build_fn`` writes one or more parquet files into the (empty)
+    tmp dir it is given; this helper verifies the row count, writes
+    the counted marker, and publishes atomically.
+    """
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    last_err: Exception | None = None
+    for _ in range(attempts):
+        if os.path.isdir(out):
+            if table_is_valid(out, expected_rows, validate):
+                return out
+            _evict(out)
+        tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        try:
+            assert not os.listdir(tmp), f"fresh tmp dir not empty: {tmp}"
+            build_fn(tmp)
+            rows = dir_parquet_rows(tmp)
+            if expected_rows is not None and rows != expected_rows:
+                raise RuntimeError(
+                    f"cached_table build for {out} produced {rows} rows, "
+                    f"expected {expected_rows} — duplicated write execution? "
+                    f"(see module docstring, mechanism 2)"
+                )
+            with open(os.path.join(tmp, MARKER), "w") as f:
+                f.write(json.dumps({"rows": rows, "version": 2}))
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                # concurrent builder published first — validate THEIR
+                # table on the next loop iteration instead of trusting it
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as e:  # never leave half-built tmp dirs behind
+            shutil.rmtree(tmp, ignore_errors=True)
+            last_err = e
+            if not isinstance(e, RuntimeError):
+                raise
+    if os.path.isdir(out) and table_is_valid(out, expected_rows, validate):
+        return out
+    raise RuntimeError(
+        f"could not produce a valid cached table at {out} "
+        f"after {attempts} attempts"
+        + (f" (last error: {last_err})" if last_err else "")
+    ) from last_err
+
+
+def spatial_dataset_is_valid(out: str, expected_rows: int | None = None) -> bool:
+    """Validate a spatial_write dataset dir: manifest loads, every
+    partition's parquet footer row count matches its manifest entry,
+    and the total matches ``expected_rows``. Footer-only — no data
+    pages are read."""
+    from geomedea_ray.state.manifest import Manifest
+
+    try:
+        m = Manifest.load(out)
+    except (OSError, ValueError, KeyError):
+        return False
+    total = 0
+    for pm in m.partitions:
+        p = os.path.join(out, pm.path)
+        try:
+            actual = pq.ParquetFile(p).metadata.num_rows
+        except (OSError, pq.lib.ArrowInvalid):
+            return False
+        if actual != pm.row_count or not os.path.exists(
+            os.path.join(out, pm.index_path)
+        ):
+            return False
+        total += actual
+    if total != m.row_count:
+        return False
+    return expected_rows is None or total == expected_rows
+
+
+def cached_spatial_dataset(
+    out: str,
+    build_fn: Callable[[str], None],
+    expected_rows: int | None = None,
+    attempts: int = 3,
+) -> str:
+    """cached_table's twin for spatial_write datasets — the manifest
+    (not a _SUCCESS marker) carries the counts; validation compares it
+    against the parquet footers on every load."""
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    for _ in range(attempts):
+        if os.path.isdir(out):
+            if spatial_dataset_is_valid(out, expected_rows):
+                return out
+            _evict(out)
+        tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        try:
+            build_fn(tmp)
+            if not spatial_dataset_is_valid(tmp, expected_rows):
+                raise RuntimeError(
+                    f"spatial_write into {tmp} failed validation "
+                    f"(expected {expected_rows} rows)"
+                )
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    if os.path.isdir(out) and spatial_dataset_is_valid(out, expected_rows):
+        return out
+    raise RuntimeError(
+        f"could not produce a valid spatial dataset at {out} after {attempts} attempts"
+    )
+
+
+def cached_file(
+    out: str,
+    build_fn: Callable[[str], None],
+    expected_rows: int | None = None,
+    attempts: int = 2,
+) -> str:
+    """Single-parquet-file variant: ``build_fn(tmp_path)`` writes ONE
+    parquet file; published via ``os.replace`` (atomic, can't merge),
+    validated against ``expected_rows`` on every load."""
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    for _ in range(attempts):
+        if os.path.exists(out):
+            if (
+                expected_rows is None
+                or pq.ParquetFile(out).metadata.num_rows == expected_rows
+            ):
+                return out
+            os.unlink(out)
+        tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            build_fn(tmp)
+            rows = pq.ParquetFile(tmp).metadata.num_rows
+            if expected_rows is not None and rows != expected_rows:
+                raise RuntimeError(
+                    f"cached_file build for {out} produced {rows} rows, "
+                    f"expected {expected_rows}"
+                )
+            os.replace(tmp, out)
+        except Exception:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+    return out

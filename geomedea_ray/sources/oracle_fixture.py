@@ -103,36 +103,34 @@ def oracle_images_path(n: int, seed: int = 42, cache_root: str = CACHE_ROOT) -> 
     """Materialize (or reuse) the n-row oracle table; returns the
     parquet file path. Pure single-process; safe to call from
     ``oracle_sql()`` (no Ray session required)."""
-    out = os.path.join(cache_root, f"images_oracle_n{n}_seed{seed}.parquet")
-    if os.path.exists(out):
-        return out
-    os.makedirs(cache_root, exist_ok=True)
+    from geomedea_ray.sources.cache import cached_file
 
-    chunks: list[pa.Table] = []
-    for lo in range(0, n, _CHUNK):
-        ids = np.arange(lo, min(lo + _CHUNK, n), dtype=np.int64)
-        rows = synth_image_batch(ids, seed=seed)
-        d = _derive_chunk(rows)
-        chunks.append(pa.table({
-            "image_id": rows["image_id"],
-            "w": rows["w"],
-            "h": rows["h"],
-            "fmt": rows["fmt"],
-            "caption": rows["caption"],
-            "phash": rows["phash"],
-            "lng": pa.array(d["lng"], pa.float64()),
-            "lat": pa.array(d["lat"], pa.float64()),
-            "mean_px": pa.array(d["mean_px"], pa.float64()),
-            "std_px": pa.array(d["std_px"], pa.float64()),
-            "phash_rt": pa.array(d["phash_rt"], pa.int64()),
-            "phash_ok": pa.array(d["phash_ok"], pa.bool_()),
-            "thumb": pa.array(list(d["thumb"]), pa.list_(pa.float32(), 64)),
-            "thumb_q": pa.array(list(d["thumb_q"]), pa.list_(pa.int64(), 64)),
-            "psnr_ok": pa.array(d["psnr_ok"], pa.bool_()),
-        }))
+    def _build(tmp: str) -> None:
+        chunks: list[pa.Table] = []
+        for lo in range(0, n, _CHUNK):
+            ids = np.arange(lo, min(lo + _CHUNK, n), dtype=np.int64)
+            rows = synth_image_batch(ids, seed=seed)
+            d = _derive_chunk(rows)
+            chunks.append(pa.table({
+                "image_id": rows["image_id"],
+                "w": rows["w"],
+                "h": rows["h"],
+                "fmt": rows["fmt"],
+                "caption": rows["caption"],
+                "phash": rows["phash"],
+                "lng": pa.array(d["lng"], pa.float64()),
+                "lat": pa.array(d["lat"], pa.float64()),
+                "mean_px": pa.array(d["mean_px"], pa.float64()),
+                "std_px": pa.array(d["std_px"], pa.float64()),
+                "phash_rt": pa.array(d["phash_rt"], pa.int64()),
+                "phash_ok": pa.array(d["phash_ok"], pa.bool_()),
+                "thumb": pa.array(list(d["thumb"]), pa.list_(pa.float32(), 64)),
+                "thumb_q": pa.array(list(d["thumb_q"]), pa.list_(pa.int64(), 64)),
+                "psnr_ok": pa.array(d["psnr_ok"], pa.bool_()),
+            }))
+        pq.write_table(pa.concat_tables(chunks), tmp, compression="zstd")
 
-    table = pa.concat_tables(chunks)
-    tmp = out + f".tmp-{os.getpid()}"
-    pq.write_table(table, tmp, compression="zstd")
-    os.replace(tmp, out)
-    return out
+    return cached_file(
+        os.path.join(cache_root, f"images_oracle_n{n}_seed{seed}.parquet"),
+        _build, expected_rows=n,
+    )

@@ -29,44 +29,49 @@ NOISE_REL = 1e-2
 def planted_embeddings_path(sf_dir: str, cache_root: str = CACHE_ROOT) -> str:
     """Materialize (or reuse) the planted table for this sf; returns
     the parquet path. Single-process (safe from oracle_sql())."""
+    from geomedea_ray.sources.cache import cached_file
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(cache_root, f"embeddings_planted_{tag}.parquet")
-    if os.path.exists(out):
-        return out
-    os.makedirs(cache_root, exist_ok=True)
 
-    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    ids = src["vec_id"].to_numpy()
-    # zero-copy-ish flat view (uniform-length list column), no per-row
-    # Python objects — same layout trick as stages/ann._emb_matrix
-    emb = src["embedding"].combine_chunks()
-    flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float32)
-    m = flat.reshape(len(emb), -1)
-    dim = m.shape[1]
+    # expected size from the id column alone (cheap cache-hit validation)
+    src_ids = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+    )["vec_id"].to_numpy()
+    expected = len(src_ids) + int((src_ids % PLANT_EVERY == 0).sum())
 
-    sel = np.flatnonzero(ids % PLANT_EVERY == 0)
-    copies = np.empty((len(sel), dim), np.float32)
-    for j, i in enumerate(sel):
-        rng = np.random.default_rng((20260817, int(ids[i])))
-        v = m[i].astype(np.float64)
-        scale = NOISE_REL * np.linalg.norm(v) / np.sqrt(dim)
-        copies[j] = (v + scale * rng.standard_normal(dim)).astype(np.float32)
+    def _build(tmp: str) -> None:
+        src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+        ids = src["vec_id"].to_numpy()
+        # zero-copy-ish flat view (uniform-length list column), no per-row
+        # Python objects — same layout trick as stages/ann._emb_matrix
+        emb = src["embedding"].combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float32)
+        m = flat.reshape(len(emb), -1)
+        dim = m.shape[1]
 
-    all_ids = np.concatenate([ids, ids[sel] + PLANT_ID_OFFSET])
-    all_m = np.concatenate([m, copies])
-    table = pa.table(
-        {
-            "vec_id": pa.array(all_ids, pa.int64()),
-            "embedding": pa.FixedSizeListArray.from_arrays(
-                pa.array(all_m.reshape(-1), pa.float32()), dim
-            ),
-        }
-    )
-    tmp = out + f".tmp-{os.getpid()}"
-    pq.write_table(table, tmp, compression="zstd")
-    os.replace(tmp, out)
-    return out
+        sel = np.flatnonzero(ids % PLANT_EVERY == 0)
+        copies = np.empty((len(sel), dim), np.float32)
+        for j, i in enumerate(sel):
+            rng = np.random.default_rng((20260817, int(ids[i])))
+            v = m[i].astype(np.float64)
+            scale = NOISE_REL * np.linalg.norm(v) / np.sqrt(dim)
+            copies[j] = (v + scale * rng.standard_normal(dim)).astype(np.float32)
+
+        all_ids = np.concatenate([ids, ids[sel] + PLANT_ID_OFFSET])
+        all_m = np.concatenate([m, copies])
+        table = pa.table(
+            {
+                "vec_id": pa.array(all_ids, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(all_m.reshape(-1), pa.float32()), dim
+                ),
+            }
+        )
+        pq.write_table(table, tmp, compression="zstd")
+
+    return cached_file(out, _build, expected_rows=expected)
 
 
 def neardup_sql(sf_dir: str, min_cosine: float = 0.95) -> str:

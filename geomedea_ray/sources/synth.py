@@ -24,7 +24,6 @@ cached under /tmp keyed by (n, seed).
 from __future__ import annotations
 
 import os
-import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -88,35 +87,36 @@ def synth_image_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
 
 def image_table_path(n: int, seed: int = 42, cache_root: str = "/tmp/geomedea_ray_cache") -> str:
     """Materialize (or reuse) the n-row image table as partitioned
-    Parquet; returns the directory path. Ray must be initialised."""
-    out = os.path.join(cache_root, f"images_n{n}_seed{seed}")
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
-        return out
-    import ray.data
+    Parquet; returns the directory path. Ray must be initialised.
 
-    if os.path.exists(out):
-        shutil.rmtree(out)
-    os.makedirs(out, exist_ok=True)
+    Published atomically with a row-count-validated marker via
+    sources/cache.cached_table (round-2 VERDICT item 1: the old
+    rmtree+write-into-live-dir publish let two concurrent builders
+    interleave into a doubled table that was then served forever)."""
+    from geomedea_ray.sources.cache import cached_table
 
-    def _batch(batch: pa.Table) -> pa.Table:
-        return synth_image_batch(batch["id"].to_numpy(), seed=seed)
+    def _build(tmp: str) -> None:
+        import ray.data
 
-    # generate wide (parallel), then repartition to FEW LARGE fragments
-    # before writing: per-file fixed read cost (~40 ms metadata+assembly)
-    # dominates 4k-row fragments and makes every downstream pipeline
-    # read-bound; 30k+-row fragments match how a real deployment sizes
-    # files (0.5-1 GB) and keep reads ~free relative to transforms
-    n_files = max(4, n // 7_500)  # ~50 MB/fragment: big enough to amortize per-file read cost, numerous enough that a 32-CPU read needs no block splitting (splits break read→map fusion)
-    (
-        ray.data.range(n)
-        .map_batches(_batch, batch_format="pyarrow", batch_size=2048)
-        .repartition(n_files)
-        .write_parquet(out)
+        def _batch(batch: pa.Table) -> pa.Table:
+            return synth_image_batch(batch["id"].to_numpy(), seed=seed)
+
+        # generate wide (parallel), then repartition to FEW LARGE fragments
+        # before writing: per-file fixed read cost (~40 ms metadata+assembly)
+        # dominates 4k-row fragments and makes every downstream pipeline
+        # read-bound; 30k+-row fragments match how a real deployment sizes
+        # files (0.5-1 GB) and keep reads ~free relative to transforms
+        n_files = max(4, n // 7_500)  # ~50 MB/fragment: big enough to amortize per-file read cost, numerous enough that a 32-CPU read needs no block splitting (splits break read→map fusion)
+        (
+            ray.data.range(n)
+            .map_batches(_batch, batch_format="pyarrow", batch_size=2048)
+            .repartition(n_files)
+            .write_parquet(tmp)
+        )
+
+    return cached_table(
+        os.path.join(cache_root, f"images_n{n}_seed{seed}"), _build, expected_rows=n
     )
-    with open(marker, "w") as f:
-        f.write("ok")
-    return out
 
 
 def oracle_image_rows(ids: list[int], seed: int = 42) -> pa.Table:

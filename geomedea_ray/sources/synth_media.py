@@ -94,37 +94,31 @@ def synth_video_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
 
 
 def _table_path(kind: str, synth_fn, n: int, seed: int) -> str:
-    """Materialize via Ray (distributed gen, like the image table).
-    Built into a unique temp dir + atomic rename so concurrent
-    builders can't publish a half-written table (same pattern as the
-    oracle fixtures)."""
-    import shutil
-    import uuid
+    """Materialize via Ray (distributed gen, like the image table),
+    through sources/cache.cached_table: atomic tmp+rename publish AND
+    a row-count check before publish + on every load. The round-2
+    audio/video caches were doubled despite the old tmp+rename —
+    a duplicated ``write_parquet`` execution inside ONE build left two
+    UUID generations in the tmp dir, which was renamed whole; only the
+    pre-publish count (and load-time re-validation) catches that."""
+    from geomedea_ray.sources.cache import cached_table
 
-    out = os.path.join(CACHE_ROOT, f"{kind}_n{n}_seed{seed}")
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return out
-    import ray.data
+    def _build(tmp: str) -> None:
+        import ray.data
 
-    tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
-    os.makedirs(tmp, exist_ok=True)
+        def _batch(batch: pa.Table) -> pa.Table:
+            return synth_fn(batch["id"].to_numpy(), seed=seed)
 
-    def _batch(batch: pa.Table) -> pa.Table:
-        return synth_fn(batch["id"].to_numpy(), seed=seed)
+        (
+            ray.data.range(n)
+            .map_batches(_batch, batch_format="pyarrow", batch_size=256)
+            .repartition(max(4, n // 400))
+            .write_parquet(tmp)
+        )
 
-    (
-        ray.data.range(n)
-        .map_batches(_batch, batch_format="pyarrow", batch_size=256)
-        .repartition(max(4, n // 400))
-        .write_parquet(tmp)
+    return cached_table(
+        os.path.join(CACHE_ROOT, f"{kind}_n{n}_seed{seed}"), _build, expected_rows=n
     )
-    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write("ok")
-    try:
-        os.rename(tmp, out)
-    except OSError:  # concurrent builder won
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 def audio_table_path(n: int, seed: int = 42) -> str:
@@ -136,43 +130,140 @@ def video_table_path(n: int, seed: int = 42) -> str:
 
 
 # ------------------------------------------------------------- oracles
+#
+# The oracle features are RE-DERIVED with independent per-window
+# SCALAR implementations below — NOT the distributed
+# AudioFeatures/FrameSample kernels — so the gate comparison verifies
+# the feature math as well as the Ray scheduling/batching (round-2
+# ADVICE: the old oracles reused the stage classes, checking only
+# plumbing). Bit-exactness of scalar-vs-vectorized holds because every
+# reduction runs over the same contiguous window values in the same
+# pairwise order (asserted in tests/test_media.py's oracle-equality
+# test over many clips).
+
+
+def expected_audio_windows(n: int, seed: int = 42, win: int = 2048) -> int:
+    """Total (clip, window) rows — replays only the duration draw."""
+    total = 0
+    for i in range(n):
+        rng = np.random.default_rng((seed, 7, i))
+        total += int(float(rng.uniform(1.0, 2.0)) * SR) // win
+    return total
+
+
+def expected_video_rows(n: int, seed: int = 42, k: int = 4) -> int:
+    """Total sampled-frame rows — replays only the n_frames draw."""
+    total = 0
+    for i in range(n):
+        rng = np.random.default_rng((seed, 9, i))
+        total += min(k, int(rng.integers(8, 17)))
+    return total
+
+
+def scalar_audio_feature_rows(pcm: np.ndarray, sr: int, win: int) -> list[dict]:
+    """Independent per-window scalar featurization (the oracle side):
+    one window at a time, plain 1-D numpy — no batching, no reshape."""
+    rows = []
+    nw = len(pcm) // win
+    for j in range(nw):
+        x = pcm[j * win: (j + 1) * win].astype(np.float32) / 32768.0
+        spec = np.abs(np.fft.rfft(x))
+        freqs = np.fft.rfftfreq(win, d=1.0 / float(sr))
+        rows.append({
+            "window": j,
+            "t0_s": float(np.float64(j) * win / float(sr)),
+            "rms": float(np.sqrt(np.mean(x * x))),
+            "zcr": float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+            "centroid_hz": float((spec * freqs).sum() / max(float(spec.sum()), 1e-12)),
+        })
+    return rows
+
+
+def scalar_video_frame_rows(frames: np.ndarray, fps: float, k: int) -> list[dict]:
+    """Independent per-frame scalar stats (the oracle side)."""
+    n = frames.shape[0]
+    kk = min(k, n)
+    idx = (np.round(np.linspace(0, n - 1, kk)).astype(np.int64)
+           if kk > 1 else np.array([0], np.int64))
+    rows = []
+    for j in idx.tolist():
+        f = frames[j]
+        rows.append({
+            "frame_idx": j,
+            "ts_s": float(j / np.float64(fps)),
+            "mean_px": float(int(f.reshape(-1).astype(np.int64).sum())
+                             / (3.0 * f.shape[0] * f.shape[1])),
+        })
+    return rows
+
 
 def audio_oracle_path(n: int, seed: int = 42, win: int = 2048) -> str:
-    """Single-process (no Ray) regeneration + featurization — the
-    differential oracle for the distributed AudioFeatures stage."""
-    out = os.path.join(CACHE_ROOT, f"audio_oracle_n{n}_seed{seed}_w{win}.parquet")
-    if os.path.exists(out):
-        return out
-    from geomedea_ray.stages.media import AudioFeatures
+    """Single-process (no Ray) regeneration + INDEPENDENT scalar
+    featurization — the differential oracle for the distributed
+    AudioFeatures stage. Cached via cached_file: atomic replace,
+    row count re-validated on every load."""
+    from geomedea_ray.sources.cache import cached_file
 
-    os.makedirs(CACHE_ROOT, exist_ok=True)
-    stage = AudioFeatures(win)
-    chunks = []
-    for lo in range(0, n, 256):
-        rows = synth_audio_batch(np.arange(lo, min(lo + 256, n)), seed=seed)
-        chunks.append(stage(rows))
-    tmp = out + f".tmp-{os.getpid()}"
-    pq.write_table(pa.concat_tables(chunks), tmp, compression="zstd")
-    os.replace(tmp, out)
-    return out
+    def _build(tmp: str) -> None:
+        cols = {"audio_id": [], "window": [], "t0_s": [], "rms": [],
+                "zcr": [], "centroid_hz": []}
+        for lo in range(0, n, 256):
+            tbl = synth_audio_batch(np.arange(lo, min(lo + 256, n)), seed=seed)
+            for r in range(tbl.num_rows):
+                pcm = np.frombuffer(tbl["bytes"][r].as_py(), dtype="<i2")
+                for row in scalar_audio_feature_rows(
+                    pcm, tbl["sr"][r].as_py(), win
+                ):
+                    cols["audio_id"].append(tbl["audio_id"][r].as_py())
+                    for key, v in row.items():
+                        cols[key].append(v)
+        out_t = pa.table({
+            "audio_id": pa.array(cols["audio_id"], pa.string()),
+            "window": pa.array(cols["window"], pa.int64()),
+            "t0_s": pa.array(cols["t0_s"], pa.float64()),
+            "rms": pa.array(cols["rms"], pa.float64()),
+            "zcr": pa.array(cols["zcr"], pa.float64()),
+            "centroid_hz": pa.array(cols["centroid_hz"], pa.float64()),
+        })
+        pq.write_table(out_t, tmp, compression="zstd")
+
+    return cached_file(
+        os.path.join(CACHE_ROOT, f"audio_oracle_n{n}_seed{seed}_w{win}.parquet"),
+        _build, expected_rows=expected_audio_windows(n, seed, win),
+    )
 
 
 def video_oracle_path(n: int, seed: int = 42, k: int = 4) -> str:
-    out = os.path.join(CACHE_ROOT, f"video_oracle_n{n}_seed{seed}_k{k}.parquet")
-    if os.path.exists(out):
-        return out
-    from geomedea_ray.stages.media import FrameSample
+    from geomedea_ray.sources.cache import cached_file
 
-    os.makedirs(CACHE_ROOT, exist_ok=True)
-    stage = FrameSample(k)
-    chunks = []
-    for lo in range(0, n, 128):
-        rows = synth_video_batch(np.arange(lo, min(lo + 128, n)), seed=seed)
-        chunks.append(stage(rows))
-    tmp = out + f".tmp-{os.getpid()}"
-    pq.write_table(pa.concat_tables(chunks), tmp, compression="zstd")
-    os.replace(tmp, out)
-    return out
+    def _build(tmp: str) -> None:
+        cols = {"video_id": [], "frame_idx": [], "ts_s": [], "mean_px": []}
+        for lo in range(0, n, 128):
+            tbl = synth_video_batch(np.arange(lo, min(lo + 128, n)), seed=seed)
+            for r in range(tbl.num_rows):
+                nf = tbl["n_frames"][r].as_py()
+                w, h = tbl["w"][r].as_py(), tbl["h"][r].as_py()
+                frames = np.frombuffer(
+                    tbl["bytes"][r].as_py(), np.uint8
+                ).reshape(nf, h, w, 3)
+                for row in scalar_video_frame_rows(
+                    frames, tbl["fps"][r].as_py(), k
+                ):
+                    cols["video_id"].append(tbl["video_id"][r].as_py())
+                    for key, v in row.items():
+                        cols[key].append(v)
+        out_t = pa.table({
+            "video_id": pa.array(cols["video_id"], pa.string()),
+            "frame_idx": pa.array(cols["frame_idx"], pa.int64()),
+            "ts_s": pa.array(cols["ts_s"], pa.float64()),
+            "mean_px": pa.array(cols["mean_px"], pa.float64()),
+        })
+        pq.write_table(out_t, tmp, compression="zstd")
+
+    return cached_file(
+        os.path.join(CACHE_ROOT, f"video_oracle_n{n}_seed{seed}_k{k}.parquet"),
+        _build, expected_rows=expected_video_rows(n, seed, k),
+    )
 
 
 def audio_features_sql(sf_dir: str) -> str:

@@ -66,28 +66,21 @@ def _readable_path(sf_dir: str, table: str) -> str | list[str]:
     st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(_CACHE_ROOT, f"{tag}_{table}_{st.st_size}_{int(st.st_mtime)}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        # concurrent-writer safe: every file (and the marker) is
-        # published via tmp+rename, and content is a deterministic
-        # function of the source — racing processes write identical
-        # bytes, the last rename wins harmlessly
-        import uuid
 
-        os.makedirs(out, exist_ok=True)
+    from geomedea_ray.sources.cache import cached_table
+
+    def _build(tmp_dir: str) -> None:
+        # deterministic fixed-name slices of the source; fragment
+        # content is a pure function of (src bytes, slice bounds)
         t = pq.read_table(src)
         n_frags = max(2, (t.num_rows + _SPLIT_TARGET_ROWS - 1) // _SPLIT_TARGET_ROWS)
         step = (t.num_rows + n_frags - 1) // n_frags
         for i, off in enumerate(range(0, t.num_rows, step)):
-            dst = os.path.join(out, f"part-{i:04d}.parquet")
-            tmp = dst + f".tmp-{uuid.uuid4().hex[:8]}"
-            pq.write_table(t.slice(off, step), tmp,
+            pq.write_table(t.slice(off, step),
+                           os.path.join(tmp_dir, f"part-{i:04d}.parquet"),
                            compression="zstd", row_group_size=16_384)
-            os.replace(tmp, dst)
-        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write("ok")
-        os.replace(tmp, marker)
+
+    out = cached_table(out, _build, expected_rows=meta.num_rows)
     return sorted(
         os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
     )

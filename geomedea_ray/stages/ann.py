@@ -311,6 +311,14 @@ def build_bucketed_store(
                          "rows": pa.array([batch.num_rows], pa.int64())})
 
     files = ds.map_batches(_write, batch_format="pyarrow", batch_size=None).to_pandas()
+    # a retried/duplicated write-task execution leaves a second file on
+    # disk that the manifest never references (round-2 postmortem:
+    # that mechanism doubled the media fixture tables) — delete any
+    # parquet not in the manifest so footer-count validation stays true
+    manifested = set(files["path"])
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") and f not in manifested:
+            os.unlink(os.path.join(out_dir, f))
     meta = {
         "nbits": nbits,
         "seed": seed,

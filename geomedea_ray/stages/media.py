@@ -140,7 +140,16 @@ class FrameSample:
             kk, h, w, _ = sel.shape
             s1 = sel.reshape(kk, -1).sum(axis=1, dtype=np.int64)
             g = sel.sum(axis=3, dtype=np.uint16)
+            # thumb needs 8×8 blocks: crop to the largest multiple-of-8
+            # window (mean_px above still covers the FULL frame) — real
+            # frame sizes (e.g. 30×40) are not multiples of 8
             bh, bw = h // 8, w // 8
+            if bh == 0 or bw == 0:
+                raise ValueError(
+                    f"video {ids[i]!r}: frames {h}x{w} too small for an "
+                    f"8x8 block thumb (need >= 8x8)"
+                )
+            g = g[:, : bh * 8, : bw * 8]
             tq = g.reshape(kk, 8, bh, 8, bw).sum(axis=(2, 4), dtype=np.int64)
             out["video_id"].extend([ids[i]] * kk)
             out["frame_idx"].append(idx)

@@ -78,3 +78,86 @@ class TestFrameSample:
         tbl = synth_video_batch(np.array([1]))
         out = FrameSample(100)(tbl)
         assert out.num_rows == tbl["n_frames"][0].as_py()
+
+    def test_non_multiple_of_8_frame_dims(self):
+        """Real-world sizes (30x40) must not crash the block-sum thumb
+        (ADVICE round 2): thumb crops to the 8-multiple window,
+        mean_px still covers the FULL frame."""
+        h, w, n = 30, 40, 6
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        tbl = pa.table({
+            "video_id": pa.array(["v0"], pa.string()),
+            "bytes": pa.array([frames.tobytes()], pa.binary()),
+            "n_frames": pa.array([n], pa.int32()),
+            "w": pa.array([w], pa.int32()),
+            "h": pa.array([h], pa.int32()),
+            "fps": pa.array([8.0], pa.float32()),
+            "fmt": pa.array(["rawrgb"], pa.string()),
+        })
+        out = FrameSample(4)(tbl)
+        assert out.num_rows == 4
+        idx = np.round(np.linspace(0, n - 1, 4)).astype(int)
+        f0 = frames[idx[0]]
+        assert out["mean_px"][0].as_py() == pytest.approx(float(f0.mean()), rel=1e-12)
+        # thumb over the cropped 24x40 window
+        g = f0[:24, :40].sum(axis=2, dtype=np.uint16)
+        tq = g.reshape(8, 3, 8, 5).sum(axis=(1, 3), dtype=np.int64).reshape(64)
+        assert out["thumb_q"][0].as_py() == tq.tolist()
+
+    def test_too_small_frames_raise(self):
+        frames = np.zeros((2, 4, 4, 3), np.uint8)
+        tbl = pa.table({
+            "video_id": pa.array(["v0"], pa.string()),
+            "bytes": pa.array([frames.tobytes()], pa.binary()),
+            "n_frames": pa.array([2], pa.int32()),
+            "w": pa.array([4], pa.int32()),
+            "h": pa.array([4], pa.int32()),
+            "fps": pa.array([8.0], pa.float32()),
+            "fmt": pa.array(["rawrgb"], pa.string()),
+        })
+        with pytest.raises(ValueError, match="too small"):
+            FrameSample(2)(tbl)
+
+
+class TestIndependentOracles:
+    """The gate oracles re-derive features with the SCALAR
+    implementations in sources/synth_media.py — independent of the
+    vectorized stages. The driver gate hash-compares raw float64
+    columns, so scalar-vs-vectorized must agree BIT-FOR-BIT (same
+    contiguous windows, same pairwise reduction order)."""
+
+    def test_audio_scalar_oracle_bit_exact(self):
+        from geomedea_ray.sources.synth_media import scalar_audio_feature_rows
+
+        tbl = synth_audio_batch(np.arange(30))
+        got = AudioFeatures(2048)(tbl)
+        k = 0
+        for r in range(tbl.num_rows):
+            pcm = np.frombuffer(tbl["bytes"][r].as_py(), dtype="<i2")
+            for row in scalar_audio_feature_rows(pcm, tbl["sr"][r].as_py(), 2048):
+                assert got["window"][k].as_py() == row["window"]
+                assert got["t0_s"][k].as_py() == row["t0_s"]
+                assert got["rms"][k].as_py() == row["rms"]
+                assert got["zcr"][k].as_py() == row["zcr"]
+                assert got["centroid_hz"][k].as_py() == row["centroid_hz"]
+                k += 1
+        assert k == got.num_rows
+
+    def test_video_scalar_oracle_bit_exact(self):
+        from geomedea_ray.sources.synth_media import scalar_video_frame_rows
+
+        tbl = synth_video_batch(np.arange(30))
+        got = FrameSample(4)(tbl)
+        k = 0
+        for r in range(tbl.num_rows):
+            nf = tbl["n_frames"][r].as_py()
+            frames = np.frombuffer(tbl["bytes"][r].as_py(), np.uint8).reshape(
+                nf, 32, 32, 3
+            )
+            for row in scalar_video_frame_rows(frames, tbl["fps"][r].as_py(), 4):
+                assert got["frame_idx"][k].as_py() == row["frame_idx"]
+                assert got["ts_s"][k].as_py() == row["ts_s"]
+                assert got["mean_px"][k].as_py() == row["mean_px"]
+                k += 1
+        assert k == got.num_rows
