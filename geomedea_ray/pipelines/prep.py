@@ -90,9 +90,20 @@ def _write_partitioned(ds, out_dir: str, zoom: int):
 
     os.makedirs(out_dir, exist_ok=True)
 
+    # bucket-key width derived from the CLUSTER (round-2 VERDICT: a
+    # fixed >>2 capped write parallelism at ~16 buckets regardless of
+    # node count): target ≥ 2 buckets per CPU, bounded by 2^zoom
+    import math
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    target = max(16, 2 * cpus)
+    shift = max(0, zoom - math.ceil(math.log2(target)))
+
     def _part(batch: pa.Table) -> pa.Table:
-        # partition key: tile_x bucket (coarse; keeps file count small)
-        b = (batch["tile_x"].to_numpy() >> 2).astype(np.int64)
+        # partition key: tile_x bucket (resume unit; one file each)
+        b = (batch["tile_x"].to_numpy() >> shift).astype(np.int64)
         return batch.append_column("_bucket", pa.array(b, pa.int64()))
 
     buckets = ds.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True)

@@ -19,9 +19,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from geomedea_ray.util import auto_pool  # noqa: F401  (re-exported for callers)
+from geomedea_ray.util import auto_pool, auto_shards, size_hint  # noqa: F401  (auto_pool re-exported for callers)
 
-DEFAULT_SHARDS = 64
+
+def _resolve_shards(ds, num_shards):
+    """Explicit count wins; else derive from cluster CPUs + inferred
+    input bytes (util.auto_shards) — a constant shard count means
+    unbounded per-shard working sets at 100 TB."""
+    return num_shards if num_shards else auto_shards(size_hint(ds))
 
 
 def _shard_of(vals: pd.Series, num_shards: int) -> np.ndarray:
@@ -40,7 +45,7 @@ def asof_join(
     by: str,
     right_cols: list[str],
     suffix: str = "_r",
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: int | None = None,
 ):
     """For each left row, attach the LATEST right row with
     ``right.on <= left.on`` within the same ``by`` key (DuckDB
@@ -54,6 +59,7 @@ def asof_join(
     each shard runs one vectorized ``np.searchsorted`` merge per side,
     NOT per key (keys are segmented with run detection).
     """
+    num_shards = _resolve_shards(left_ds, num_shards)
 
     def _tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -78,7 +84,7 @@ def asof_join_single(
     right_filter,
     right_cols: list[str],
     suffix: str = "_r",
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: int | None = None,
 ):
     """``asof_join`` for sides carved out of the SAME dataset by pandas
     boolean-mask callables (the common case: one event log filtered two
@@ -86,6 +92,7 @@ def asof_join_single(
     matches, ONE shuffle — no ``Dataset.union``, whose branch
     serialization the round-1 bench measured at 16× on the scaled
     chain."""
+    num_shards = _resolve_shards(ds, num_shards)
 
     def _tag_both(df: pd.DataFrame) -> pd.DataFrame:
         lm = np.asarray(left_filter(df), bool)
@@ -167,7 +174,7 @@ def range_join_pairs(
     right_filter,
     window,
     id_col: str,
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: int | None = None,
 ):
     """All (left, right) row pairs with the same ``by`` key and
     ``0 <= left.on - right.on <= window`` — the interval/range join
@@ -175,6 +182,7 @@ def range_join_pairs(
     ``right_filter`` are pandas boolean-mask callables; ``window`` in
     the same units as ``on`` (timedelta for timestamps). Output:
     (by, id_left, id_right, gap)."""
+    num_shards = _resolve_shards(ds, num_shards)
 
     def _shardit(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_shard=_shard_of(df[by], num_shards))
@@ -250,11 +258,12 @@ def top_k_per_group(
     k: int,
     tiebreak: str,
     descending: bool = True,
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: int | None = None,
 ):
     """Per ``by`` group, the top-``k`` rows by ``order_col`` (ties →
     smaller ``tiebreak`` first), with a ``rank`` column — the windowed
     ROW_NUMBER() pattern. Sharded: one sort + run-detection per shard."""
+    num_shards = _resolve_shards(ds, num_shards)
 
     def _shardit(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_shard=_shard_of(df[by], num_shards))
@@ -308,7 +317,7 @@ def sessionize(
     by: str,
     gap,
     id_col: str,
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: int | None = None,
 ):
     """Gap-based sessionization (the classic streaming/windowing op the
     reference lacks — SURVEY §2.5): within each ``by`` key, order by
@@ -317,6 +326,7 @@ def sessionize(
     ``event_seq`` (1-based within session). Sharded per-key-run
     vectorized (cumsum over a boolean new-session mask — no per-key
     callbacks)."""
+    num_shards = _resolve_shards(ds, num_shards)
 
     def _shardit(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_shard=_shard_of(df[by], num_shards))

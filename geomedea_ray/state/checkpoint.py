@@ -51,11 +51,38 @@ class LineageRecord:
     ts: float = 0.0
 
 
+def _code_fingerprint(code) -> str:
+    """Structural, CROSS-PROCESS-stable fingerprint of a code object.
+
+    ``repr(code.co_consts)`` embeds memory addresses for nested code
+    objects (lambdas / inner defs), so it differs in every process and
+    a batch_fn containing any closure would get a fresh hash per run —
+    silently defeating cross-run resume. Instead, recurse into nested
+    code objects and hash their structure (bytecode, names, stable
+    consts)."""
+    h = hashlib.sha256()
+
+    def feed(c) -> None:
+        h.update(c.co_code)
+        h.update(repr((c.co_names, c.co_varnames, c.co_freevars,
+                       c.co_argcount, c.co_kwonlyargcount)).encode())
+        for const in c.co_consts:
+            if hasattr(const, "co_code"):  # nested code object: recurse
+                h.update(b"<code>")
+                feed(const)
+            else:
+                h.update(repr(const).encode())
+
+    feed(code)
+    return h.hexdigest()[:12]
+
+
 def op_chain_hash(*parts: Any) -> str:
     """Stable hash of an operator chain description (fn qualnames +
     kwargs + schema); identifies WHICH computation a lineage record
     certifies, so editing the pipeline never resumes into stale
-    outputs."""
+    outputs. Must be identical across processes/runs for unchanged
+    code — nested code objects are hashed structurally."""
 
     def norm(p: Any) -> str:
         if callable(p):
@@ -66,10 +93,7 @@ def op_chain_hash(*parts: Any) -> str:
                 getattr(p, "__call__", None), "__code__", None
             )
             if code is not None:
-                body = hashlib.sha256(
-                    code.co_code + repr(code.co_consts).encode()
-                ).hexdigest()[:12]
-                return f"{name}@{body}"
+                return f"{name}@{_code_fingerprint(code)}"
             return name
         if isinstance(p, dict):
             return json.dumps({k: norm(v) for k, v in sorted(p.items())})

@@ -146,6 +146,41 @@ def test_op_chain_hash_stability():
     assert a != op_chain_hash(double_x, {"k": 1}, ["x", "y"])
 
 
+_NESTED_FN_SRC = """
+import sys
+sys.path.insert(0, {repo!r})
+from geomedea_ray.state.checkpoint import op_chain_hash
+
+def fn_with_lambda(batch):
+    # nested code objects: a lambda AND an inner def — the old
+    # repr(co_consts) hash embedded their memory addresses
+    f = lambda v: v * 2
+    def inner(v):
+        return f(v) + 1
+    return inner(batch)
+
+print(op_chain_hash(fn_with_lambda, {{"k": 1}}, ["x"]))
+"""
+
+
+def test_op_chain_hash_cross_process_stability():
+    """A batch_fn containing a lambda/inner def must hash identically
+    in different interpreter processes — otherwise cross-RUN resume
+    never matches and silently recomputes everything (round-2 ADVICE
+    medium: repr(co_consts) embeds code-object memory addresses)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = _NESTED_FN_SRC.format(repo=repo)
+    outs = {
+        subprocess.run([sys.executable, "-c", src], capture_output=True,
+                       text=True, check=True).stdout.strip()
+        for _ in range(2)
+    }
+    assert len(outs) == 1 and next(iter(outs))
+
+
 def test_list_fragments_sorted(tmp_path):
     for name in ("b.parquet", "a.parquet", "ignore.txt"):
         (tmp_path / name).write_bytes(b"")
