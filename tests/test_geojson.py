@@ -152,3 +152,44 @@ class TestFilePipeline:
         p.write_text("\n".join(json.dumps(f) for f in FIXTURE_FEATURES[:3]))
         ds = GJ.read_geojson(str(p))
         assert ds.count() == 3
+
+    def test_sharded_export_roundtrip(self, ray_session, tmp_path):
+        """write_geojson_sharded: one FeatureCollection per partition
+        written inside the tasks (no driver materialization), manifest
+        committed last; read back through one read_geojson list read
+        (round-2 VERDICT item 7)."""
+        import os
+
+        # multi-partition dataset: replicate the fixture across files
+        srcs = []
+        for i in range(4):
+            p = tmp_path / f"in-{i}.geojson"
+            p.write_text(json.dumps(
+                {"type": "FeatureCollection", "features": FIXTURE_FEATURES}))
+            srcs.append(str(p))
+        ds = GJ.read_geojson(srcs)
+        out_dir = str(tmp_path / "sharded")
+        man = GJ.write_geojson_sharded(ds, out_dir)
+        n_src = 4 * len(FIXTURE_FEATURES)
+        assert man["total_rows"] == n_src
+        assert len(man["files"]) > 1  # genuinely sharded
+        assert sum(r["rows"] for r in man["files"]) == n_src
+        for r in man["files"]:
+            doc = json.load(open(os.path.join(out_dir, r["path"])))
+            assert doc["type"] == "FeatureCollection"
+            assert len(doc["features"]) == r["rows"]
+        back = GJ.read_geojson_sharded(out_dir)
+        assert back.count() == n_src
+
+    def test_write_geojson_size_guard(self, ray_session, tmp_path):
+        p = tmp_path / "in.geojson"
+        p.write_text(json.dumps(
+            {"type": "FeatureCollection", "features": FIXTURE_FEATURES}))
+        from geomedea_ray.pipelines.spatial_write import spatial_write
+        from geomedea_ray.pipelines.queries import select_all
+
+        out_dir = str(tmp_path / "spatial")
+        spatial_write(GJ.read_geojson(str(p)), out_dir, tiebreak="fid")
+        with pytest.raises(ValueError, match="write_geojson_sharded"):
+            GJ.write_geojson(select_all(out_dir), str(tmp_path / "o.geojson"),
+                             max_rows=2)
