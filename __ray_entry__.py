@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all head (SQL-mirrored hilbert)
         "geojson_roundtrip": G.q_geojson_roundtrip,  # S4/S5 bridge (rows-only)
         "props_select": G.q_props_select,            # F5 typed props: bbox + property filter
+        "props_nested": G.q_props_nested,            # F5 nested Vec/Map props as Arrow list/map cols
         "csv_points_select": G.q_csv_points_select,  # CSV+WKT ingest bridge, same oracle
         "cell_compact": G.q_cell_compact,            # H3-compact analogue (SQL-oracled)
         # --- relational surface (SURVEY §2.5 gap ops) ---
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts_mercator": G.q_tile_counts_mercator_sql(),
         "pip_join_sharded": G.q_pip_join_sql(),
         "props_select": G.q_props_select_sql(),
+        "props_nested": G.q_props_nested_sql(),
         "csv_points_select": G.q_props_select_sql(),
         "q1_pricing": R.Q1_SQL,
         "top_orders": R.TOP_ORDERS_SQL,

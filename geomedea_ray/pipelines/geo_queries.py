@@ -410,6 +410,114 @@ WHERE {LNG_SQL} >= {a!r} AND {LNG_SQL} <= {c!r}
 """
 
 
+#: props_nested filter constant (shared with the SQL oracle)
+NESTED_MIN_SCORE0 = 3
+#: wider rect than BBOX_RECT so the nested check covers hundreds of
+#: rows at the gate scale, not a handful
+NESTED_RECT = (-150.005, -70.005, 150.005, 70.005)
+
+
+def _docs_nested_dataset(sf_dir: str) -> str:
+    """Feature dataset with NESTED typed property columns (round-2
+    VERDICT item 8 / reference feature.rs:179-196 PropertyValue::Vec/
+    Map): each document feature carries ``tags`` (list<string>),
+    ``scores`` (list<int64>) and ``meta`` (map<string,string>), all
+    deterministic formulas of the documents row so the SQL oracle can
+    recompute them from scalars while the Ray side reads the REAL
+    Arrow list/map columns."""
+    import json as _json
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources import geojson as GJ
+    from geomedea_ray.sources.cache import cached_spatial_dataset
+    from geomedea_ray.sources.tables import doc_lnglat
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(CACHE_ROOT, f"docnested_{tag}")
+    expected = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+
+    def _build(tmp_out: str) -> None:
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang", "source", "n_chars"])
+        lng, lat = doc_lnglat(t["doc_id"].to_numpy())
+        src = os.path.join(CACHE_ROOT, f"docnested_{tag}.ndjson")
+        tmp_src = src + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(CACHE_ROOT, exist_ok=True)
+        with open(tmp_src, "w") as f:
+            for i in range(t.num_rows):
+                lang_v = t["lang"][i].as_py()
+                source_v = t["source"][i].as_py()
+                n_chars = int(t["n_chars"][i].as_py())
+                f.write(_json.dumps({
+                    "type": "Feature",
+                    "geometry": {"type": "Point",
+                                 "coordinates": [float(lng[i]), float(lat[i])]},
+                    "properties": {
+                        "doc_id": int(t["doc_id"][i].as_py()),
+                        "tags": [lang_v, source_v],
+                        "scores": [n_chars % 7, n_chars % 11],
+                        "meta": {"lang": lang_v, "source": source_v},
+                    },
+                }) + "\n")
+        os.replace(tmp_src, src)
+        spatial_write(GJ.read_geojson(src, typed_props=True), tmp_out,
+                      tiebreak="fid")
+
+    return cached_spatial_dataset(out, _build, expected_rows=expected)
+
+
+def q_props_nested(sf_dir: str):
+    """bbox + NESTED-property filter: the packed index prunes to the
+    rect, then the predicate runs on real Arrow ``list<>``/``map<>``
+    columns (pc.list_element / pc.map_lookup) — no JSON parsing. The
+    SQL oracle recomputes the nested values from the documents scalars
+    (the fixture derivation is a pure formula), so the gate
+    hash-verifies the whole nested-column path: ingest typing →
+    spatial write/sort → parquet → index probe → Arrow kernels."""
+    import pyarrow.compute as pc
+
+    d = _docs_nested_dataset(sf_dir)
+    ds = Q.bbox_slice(d, NESTED_RECT,
+                      columns=["p_doc_id", "p_tags", "p_scores", "p_meta"])
+
+    def _filt(t: pa.Table) -> pa.Table:
+        lang = pc.map_lookup(t["p_meta"].combine_chunks(),
+                             pa.scalar("lang"), "first")
+        s0 = pc.list_element(t["p_scores"], 0)
+        keep = pc.and_(pc.equal(lang, "en"),
+                       pc.greater_equal(s0, NESTED_MIN_SCORE0))
+        t = t.append_column("_lang", lang).append_column("_s0", s0)
+        t = t.filter(keep)
+        return pa.table({
+            "doc_id": t["p_doc_id"],
+            "tag0": pc.list_element(t["p_tags"], 0),
+            "score0": t["_s0"],
+            "score1": pc.list_element(t["p_scores"], 1),
+            "meta_source": pc.map_lookup(t["p_meta"].combine_chunks(),
+                                         pa.scalar("source"), "first"),
+        })
+
+    return ds.map_batches(_filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_props_nested_sql() -> str:
+    from geomedea_ray.sources.tables import LAT_SQL, LNG_SQL
+
+    a, b, c, e = NESTED_RECT
+    return f"""
+SELECT doc_id, lang AS tag0, n_chars % 7 AS score0, n_chars % 11 AS score1,
+       source AS meta_source
+FROM documents
+WHERE {LNG_SQL} >= {a!r} AND {LNG_SQL} <= {c!r}
+  AND {LAT_SQL} >= {b!r} AND {LAT_SQL} <= {e!r}
+  AND lang = 'en' AND n_chars % 7 >= {NESTED_MIN_SCORE0}
+"""
+
+
 def _docs_csv_dataset(sf_dir: str) -> str:
     """Same doc-point feature dataset, ingested through the CSV+WKT
     bridge (sources/csv_source.py) — a second ingestion path whose

@@ -119,40 +119,77 @@ def _unflatten_geometry(t: str, xy: np.ndarray, ring_lens: list[int],
     raise ValueError(f"unsupported geometry type {t!r}")
 
 
+def _scalar_kind(v) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    return "nested"
+
+
+def _kinds_to_type(ks: set):
+    if ks == {"bool"}:
+        return pa.bool_()
+    if ks == {"int"}:
+        return pa.int64()
+    if ks in ({"float"}, {"int", "float"}):
+        return pa.float64()
+    if ks == {"str"}:
+        return pa.string()
+    return None
+
+
 def infer_prop_types(features: list[dict]) -> dict:
-    """Flat scalar property keys → Arrow type (F5 typed properties,
-    round-1 VERDICT item 9). bool→bool_, int→int64, float→float64,
-    str→string; mixed int/float widens to float64; keys with
-    conflicting scalar types or nested list/dict values are left OUT
-    (they stay reachable via ``props_json`` — mirroring the
-    reference's own geozero punt on nested PropertyValue::Vec/Map,
-    geomedea_geozero/src/lib.rs:31-32)."""
+    """Property keys → Arrow type (F5 typed properties; round-2
+    VERDICT item 8 extends it to NESTED values, matching the
+    reference's PropertyValue::Vec/Map — feature.rs:179-196 — which
+    its own geozero bridge punts on, geomedea_geozero/src/lib.rs:31-32).
+
+    - flat scalars: bool→bool_, int→int64, float→float64, str→string;
+      mixed int/float widens to float64
+    - list of homogeneous scalars → ``list<elem>`` (PropertyValue::Vec)
+    - dict with homogeneous scalar values → ``map<string, value>``
+      (PropertyValue::Map)
+    Keys with conflicting types, lists-of-lists, or mixed-value dicts
+    are left OUT (still reachable via ``props_json``)."""
     kinds: dict[str, set] = {}
+    elem_kinds: dict[str, set] = {}
+    mapval_kinds: dict[str, set] = {}
     for f in features:
         for k, v in (f.get("properties") or {}).items():
             if v is None:
                 continue
-            if isinstance(v, bool):
-                kinds.setdefault(k, set()).add("bool")
-            elif isinstance(v, int):
-                kinds.setdefault(k, set()).add("int")
-            elif isinstance(v, float):
-                kinds.setdefault(k, set()).add("float")
-            elif isinstance(v, str):
-                kinds.setdefault(k, set()).add("str")
+            if isinstance(v, list):
+                kinds.setdefault(k, set()).add("list")
+                for e in v:
+                    if e is not None:
+                        elem_kinds.setdefault(k, set()).add(_scalar_kind(e))
+            elif isinstance(v, dict):
+                kinds.setdefault(k, set()).add("map")
+                for mv in v.values():
+                    if mv is not None:
+                        mapval_kinds.setdefault(k, set()).add(_scalar_kind(mv))
             else:
-                kinds.setdefault(k, set()).add("nested")
+                kinds.setdefault(k, set()).add(_scalar_kind(v))
     out = {}
     for k, ks in sorted(kinds.items()):
-        if ks == {"bool"}:
-            out[k] = pa.bool_()
-        elif ks == {"int"}:
-            out[k] = pa.int64()
-        elif ks in ({"float"}, {"int", "float"}):
-            out[k] = pa.float64()
-        elif ks == {"str"}:
-            out[k] = pa.string()
-        # anything else (nested / conflicting): props_json only
+        if ks == {"list"}:
+            elem = _kinds_to_type(elem_kinds.get(k, set()))
+            if elem is not None:
+                out[k] = pa.list_(elem)
+        elif ks == {"map"}:
+            val = _kinds_to_type(mapval_kinds.get(k, set()))
+            if val is not None:
+                out[k] = pa.map_(pa.string(), val)
+        else:
+            t = _kinds_to_type(ks)
+            if t is not None:
+                out[k] = t
+        # anything else (conflicting / deep nesting): props_json only
     return out
 
 
@@ -227,8 +264,14 @@ def parse_features_batch(features: list[dict], fid_start: int = 0,
         vals = []
         for f in features:
             v = (f.get("properties") or {}).get(key)
-            if v is not None and pa.types.is_floating(typ):
-                v = float(v)
+            if v is not None:
+                if pa.types.is_map(typ):
+                    # map arrays build from (key, value) pair lists;
+                    # sorted for a deterministic on-disk layout
+                    v = sorted(v.items())
+                elif pa.types.is_floating(typ):
+                    v = float(v)
+                # list<float64> coerces int elements inside pa.array
             vals.append(v)
         typed_cols[f"p_{key}"] = pa.array(vals, typ)
     return pa.table(

@@ -61,13 +61,16 @@ class TestTypedProps:
         assert pt["pop"] == pa.int64()
         assert pt["ratio"] == pa.float64()  # int+float widens
         assert pt["ok"] == pa.bool_()
-        assert "nested" not in pt    # stays in props_json
+        # round-3: scalar-valued dicts are now typed Arrow map columns
+        # (PropertyValue::Map — reference feature.rs:179-196)
+        assert pt["nested"] == pa.map_(pa.string(), pa.int64())
         assert "mixed" not in pt     # conflicting scalar types
         t = parse_features_batch(feats, prop_types=pt)
         assert t["p_pop"].to_pylist() == [10, 20]
         assert t["p_ratio"].to_pylist() == [0.5, 1.0]
         assert t["p_ok"].to_pylist() == [True, None]
-        assert "nested" in t["props_json"][0].as_py()
+        assert t["p_nested"].to_pylist() == [[("x", 1)], None]
+        assert "nested" in t["props_json"][0].as_py()  # JSON mirror kept
 
 
 class TestCsvBridge:

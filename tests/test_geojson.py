@@ -181,6 +181,58 @@ class TestFilePipeline:
         back = GJ.read_geojson_sharded(out_dir)
         assert back.count() == n_src
 
+    def test_nested_typed_props(self, ray_session, tmp_path):
+        """PropertyValue::Vec/Map analogue (reference feature.rs:179-196):
+        homogeneous lists → Arrow list<>, scalar-valued dicts →
+        map<string,v>; values readable with pc.list_element /
+        pc.map_lookup after a full spatial_write round-trip."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from geomedea_ray.pipelines.queries import select_all
+        from geomedea_ray.pipelines.spatial_write import spatial_write
+
+        feats = [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [i * 1.0, i * 0.5]},
+             "properties": {"doc_id": i,
+                            "tags": ["a" if i % 2 else "b", "web"],
+                            "scores": [i % 7, i * 2],
+                            "ratio": [0.5 * i, 1],          # mixed int/float → list<f64>
+                            "meta": {"k": f"v{i}", "s": "x"},
+                            "bad": [[1]] if i == 0 else [[2]],  # list-of-list: stays JSON
+                            }}
+            for i in range(10)
+        ]
+        p = tmp_path / "nested.ndjson"
+        p.write_text("\n".join(json.dumps(f) for f in feats))
+        types = GJ.infer_prop_types(GJ.load_geojson_features(str(p)))
+        assert types["tags"] == __import__("pyarrow").list_(
+            __import__("pyarrow").string())
+        assert types["scores"] == pa.list_(pa.int64())
+        assert types["ratio"] == pa.list_(pa.float64())
+        assert types["meta"] == pa.map_(pa.string(), pa.string())
+        assert "bad" not in types  # deep nesting punts to props_json
+
+        out_dir = str(tmp_path / "spatial")
+        spatial_write(GJ.read_geojson(str(p), typed_props=True), out_dir,
+                      tiebreak="fid")
+
+        def probe(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["p_doc_id"],
+                "tag0": pc.list_element(t["p_tags"], 0),
+                "s1": pc.list_element(t["p_scores"], 1),
+                "k": pc.map_lookup(t["p_meta"].combine_chunks(),
+                                   pa.scalar("k"), "first"),
+            })
+
+        got = (select_all(out_dir).map_batches(probe, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got["tag0"].tolist() == ["b" if i % 2 == 0 else "a" for i in range(10)]
+        assert got["s1"].tolist() == [i * 2 for i in range(10)]
+        assert got["k"].tolist() == [f"v{i}" for i in range(10)]
+
     def test_write_geojson_size_guard(self, ray_session, tmp_path):
         p = tmp_path / "in.geojson"
         p.write_text(json.dumps(
