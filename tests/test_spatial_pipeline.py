@@ -142,6 +142,50 @@ class TestLargerRoundtrip:
         want = ((full["hilbert"] >= lo) & (full["hilbert"] < hi)).sum()
         assert len(got) == want
 
+    def test_measured_ranged_reads(self, big_dir):
+        """The MEASURED remote-read path (state/remote_fs — round-2
+        VERDICT item 3): actual seeks through a counting file layer
+        must (a) return exactly the bbox_slice rows, (b) read a strict
+        subset of the full-scan bytes/requests, (c) shrink as
+        selectivity drops, and (d) charge simulated latency per
+        request."""
+        from geomedea_ray.state.remote_fs import (
+            measured_bbox_read,
+            measured_full_scan,
+        )
+
+        d, _ = big_dir
+        rect = (-10, -10, 10, 10)
+        rows, st = measured_bbox_read(d, rect)
+        assert st["rows"] == bbox_slice(d, rect).count()
+        assert set(rows["seq"].to_pylist()) == set(
+            bbox_slice(d, rect).to_pandas()["seq"])
+        _, full = measured_full_scan(d)
+        assert 0 < st["bytes_read"] < full["bytes_read"]
+        assert 0 < st["requests_coalesced"] <= st["requests"]
+
+        # ladder: a tighter rect reads fewer bytes and requests
+        _, tiny = measured_bbox_read(d, (-1.0, -1.0, 1.0, 1.0))
+        assert tiny["bytes_read"] <= st["bytes_read"]
+
+        # latency injection: per-request cost is actually charged
+        _, slow = measured_bbox_read(d, rect, latency_s=0.002,
+                                     bandwidth_bps=200e6)
+        assert slow["simulated_wait_s"] >= 0.002 * slow["requests"] * 0.99
+        assert slow["elapsed_s"] >= slow["simulated_wait_s"] * 0.9
+
+        # measured bytes agree with the metadata-inferred accounting
+        # (data pages + index sidecars, plus footer/metadata overhead
+        # the inferred path deliberately excludes)
+        from geomedea_ray.state.accounting import bbox_scan_stats
+
+        inferred = bbox_scan_stats(d, rect)
+        assert st["bytes_read"] >= inferred["bytes_touched"] + inferred["index_bytes"]
+        # overhead is bounded: footers/metadata, not data-sized
+        assert st["bytes_read"] < 2 * (
+            inferred["bytes_touched"] + inferred["index_bytes"]
+        ) + 200_000
+
 
 class TestKnnIndexed:
     """Index-backed kNN (expanding radius) must equal brute force —
