@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "knn",
     "pip_join",
     "tile_counts",
+    "tile_pyramid_deep",       # z=12 distributed rollup (round 3)
     "q1_pricing",
     "revenue_by_nation",
     "purchase_asof_signup",
@@ -59,6 +60,7 @@ BENCH_QUERIES = [
     "minhash_kernel",          # raw signature kernel throughput (driver-side)
     "embedding_neardup",
     "props_select",
+    "props_nested",            # Arrow list/map property predicates (round 3)
     "training_prep",
     "audio_features",
     "video_frames",

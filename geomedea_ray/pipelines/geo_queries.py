@@ -239,15 +239,16 @@ DEEP_PYRAMID_ZOOM = 12
 
 
 def q_tile_pyramid_deep(sf_dir: str):
-    """The DISTRIBUTED pyramid path (pipelines/tiles.tile_pyramid_ds):
-    base_zoom 12 > PYRAMID_DRIVER_MAX_ZOOM, so deep levels roll up
-    inside ancestor-sharded groups and only levels ≤ 8 touch the
+    """The DISTRIBUTED pyramid path (tiles.tile_pyramid_from_points):
+    base_zoom 12 > PYRAMID_DRIVER_MAX_ZOOM — ONE shuffle total; deep
+    levels roll up inside ancestor-sharded groups (the base-zoom
+    combine folded into the shard) and only levels ≤ 8 touch the
     driver. Same per-level direct-from-points SQL oracle as
     q_tile_pyramid (the floor-halving identity)."""
-    from geomedea_ray.pipelines.tiles import tile_aggregate, tile_pyramid_ds
+    from geomedea_ray.pipelines.tiles import tile_pyramid_from_points
 
-    base = tile_aggregate(linepoints_ds(sf_dir), DEEP_PYRAMID_ZOOM, scheme="eq")
-    out = tile_pyramid_ds(base, DEEP_PYRAMID_ZOOM)
+    out = tile_pyramid_from_points(linepoints_ds(sf_dir), DEEP_PYRAMID_ZOOM,
+                                   scheme="eq")
     return out.select_columns(["zoom", "tile_x", "tile_y", "n"])
 
 
