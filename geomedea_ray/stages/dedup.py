@@ -113,10 +113,17 @@ def _pair_shard(id_a, id_b, num_shards: int) -> np.ndarray:
 
 
 def _dedup_pairs(pairs, num_shards: int):
-    """Global pair dedup: shard on hash(id_a,id_b) so duplicates of a
-    pair co-locate, then one vectorized drop_duplicates per shard."""
+    """Global pair dedup: per-block partial drop_duplicates, coalesce
+    the (small) partial stream, then shard on hash(id_a,id_b) so
+    duplicates of a pair co-locate and one vectorized drop_duplicates
+    per shard finishes — the same partial+coalesce shape as
+    dedup_exact (the sort-exchange machinery cost is per-block)."""
+    import ray
 
-    def _add_shard(df: pd.DataFrame) -> pd.DataFrame:
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["id_a", "id_b"])
         if len(df) == 0:
             return df.assign(_shard=pd.Series([], dtype=np.int64))
         return df.assign(_shard=_pair_shard(df["id_a"], df["id_b"], num_shards))
@@ -125,7 +132,8 @@ def _dedup_pairs(pairs, num_shards: int):
         return df.drop_duplicates(["id_a", "id_b"]).drop(columns="_shard")
 
     return (
-        pairs.map_batches(_add_shard, batch_format="pandas")
+        pairs.map_batches(_partial, batch_format="pandas", batch_size=None)
+        .repartition(max(8, cpus // 4))
         .groupby("_shard")
         .map_groups(_drop, batch_format="pandas")
     )
@@ -288,24 +296,27 @@ def minhash_lsh_pairs(
     if verify_threshold is not None and texts_by_id is not None:
         import ray
 
+        from geomedea_ray.util import get_once
+
         ref = ray.put(texts_by_id)
         thr = float(verify_threshold)
         kk = shingle_k
 
-        class _Verify:
-            def __init__(self):
-                self.texts = ray.get(ref)
+        def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+            # task fn + per-process memoized broadcast fetch (get_once)
+            # instead of an actor pool: the candidate stream is tiny
+            # and pool spawn latency dwarfs the verification work; the
+            # broadcast still ships once per worker process
+            if len(batch) == 0:
+                return batch
+            texts = get_once(ref)
+            keep = [
+                T.jaccard_words(texts[a], texts[b], kk) >= thr
+                for a, b in zip(batch["id_a"], batch["id_b"])
+            ]
+            return batch[np.array(keep, bool)]
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                if len(batch) == 0:
-                    return batch
-                keep = [
-                    T.jaccard_words(self.texts[a], self.texts[b], kk) >= thr
-                    for a, b in zip(batch["id_a"], batch["id_b"])
-                ]
-                return batch[np.array(keep, bool)]
-
-        uniq = uniq.map_batches(_Verify, batch_format="pandas", batch_size=4096, concurrency=auto_pool())
+        uniq = uniq.map_batches(_verify, batch_format="pandas", batch_size=4096)
     return uniq
 
 
