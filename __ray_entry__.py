@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": T.q_ann_topk,
         "ann_topk_lsh": T.q_ann_topk_lsh,     # LSH per-batch-mask variant (rows-only)
         "ann_topk_store": T.q_ann_topk_store, # bucket-SORTED store, file/row-group prune (rows-only)
+        "ann_topk_ivf": T.q_ann_topk_ivf,     # IVF k-means store, nprobe centroid lists (rows-only)
         "ann_radius": T.q_ann_radius,         # radius search from the store (SQL-oracled)
         "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (SQL-oracled)
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings

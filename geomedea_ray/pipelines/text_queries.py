@@ -253,6 +253,49 @@ def q_ann_topk_store(sf_dir: str):
     return out.select_columns(["qid", "vec_id", "rank"])
 
 
+def ivf_store_dir(sf_dir: str) -> str:
+    """IVF (k-means coarse-quantizer) store over the RAW embeddings
+    table — the second scale path for ANN alongside the LSH-bucketed
+    store (task brief: 'an IVF or LSH-bucketed variant')."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.cache import cached_table
+
+    expected = pq.ParquetFile(tables.path(sf_dir, "embeddings")).metadata.num_rows
+
+    def _build(tmp: str) -> None:
+        from geomedea_ray.stages.ann import build_ivf_store
+
+        ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_ivf_store(ds, tmp, n_lists=64)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return cached_table(f"/tmp/geomedea_ray_cache/emb_store_ivf_{tag}",
+                        _build, expected_rows=expected)
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """``ann_topk`` served from the IVF store: the query probes its
+    ``nprobe`` nearest centroid lists and reads only those lists'
+    files ∩ row groups (rows-only gate check; recall vs exact top-k
+    and scan sub-linearity are asserted in tests/test_ann_lsh.py)."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources import tables as _t
+    from geomedea_ray.stages.ann import ann_topk_bucketed
+
+    t = pq.read_table(_t.path(sf_dir, "embeddings"))
+    mask = np.isin(t["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qm = np.stack(
+        [np.asarray(v) for v in t.filter(pa.array(mask))["embedding"].to_pylist()]
+    ).astype(np.float64)
+    qids = t.filter(pa.array(mask))["vec_id"].to_numpy()
+    out = ann_topk_bucketed(ivf_store_dir(sf_dir), qm, qids, ANN_K, nprobe=16)
+    return out.select_columns(["qid", "vec_id", "rank"])
+
+
 def raw_store_dir(sf_dir: str) -> str:
     """Bucket-sorted store over the RAW embeddings table (validated
     cache, same pattern as planted_store_dir)."""

@@ -280,20 +280,38 @@ def build_bucketed_store(
     the manifest, row-group prune from Parquet stats), sub-linear in
     the table size. The plane matrix is persisted so queries hash
     identically."""
-    import json
-    import uuid
-
-    import pyarrow.parquet as pq
-
     from geomedea_ray.stages.dedup import embedding_dim
 
-    os.makedirs(out_dir, exist_ok=True)
     dim = embedding_dim(ds, emb_col)
     planes = lsh_planes(dim, nbits, seed=seed)
     ds = ds.map_batches(
         add_lsh_bucket, fn_kwargs={"planes": planes, "emb_col": emb_col},
         batch_format="pyarrow", zero_copy_batch=True,
-    ).sort("lsh_bucket")
+    )
+    return _write_sorted_store(ds, out_dir, {
+        "kind": "lsh",
+        "nbits": nbits,
+        "seed": seed,
+        "dim": int(dim),
+        "id_col": id_col,
+        "emb_col": emb_col,
+        "planes": planes.tolist(),
+    }, row_group_size)
+
+
+def _write_sorted_store(ds_bucketed, out_dir: str, meta_base: dict,
+                        row_group_size: int) -> dict:
+    """Shared store writer: range-sort on ``lsh_bucket``, one file per
+    sorted partition with its bucket range in the manifest and tight
+    per-row-group statistics; orphans from retried write tasks removed
+    before the manifest is published."""
+    import json
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = ds_bucketed.sort("lsh_bucket")
 
     def _write(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -319,20 +337,120 @@ def build_bucketed_store(
     for f in os.listdir(out_dir):
         if f.endswith(".parquet") and f not in manifested:
             os.unlink(os.path.join(out_dir, f))
-    meta = {
-        "nbits": nbits,
-        "seed": seed,
-        "dim": int(dim),
-        "id_col": id_col,
-        "emb_col": emb_col,
-        "planes": planes.tolist(),
-        "files": files.sort_values("path").to_dict("records"),
-    }
+    meta = dict(meta_base)
+    meta["files"] = files.sort_values("path").to_dict("records")
     tmp = os.path.join(out_dir, f"store.json.tmp-{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(out_dir, "store.json"))
     return meta
+
+
+# ------------------------------------------------------ IVF (k-means)
+
+def kmeans_centroids(sample: np.ndarray, n_lists: int, iters: int = 12,
+                     seed: int = 20260817) -> np.ndarray:
+    """Spherical k-means on a (bounded) training sample — the classic
+    IVF coarse quantizer. Deterministic: seeded init, ties broken by
+    index; empty clusters re-seeded to the point farthest from its
+    centroid. Returns L2-normalized (n_lists, dim) centroids."""
+    x = np.asarray(sample, np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(x))
+    # farthest-point (k-center) init: deterministic given the seeded
+    # first pick, and immune to the random-init failure mode where two
+    # seeds land in one cluster and a true cluster goes uncovered
+    first = int(rng.integers(len(x)))
+    chosen = [first]
+    max_sim = x @ x[first]
+    for _ in range(1, n_lists):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, x @ x[nxt])
+    c = x[chosen].copy()
+    for _ in range(iters):
+        sims = x @ c.T                                # (n, k)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(x)), assign]
+        for j in range(n_lists):
+            members = assign == j
+            if not members.any():
+                c[j] = x[int(np.argmin(best))]        # farthest point
+                continue
+            v = x[members].sum(axis=0)
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                c[j] = v / nv
+    return c
+
+
+def add_ivf_list(batch: pa.Table, centroids: np.ndarray,
+                 emb_col: str = "embedding") -> pa.Table:
+    """+ ``lsh_bucket`` int64 = nearest-centroid (IVF list) id. Reuses
+    the LSH store's column name so the store writer/reader, parquet
+    statistics pruning and scan accounting work unchanged."""
+    m = _emb_matrix(batch, emb_col)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    lists = np.argmax((m / norms) @ np.asarray(centroids).T, axis=1).astype(np.int64)
+    return batch.append_column("lsh_bucket", pa.array(lists, pa.int64()))
+
+
+def build_ivf_store(
+    ds,
+    out_dir: str,
+    n_lists: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 12,
+    seed: int = 20260817,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    row_group_size: int = BUCKET_ROW_GROUP,
+):
+    """IVF variant of the bucket-sorted store: train spherical-k-means
+    centroids on a bounded sample (the standard IVF practice — the
+    quantizer trains on ~10⁴-10⁶ rows no matter the table size), assign
+    every vector to its nearest centroid distributed, and store SORTED
+    BY list id. Queries probe the ``nprobe`` nearest centroids and read
+    only those lists' files ∩ row groups."""
+    from geomedea_ray.stages.dedup import embedding_dim
+
+    dim = embedding_dim(ds, emb_col)
+    sample_tbl = ds.limit(sample_rows).to_pandas()
+    sample = np.stack(sample_tbl[emb_col].to_numpy())
+    centroids = kmeans_centroids(sample, n_lists, iters=iters, seed=seed)
+    ds = ds.map_batches(
+        add_ivf_list, fn_kwargs={"centroids": centroids, "emb_col": emb_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _write_sorted_store(ds, out_dir, {
+        "kind": "ivf",
+        "n_lists": int(len(centroids)),
+        "seed": seed,
+        "dim": int(dim),
+        "id_col": id_col,
+        "emb_col": emb_col,
+        "centroids": centroids.tolist(),
+    }, row_group_size)
+
+
+def _probe_sets_for(meta: dict, qm: np.ndarray, nprobe: int) -> list[np.ndarray]:
+    """Per-query probe-bucket sets for either store kind: multiprobe
+    bit flips for LSH, nearest-centroid lists for IVF."""
+    if meta.get("kind") == "ivf" or "centroids" in meta:
+        c = np.asarray(meta["centroids"], np.float64)
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        sims = qn @ c.T                               # (q, k)
+        npb = min(nprobe, c.shape[0])
+        return [
+            np.sort(np.argpartition(-sims[i], npb - 1)[:npb]).astype(np.int64)
+            for i in range(len(qm))
+        ]
+    planes = np.asarray(meta["planes"], np.float64)
+    return [_probe_buckets(qm[i], planes, nprobe) for i in range(len(qm))]
 
 
 def _load_store(store_dir: str) -> dict:
@@ -380,9 +498,8 @@ def ann_topk_bucketed(
 
     meta = _load_store(store_dir)
     qm = np.asarray(query_matrix, np.float64)
-    planes = np.asarray(meta["planes"], np.float64)
     id_col, emb_col = meta["id_col"], meta["emb_col"]
-    probe_sets = [_probe_buckets(qm[i], planes, nprobe) for i in range(len(qm))]
+    probe_sets = _probe_sets_for(meta, qm, nprobe)
     buckets = np.unique(np.concatenate(probe_sets))
     ds = _bucketed_read(store_dir, meta, buckets)
     if ds is None:
@@ -475,9 +592,8 @@ def ann_radius_bucketed(
 
     meta = _load_store(store_dir)
     qm = np.asarray(query_matrix, np.float64)
-    planes = np.asarray(meta["planes"], np.float64)
     id_col, emb_col = meta["id_col"], meta["emb_col"]
-    probe_sets = [_probe_buckets(qm[i], planes, nprobe) for i in range(len(qm))]
+    probe_sets = _probe_sets_for(meta, qm, nprobe)
     buckets = np.unique(np.concatenate(probe_sets))
     ds = _bucketed_read(store_dir, meta, buckets)
     import ray.data

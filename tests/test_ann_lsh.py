@@ -106,3 +106,61 @@ class TestBucketedStore:
         st = bucket_scan_stats(store, probes)
         assert st["bytes_touched"] < st["bytes_total"]
         assert st["row_groups_touched"] < st["row_groups_total"]
+
+
+class TestIVFStore:
+    """IVF variant (spherical k-means coarse quantizer) of the
+    bucket-sorted store — the task brief's 'IVF … as the scale path'."""
+
+    def test_kmeans_deterministic_and_clustered(self):
+        from geomedea_ray.stages.ann import kmeans_centroids
+
+        rng = np.random.default_rng(3)
+        centers = rng.normal(size=(8, 16)) * 4
+        x = centers[rng.integers(0, 8, 2000)] + rng.normal(size=(2000, 16)) * 0.3
+        c1 = kmeans_centroids(x, 8, seed=99)
+        c2 = kmeans_centroids(x, 8, seed=99)
+        assert np.array_equal(c1, c2)  # deterministic
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+        # every true center has a learned centroid at high cosine
+        cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+        assert ((cn @ c1.T).max(axis=1) > 0.95).all()
+
+    def test_ivf_store_recall_and_pruning(self, ray_session, tmp_path):
+        import ray.data
+
+        from geomedea_ray.stages.ann import (
+            _probe_sets_for,
+            ann_topk,
+            ann_topk_bucketed,
+            bucket_scan_stats,
+            build_ivf_store,
+        )
+
+        tbl, allv, ids = TestBucketedStore._table(TestBucketedStore)
+        store = str(tmp_path / "ivf")
+        meta = build_ivf_store(ray.data.from_arrow(tbl), store, n_lists=20,
+                               sample_rows=2000, row_group_size=512)
+        assert meta["kind"] == "ivf" and len(meta["centroids"]) == 20
+
+        qm = allv[:5].astype(np.float64)
+        qids = np.arange(5)
+        k = 10
+        exact = ann_topk(ray.data.from_arrow(tbl), qm, qids, k).to_pandas()
+        approx = ann_topk_bucketed(store, qm, qids, k, nprobe=4).to_pandas()
+        recalls = [
+            len(set(exact[exact["qid"] == q]["vec_id"])
+                & set(approx[approx["qid"] == q]["vec_id"])) / k
+            for q in qids
+        ]
+        # clustered data + 4-of-20 lists probed: high recall expected
+        assert np.mean(recalls) >= 0.8, recalls
+        for q in qids:  # self-match always found (query is a table row)
+            top = approx[(approx["qid"] == q) & (approx["rank"] == 1)]["vec_id"]
+            assert list(top) == [q]
+
+        # sub-linear scan: nprobe lists touch a strict subset
+        probes = _probe_sets_for(meta, qm[:1], 4)[0]
+        st = bucket_scan_stats(store, probes)
+        assert st["bytes_touched"] < st["bytes_total"]
+        assert st["row_groups_touched"] < st["row_groups_total"]
