@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dedup": _image_phash_dedup,
         "image_spatial_join_tiles": F.spatial_join_tiles,
         "image_tile_counts": F.image_tile_counts,
+        "image_tile_mosaic": F.image_tile_mosaic,  # per-tile element-wise thumbnail sums (integer-exact)
         "image_thumbnails": _image_thumbnails,
         "image_reencode": _image_reencode,
         "training_prep": _training_prep,          # composite end-to-end prep chain

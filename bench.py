@@ -35,6 +35,7 @@ HEADLINE = "image_spatial_join_tiles"
 BENCH_QUERIES = [
     "image_spatial_join_tiles",
     "image_tile_counts",
+    "image_tile_mosaic",       # per-tile element-wise thumbnail sums (round 3)
     "image_phash_dedup",
     "image_decode_stats",
     "spatial_write",          # the write pipeline (Hilbert sort + index), always cold

@@ -180,6 +180,74 @@ def image_tile_counts(sf_dir: str, zoom: int = 6):
     ).select_columns(["tile_x", "tile_y", "n"])
 
 
+def image_tile_mosaic(sf_dir: str, zoom: int = 6):
+    """Per-tile image MOSAIC: element-wise integer sum of every
+    image's 8×8 grayscale block sums (the thumbnail's exact integer
+    form) + image count, grouped by tile — the compose-pixels-per-tile
+    shape of a real tile renderer, as a single fused pass:
+    decode → thumb_q → geocode → tile → per-block partial vector sums
+    → TREE combine (zoom 6 ⇒ ≤4,096 tiles, kilobyte partials).
+    Integer-exact, hash-verified against 64 SUM(thumb_q[i]) columns in
+    the oracle SQL."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from geomedea_ray.functions import codecs
+    from geomedea_ray.pipelines.tiles import TREE_FAN
+    from geomedea_ray.stages.geocode import lnglat_from_phash, tile_xy_eq
+    from geomedea_ray.stages.images import binary_views
+
+    elem_cols = [f"ts{e:02d}" for e in range(64)]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            cols = {"tile_x": pa.array([], pa.int32()),
+                    "tile_y": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64())}
+            cols.update({c: pa.array([], pa.int64()) for c in elem_cols})
+            return pa.table(cols)
+        blobs = binary_views(batch["bytes"])
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        tq = np.empty((n, 64), np.int64)
+        for idxs, stack in codecs.decode_size_groups(blobs, fmts, ws, hs):
+            k, h, w, _ = stack.shape
+            bh, bw = h // 8, w // 8
+            g = stack.sum(axis=3, dtype=np.uint16)
+            s = g.reshape(k, 8, bh, 8, bw).sum(axis=4, dtype=np.uint32)
+            tq[idxs] = s.sum(axis=2, dtype=np.uint32).reshape(k, 64)
+        lng, lat = lnglat_from_phash(batch["phash"].to_numpy())
+        tx, ty = tile_xy_eq(lng, lat, zoom)
+        key = (tx.astype(np.int64) << 32) | ty.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        starts = np.concatenate([[0], np.flatnonzero(key_s[1:] != key_s[:-1]) + 1])
+        counts = np.diff(np.concatenate([starts, [n]]))
+        sums = np.add.reduceat(tq[order], starts, axis=0)
+        cols = {"tile_x": pa.array(tx[order][starts], pa.int32()),
+                "tile_y": pa.array(ty[order][starts], pa.int32()),
+                "n": pa.array(counts, pa.int64())}
+        for e, c in enumerate(elem_cols):
+            cols[c] = pa.array(sums[:, e], pa.int64())
+        return pa.table(cols)
+
+    partials = images_ds(sf_dir, columns=["bytes", "w", "h", "fmt", "phash"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = {"n": "sum", **{c: "sum" for c in elem_cols}}
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["tile_x", "tile_y"], as_index=False).agg(agg)
+
+    level1 = partials.repartition(TREE_FAN).map_batches(
+        _combine, batch_format="pandas", batch_size=None)
+    return level1.repartition(1).map_batches(
+        _combine, batch_format="pandas", batch_size=None)
+
+
 def image_thumbnails_q(sf_dir: str, max_id: str = THUMB_MAX_ID):
     """Driver-oracled thumbnail query: the first 100 rows' thumbnails in
     LONG INTEGER form (image_id, block_idx, tq) — tq is the exact

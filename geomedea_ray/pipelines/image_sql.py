@@ -93,6 +93,20 @@ def thumbnails_sql(n: int) -> str:
     )
 
 
+def tile_mosaic_sql(n: int) -> str:
+    tx, ty = _tile_exprs()
+    # CAST: DuckDB SUM(BIGINT) yields HUGEINT, which lands as float in
+    # the compare frame and hash-mismatches the engine's int64
+    sums = ",\n       ".join(
+        f"CAST(SUM(thumb_q[{e + 1}]) AS BIGINT) AS ts{e:02d}" for e in range(64)
+    )
+    return img_cte(n) + (
+        f"SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n,\n"
+        f"       {sums}\n"
+        "FROM img GROUP BY 1, 2"
+    )
+
+
 def reencode_sql(n: int) -> str:
     return img_cte(n) + "SELECT image_id, fmt AS fmt_in, psnr_ok FROM img"
 
@@ -140,6 +154,7 @@ def image_oracle_sqls(sf_dir: str) -> dict[str, str]:
         "image_decode_stats": decode_stats_sql(n),
         "image_phash_dedup": phash_dedup_sql(n),
         "image_tile_counts": tile_counts_sql(n),
+        "image_tile_mosaic": tile_mosaic_sql(n),
         "image_spatial_join_tiles": spatial_join_tiles_sql(n),
         "image_thumbnails": thumbnails_sql(n),
         "image_reencode": reencode_sql(n),
