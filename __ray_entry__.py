@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": R.q1_pricing_summary,
         "top_orders": R.top_orders,
         "revenue_by_nation": R.revenue_by_nation,
+        "brand_revenue_by_region": R.brand_revenue_by_region,  # 4-way broadcast dim join (part/supplier/nation/region)
         "events_window": R.events_tumbling_window,
         "distinct_users": R.distinct_users_by_type,
         "purchase_asof_signup": R.purchase_asof_signup,     # as-of join
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing": R.Q1_SQL,
         "top_orders": R.TOP_ORDERS_SQL,
         "revenue_by_nation": R.REVENUE_BY_NATION_SQL,
+        "brand_revenue_by_region": R.BRAND_REVENUE_SQL,
         "events_window": R.EVENTS_WINDOW_SQL,
         "distinct_users": R.DISTINCT_USERS_SQL,
         "purchase_asof_signup": R.PURCHASE_ASOF_SQL,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "tile_pyramid_deep",       # z=12 distributed rollup (round 3)
     "q1_pricing",
     "revenue_by_nation",
+    "brand_revenue_by_region", # 4-way broadcast dimension join (round 3)
     "purchase_asof_signup",
     "user_sessions",
     "late_events",

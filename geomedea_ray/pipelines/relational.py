@@ -188,6 +188,82 @@ GROUP BY n_name
 """
 
 
+def brand_revenue_by_region(sf_dir: str):
+    """lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ region revenue rollup
+    (TPC-H Q9 flavor) — ALL four dimension tables broadcast as sorted
+    lookup arrays (largest is part; at 100 TB the fact side streams
+    and the dimensions still fit one ray.put), revenue pre-aggregated
+    per block so the exchange moves ~125 partial rows per block, then
+    one small combine."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    def _sorted_lookup(table: str, key: str, val: str):
+        t = pq.read_table(tables.path(sf_dir, table), columns=[key, val])
+        k = t[key].to_numpy()
+        order = np.argsort(k)
+        v = t[val].to_numpy(zero_copy_only=False)
+        return k[order], v[order]
+
+    pk, pbrand = _sorted_lookup("part", "p_partkey", "p_brand")
+    sk, snat = _sorted_lookup("supplier", "s_suppkey", "s_nationkey")
+    nk, nreg = _sorted_lookup("nation", "n_nationkey", "n_regionkey")
+    rk, rname = _sorted_lookup("region", "r_regionkey", "r_name")
+    ref = ray.put({"pk": pk, "pbrand": pbrand, "sk": sk, "snat": snat,
+                   "nk": nk, "nreg": nreg, "rk": rk, "rname": rname})
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lk = get_once(ref)
+        brand = lk["pbrand"][np.searchsorted(lk["pk"], batch["l_partkey"].to_numpy())]
+        natk = lk["snat"][np.searchsorted(lk["sk"], batch["l_suppkey"].to_numpy())]
+        regk = lk["nreg"][np.searchsorted(lk["nk"], natk)]
+        region = lk["rname"][np.searchsorted(lk["rk"], regk)]
+        # exact integer money: price and discount are 2-decimal, so
+        # price_cents × (100 - disc_pct) is an exact int64 in 1e-4 $
+        # units — sums are bit-exact in ANY order (no float-boundary
+        # cent flips between engine and oracle)
+        price_c = np.rint(batch["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        keep_pct = np.rint((1.0 - batch["l_discount"].to_numpy()) * 100).astype(np.int64)
+        rev_e4 = price_c * keep_pct
+        part = (
+            pd.DataFrame({"r_name": region, "p_brand": brand, "revenue_e4": rev_e4})
+            .groupby(["r_name", "p_brand"], as_index=False)
+            .agg(revenue_e4=("revenue_e4", "sum"), n_items=("revenue_e4", "size"))
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = tables.read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ≤ regions × brands distinct keys — kilobyte partials, TREE combine
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["r_name", "p_brand"], as_index=False).agg(
+            {"revenue_e4": "sum", "n_items": "sum"}
+        )
+
+    return partials.repartition(8).map_batches(
+        _combine, batch_format="pandas", batch_size=None
+    ).repartition(1).map_batches(_combine, batch_format="pandas", batch_size=None)
+
+
+BRAND_REVENUE_SQL = """
+SELECT r_name, p_brand,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
 def events_tumbling_window(sf_dir: str, window_s: int = 3600):
     """Tumbling event-time window aggregate: window = epoch // size
     (integer floor on microseconds — exact), grouped count + rounded
