@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_text",
     "ann_topk",
     "ann_radius",              # bucket-sorted store, file/row-group prune
+    "ann_topk_ivf",            # IVF k-means store, nprobe lists (round 3)
     "minhash_pairs",
     "minhash_verified",
     "minhash_kernel",          # raw signature kernel throughput (driver-side)
