@@ -76,7 +76,10 @@ def table_is_valid(
     recorded = _marker_rows(out)
     if recorded is None:
         return False
-    actual = dir_parquet_rows(out)
+    try:
+        actual = dir_parquet_rows(out)
+    except (OSError, pq.lib.ArrowInvalid):
+        return False  # truncated/corrupt file: rebuild, don't crash
     if actual != recorded:
         return False
     if expected_rows is not None and actual != expected_rows:
@@ -230,10 +233,11 @@ def cached_file(
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     for _ in range(attempts):
         if os.path.exists(out):
-            if (
-                expected_rows is None
-                or pq.ParquetFile(out).metadata.num_rows == expected_rows
-            ):
+            try:
+                rows = pq.ParquetFile(out).metadata.num_rows
+            except (OSError, pq.lib.ArrowInvalid):
+                rows = None  # truncated/corrupt: rebuild
+            if rows is not None and (expected_rows is None or rows == expected_rows):
                 return out
             os.unlink(out)
         tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
