@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_after_signup": R.purchases_after_signup, # range join
         "top_events_per_user": R.top_events_per_user,       # windowed top-k
         "lineitem_sample": R.lineitem_sample,               # deterministic sampling
+        "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
+        "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
+        "user_cumulative_spend": R.user_cumulative_spend,   # running-total window (prefix scan)
         "user_sessions": R.user_sessions,                   # gap sessionization
         "late_events": R.late_events_by_type,               # watermark / late-data accounting
         # --- text / dedup / similarity (training-data ops) ---
@@ -183,6 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": T.q_ann_topk_ivf,     # IVF k-means store, nprobe centroid lists (rows-only)
         "ann_radius": T.q_ann_radius,         # radius search from the store (SQL-oracled)
         "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (SQL-oracled)
+        "simhash_verified": T.q_simhash_verified, # 8×8-bit bands: EXACT ≤7-Hamming pair set (fixture-SQL-oracled)
+        "lang_token_quantiles": T.q_lang_token_quantiles, # exact distributed quantiles (histogram method)
+        "top_ngrams": T.q_top_ngrams,             # global top-k bigram vocabulary
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
@@ -228,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         lambda: {"ann_radius": T.q_ann_radius_sql(sf_dir)},
         lambda: {"audio_features": audio_features_sql(sf_dir)},
         lambda: {"video_frames": video_frames_sql(sf_dir)},
+        lambda: {"simhash_verified": T.simhash_verified_sql(sf_dir)},
     ):
         try:
             sqls.update(build())
@@ -263,6 +270,9 @@ def oracle_sql() -> dict[str, str]:
         "purchases_after_signup": R.PURCHASES_AFTER_SIGNUP_SQL,
         "top_events_per_user": R.TOP_EVENTS_SQL,
         "lineitem_sample": R.lineitem_sample_sql(),
+        "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
+        "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "user_cumulative_spend": R.USER_CUMULATIVE_SPEND_SQL,
         "user_sessions": R.USER_SESSIONS_SQL,
         "late_events": R.LATE_EVENTS_SQL,
         "doc_tokens": T.Q_DOC_TOKENS_SQL,
@@ -271,6 +281,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_agg": T.Q_LANG_SOURCE_SQL,
         "ann_topk": T.q_ann_topk_sql(),
         "minhash_verified": T.MINHASH_VERIFIED_SQL,
+        "lang_token_quantiles": T.LANG_TOKEN_QUANTILES_SQL,
+        "top_ngrams": T.TOP_NGRAMS_SQL,
         "label_centroids": T.Q_LABEL_CENTROIDS_SQL,
         "langid": T.LANGID_SQL,
     })

@@ -448,6 +448,90 @@ QUALIFY "rank" <= 3
 """
 
 
+def customers_with_orders(sf_dir: str):
+    """Broadcast SEMI join: customers having at least one order. The
+    distinct ``o_custkey`` set (dimension-sized by construction) is
+    built with per-block partial uniques and broadcast once; the
+    customer side streams through one vectorized membership filter —
+    no shuffle."""
+    from geomedea_ray.stages.joins import distinct_keys, semi_anti_filter
+
+    keys = distinct_keys(
+        tables.read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey"
+    )
+    cust = tables.read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    return semi_anti_filter(cust, "c_custkey", keys, anti=False)
+
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def customers_without_orders(sf_dir: str):
+    """Broadcast ANTI join: customers with NO urgent order (the fact
+    side is filtered AT THE READ to '1-URGENT' before the partial
+    distinct, so the build set never sees non-qualifying rows; the
+    unfiltered variant is empty at every sf — a vacuous gate row)."""
+    from geomedea_ray.stages.joins import distinct_keys, semi_anti_filter
+
+    orders = tables.read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT"))).select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    keys = distinct_keys(urgent, "o_custkey")
+    cust = tables.read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    return semi_anti_filter(cust, "c_custkey", keys, anti=True)
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def user_cumulative_spend(sf_dir: str):
+    """Running per-user purchase total in event-time order — the
+    distributed SUM() OVER (PARTITION BY user ORDER BY ts) window
+    (stages/joins.cumulative_sum). Cents are fixed per ROW before the
+    running sum so every prefix is integer-exact vs the oracle."""
+    from geomedea_ray.stages.joins import cumulative_sum
+
+    ev = tables.read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["event_type"], pa.scalar("purchase"))
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "value_cents": _cents(b["value"]),
+            }
+        )
+
+    out = cumulative_sum(
+        ev.map_batches(_pre, batch_format="pyarrow", zero_copy_batch=True),
+        by="user_id", on="ts", val_col="value_cents", id_col="event_id",
+        out_col="cum_spend_cents",
+    )
+    return out.select_columns(["user_id", "event_id", "value_cents", "cum_spend_cents"])
+
+
+#: window SUM over BIGINT yields HUGEINT in DuckDB — CAST keeps the
+#: compare frame int64 (CLAUDE.md round-3 rule)
+USER_CUMULATIVE_SPEND_SQL = """
+SELECT user_id, event_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_spend_cents
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def lineitem_sample(sf_dir: str, fraction: float = 0.1):
     """Deterministic hash sample of lineitem rows (stages/joins.py
     sample_fraction — pure function of the row key, engine-portable)."""

@@ -416,6 +416,213 @@ GROUP BY label, p.pos
 """
 
 
+#: discrete quantile levels for q_lang_token_quantiles — shared with
+#: the SQL so definition drift is impossible
+QUANTILE_LEVELS = (0.25, 0.5, 0.75, 0.99)
+
+
+def q_lang_token_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of per-doc token counts, per
+    language — the histogram method: per-block partial (lang,
+    n_tokens)→count frames (bounded by langs × distinct counts, never
+    row count), TREE-combined into one final block where discrete
+    quantiles fall out of a cumulative count scan. Scale-safe because
+    the histogram, not the data, crosses the wire; the definition
+    ("smallest v with cum ≥ ceil(q·n)") is mirrored term-for-term by
+    the SQL window oracle."""
+    import pandas as pd
+
+    from geomedea_ray.functions import text as T
+
+    ds = tables.read(sf_dir, "documents", columns=["lang", "text"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        nt = T.token_count(batch["text"].to_pylist())
+        df = pd.DataFrame({"lang": batch["lang"].to_numpy(zero_copy_only=False), "n_tokens": nt})
+        out = df.groupby(["lang", "n_tokens"], as_index=False).size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_tokens"], as_index=False)["c"].sum()
+
+    def _quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang"):
+            g = g.sort_values("n_tokens")
+            v = g["n_tokens"].to_numpy(np.int64)
+            cum = g["c"].to_numpy(np.int64).cumsum()
+            tot = int(cum[-1])
+            row = {"lang": lang, "n_docs": tot}
+            for q in QUANTILE_LEVELS:
+                rank = int(np.ceil(q * tot))
+                row[f"p{int(q * 100)}"] = int(v[np.searchsorted(cum, rank)])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    # kilobyte partials: coalesce before ONE driver-sized combine
+    # (cardinality ≤ langs × max token count — a few thousand rows)
+    return (
+        ds.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(lambda d: _quantiles(_combine(d)), batch_format="pandas", batch_size=None)
+    )
+
+
+LANG_TOKEN_QUANTILES_SQL = """
+WITH t AS (SELECT lang,
+                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+           FROM documents),
+h AS (SELECT lang, n_tokens, COUNT(*) AS c FROM t GROUP BY 1, 2),
+c AS (SELECT lang, n_tokens,
+             SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS tot
+      FROM h)
+SELECT lang,
+       CAST(MAX(tot) AS BIGINT) AS n_docs,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.25 * tot) THEN n_tokens END) AS BIGINT) AS p25,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.5  * tot) THEN n_tokens END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.75 * tot) THEN n_tokens END) AS BIGINT) AS p75,
+       CAST(MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN n_tokens END) AS BIGINT) AS p99
+FROM c GROUP BY lang
+"""
+
+
+#: global vocabulary top-k size (shared with the SQL LIMIT)
+NGRAM_TOP_K = 50
+
+
+def q_top_ngrams(sf_dir: str, k: int = NGRAM_TOP_K):
+    """Global top-k token bigrams over the corpus — the vocabulary-
+    building op: per-block partial bigram counts (one pandas explode +
+    shifted concat per batch, vectorized), ONE grouped sum over the
+    partial stream (the shuffle moves (ngram, partial_count) rows, not
+    token streams), then a global sort-desc head with a deterministic
+    ngram tie-break mirrored by the SQL ORDER BY."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = tables.read(sf_dir, "documents", columns=["text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+        toks = s.str.split()
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        idx = ex.index.to_numpy(np.int64)
+        vals = ex.to_numpy()
+        same_doc = idx[1:] == idx[:-1]
+        if not same_doc.any():
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        bg = pd.Series(vals[:-1][same_doc]) + " " + pd.Series(vals[1:][same_doc])
+        vc = bg.value_counts()
+        return pa.table({"ngram": pa.array(vc.index.to_numpy(), pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ngram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = counts.sort(["n", "ngram"], descending=[True, False]).limit(k)
+    return out.map_batches(
+        lambda b: pa.table({"ngram": b["ngram"], "n": b["n"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+TOP_NGRAMS_SQL = f"""
+WITH tok AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             FROM documents),
+bg AS (SELECT UNNEST(list_transform(range(1, len(toks)),
+                                    i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+       FROM tok)
+SELECT ngram, COUNT(*) AS n FROM bg
+GROUP BY ngram ORDER BY n DESC, ngram LIMIT {NGRAM_TOP_K}
+"""
+
+
+#: 8 bands × 8 bits over the 64-bit SimHash: by pigeonhole ANY pair
+#: with Hamming distance < 8 matches exactly in ≥1 band, so with
+#: max_hamming = 7 the banded candidate set is COMPLETE and the
+#: verified output is the EXACT ≤-7 pair set — hash-verifiable.
+SIMHASH_TABLES = 8
+SIMHASH_MAX_HAMMING = 7
+
+
+def q_simhash_verified(sf_dir: str):
+    """SimHash near-dup pairs, EXACT by construction (see
+    SIMHASH_TABLES above): banded LSH candidates + exact Hamming
+    verify, hash-verified against an all-pairs SQL oracle over an
+    independently-computed scalar-simhash fixture. max_bucket=None:
+    completeness beats the quadratic-bucket guard here (bucket size is
+    bounded by 8-bit band cardinality at gate scales)."""
+    from geomedea_ray.stages.dedup import simhash_pairs
+
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=SIMHASH_MAX_HAMMING,
+                         num_tables=SIMHASH_TABLES, max_bucket=None)
+
+
+def simhash_fixture_path(sf_dir: str) -> str:
+    """(doc_id, simhash) parquet computed by an INDEPENDENT scalar
+    implementation (per-token bit loop — no shared code with the
+    vectorized functions/text.simhash64 beyond the token hash that
+    DEFINES the fingerprint), via the validated cache layer."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.cache import cached_file
+
+    src = tables.path(sf_dir, "documents")
+    expected = pq.ParquetFile(src).metadata.num_rows
+
+    def _build(tmp: str) -> None:
+        t = pq.read_table(src, columns=["doc_id", "text"])
+        out = []
+        for text in t["text"].to_pylist():
+            toks = (text or "").split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = pd.util.hash_pandas_object(
+                pd.Series(toks, dtype="object"), index=False,
+                hash_key="geomedea_ray_01!",
+            ).to_numpy(np.uint64)
+            acc = [0] * 64
+            for h in hs:
+                h = int(h)
+                for b in range(64):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            packed = sum(1 << b for b in range(64) if acc[b] > 0)
+            out.append(packed - (1 << 64) if packed >= (1 << 63) else packed)
+        pq.write_table(
+            pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.int64())}),
+            tmp,
+        )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return cached_file(f"/tmp/geomedea_ray_cache/simhash_oracle_{tag}.parquet",
+                       _build, expected_rows=expected)
+
+
+def simhash_verified_sql(sf_dir: str) -> str:
+    path = simhash_fixture_path(sf_dir)
+    return f"""
+WITH s AS (SELECT doc_id, simhash FROM read_parquet('{path}'))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 #: SQL mirror of functions/text.detect_lang — same stopword lists, same
 #: CJK-ratio branch, same tie-break (first language in sorted order
 #: with the strictly-greatest score; 0 matches → 'und')

@@ -331,8 +331,15 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
                   num_tables: int = 4, num_shards: int | None = None,
                   max_bucket: int | None = DEFAULT_MAX_BUCKET):
     """Near-dup pairs by SimHash: band the 64-bit hash into
-    ``num_tables`` 16-bit keys (any pair within Hamming ≤ 3·16/4 shares
-    at least one band with high probability); verify exact Hamming."""
+    ``num_tables`` keys of 64/num_tables bits each; any pair with
+    Hamming < num_tables shares at least one band EXACTLY (pigeonhole)
+    — so ``max_hamming <= num_tables - 1`` makes the candidate set
+    complete and the output the exact ≤-max_hamming pair set. Wider
+    bands (fewer tables) trade that completeness for fewer exploded
+    rows. Exact Hamming is always verified per candidate."""
+    assert 64 % num_tables == 0, "num_tables must divide 64"
+    band_bits = 64 // num_tables
+    band_mask = np.uint64((1 << band_bits) - 1)
     num_shards = _resolve_shards(ds, num_shards)
     ds = ds.map_batches(add_simhash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow")
 
@@ -342,7 +349,7 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         out_id, out_band, out_key, out_h = [], [], [], []
         u = h.astype(np.uint64)
         for b in range(num_tables):
-            key = ((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            key = ((u >> np.uint64(band_bits * b)) & band_mask).astype(np.int64)
             out_id.append(ids)
             out_band.append(np.full(len(ids), b, np.int64))
             out_key.append(key)

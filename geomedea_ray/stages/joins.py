@@ -311,6 +311,81 @@ def sample_fraction_sql(key_expr: str, fraction: float) -> str:
     return f"(({key_expr} * {SAMPLE_MULT}) % 4294967296) < {threshold}"
 
 
+def distinct_keys(ds, key_col: str) -> np.ndarray:
+    """Distinct values of ``key_col``, collected to the driver — the
+    build side of a broadcast SEMI/ANTI join. Per-block partial
+    ``np.unique`` runs first, so the stream reaching the driver is
+    bounded by true-key-cardinality × blocks, never the row count.
+    Contract (same as nn_join's broadcast side): the GLOBAL distinct
+    set must be dimension-sized; for a high-cardinality key at 100 TB
+    use the sharded co-partition pattern instead."""
+    import pyarrow as pa
+
+    def _u(batch: pa.Table) -> pa.Table:
+        v = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({key_col: pa.array(np.unique(v))})
+
+    parts = ds.map_batches(_u, batch_format="pyarrow", zero_copy_batch=True)
+    return np.unique(parts.to_pandas()[key_col].to_numpy())
+
+
+def semi_anti_filter(ds, key_col: str, keys: np.ndarray, anti: bool = False):
+    """SEMI (keep matching) / ANTI (keep non-matching) join of ``ds``
+    against a broadcast key set: ``keys`` is sorted once, shipped once
+    via ``ray.put``, and membership per batch is one vectorized
+    ``searchsorted`` — no shuffle, the probe side streams."""
+    import pyarrow as pa
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    ref = ray.put(np.sort(np.asarray(keys)))
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        ks = get_once(ref)
+        v = batch[key_col].to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            hit = np.zeros(len(v), bool)
+        else:
+            pos = np.minimum(np.searchsorted(ks, v), len(ks) - 1)
+            hit = ks[pos] == v
+        return batch.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(_flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cumulative_sum(
+    ds,
+    by: str,
+    on: str,
+    val_col: str,
+    id_col: str,
+    out_col: str = "cum",
+    num_shards: int | None = None,
+):
+    """Per-``by``-key running total of ``val_col`` in ``on`` order
+    (ties broken by ``id_col``) — the ``SUM() OVER (PARTITION BY by
+    ORDER BY on, id)`` window function. ONE hash shuffle on ``by``;
+    inside each shard the whole frame sorts once and the running total
+    is a single vectorized ``groupby(...).cumsum()`` — no per-key
+    callback. Pass an integer ``val_col`` (e.g. cents) so the running
+    sum is order-exact against any oracle."""
+    num_shards = _resolve_shards(ds, num_shards)
+
+    def _shardit(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_shard=_shard_of(df[by], num_shards))
+
+    def _cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, on, id_col], kind="mergesort").drop(columns="_shard")
+        return df.assign(**{out_col: df.groupby(by, sort=False)[val_col].cumsum()})
+
+    return (
+        ds.map_batches(_shardit, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_cum, batch_format="pandas")
+    )
+
+
 def sessionize(
     ds,
     on: str,

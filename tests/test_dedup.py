@@ -217,3 +217,52 @@ class TestDedupExact:
         got = dict(zip(df["k"], df["val"]))
         assert got == {"a": 3, "b": 5, "c": 4}
         assert "_shard" not in df.columns
+
+
+class TestSimhashExactBands:
+    def test_eight_band_candidates_complete(self, ray_session, doc_table):
+        """8 bands × 8 bits + max_hamming=7: pigeonhole makes the
+        banded candidate set complete, so the output must equal the
+        UNCONDITIONAL brute-force ≤7-Hamming pair set."""
+        import ray.data
+
+        tbl, _ = doc_table
+        ds = ray.data.from_arrow(tbl)
+        got = _pair_set(
+            simhash_pairs(ds, max_hamming=7, num_tables=8, max_bucket=None).to_pandas()
+        )
+        ids = tbl["doc_id"].to_pylist()
+        h = T.simhash64(tbl["text"].to_pylist()).astype(np.uint64)
+        expect = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if bin(int(h[i] ^ h[j])).count("1") <= 7:
+                    expect.add(tuple(sorted((ids[i], ids[j]))))
+        assert got == expect
+
+    def test_scalar_fixture_simhash_matches_vectorized(self):
+        """The independent per-token scalar implementation behind the
+        simhash_verified SQL oracle must agree bit-for-bit with
+        functions/text.simhash64."""
+        import pandas as pd
+
+        texts = ["the quick brown fox", "", "a", "the the the unique",
+                 "словарь тест", "x y z " * 30]
+        vec = T.simhash64(texts)
+        for text, expect in zip(texts, vec):
+            toks = (text or "").split()
+            if not toks:
+                assert expect == 0
+                continue
+            hs = pd.util.hash_pandas_object(
+                pd.Series(toks, dtype="object"), index=False,
+                hash_key="geomedea_ray_01!",
+            ).to_numpy(np.uint64)
+            acc = [0] * 64
+            for hv in hs:
+                hv = int(hv)
+                for b in range(64):
+                    acc[b] += 1 if (hv >> b) & 1 else -1
+            packed = sum(1 << b for b in range(64) if acc[b] > 0)
+            signed = packed - (1 << 64) if packed >= (1 << 63) else packed
+            assert signed == int(expect), text

@@ -184,3 +184,64 @@ class TestKnnTieBoundary:
                 ds = ds.repartition(nblocks)
             out = knn(ds, [(0, 0.0, 0.0)], 2, id_col="pid").to_pandas().sort_values("rank")
             assert out["pid"].tolist() == [10, 20], f"nblocks={nblocks}"
+
+
+class TestSemiAntiJoin:
+    def test_semi_and_anti_partition(self, ray_session):
+        """semi ∪ anti = input; semi ∩ anti = ∅; membership exact."""
+        from geomedea_ray.stages.joins import distinct_keys, semi_anti_filter
+
+        fact = pa.table({"k": pa.array([2, 2, 5, 7, 7, 7], pa.int64())})
+        dim = pa.table({"k": pa.array([1, 2, 3, 5, 6, 7, 8], pa.int64()),
+                        "v": ["a", "b", "c", "d", "e", "f", "g"]})
+        keys = distinct_keys(_ds(fact), "k")
+        assert keys.tolist() == [2, 5, 7]
+        semi = semi_anti_filter(_ds(dim), "k", keys).to_pandas()
+        anti = semi_anti_filter(_ds(dim), "k", keys, anti=True).to_pandas()
+        assert sorted(semi["k"]) == [2, 5, 7]
+        assert sorted(anti["k"]) == [1, 3, 6, 8]
+
+    def test_empty_key_set_and_strings(self, ray_session):
+        from geomedea_ray.stages.joins import semi_anti_filter
+
+        dim = pa.table({"k": ["x", "y"], "v": [1, 2]})
+        semi = semi_anti_filter(_ds(dim), "k", np.array([], dtype=object)).to_pandas()
+        anti = semi_anti_filter(_ds(dim), "k", np.array([], dtype=object), anti=True).to_pandas()
+        assert len(semi) == 0
+        assert sorted(anti["k"]) == ["x", "y"]
+        named = semi_anti_filter(_ds(dim), "k", np.array(["y", "z"], dtype=object)).to_pandas()
+        assert named["k"].tolist() == ["y"]
+
+
+class TestCumulativeSum:
+    def test_running_total_matches_pandas(self, ray_session):
+        from geomedea_ray.stages.joins import cumulative_sum
+
+        rng = np.random.default_rng(3)
+        n = 4000
+        t = pa.table({
+            "id": pa.array(np.arange(n), pa.int64()),
+            "u": pa.array(rng.integers(0, 37, n), pa.int64()),
+            "t": pa.array(rng.integers(0, 500, n), pa.int64()),
+            "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
+        })
+        out = cumulative_sum(_ds(t).repartition(7), by="u", on="t",
+                             val_col="v", id_col="id", out_col="c").to_pandas()
+        ref = (
+            t.to_pandas().sort_values(["u", "t", "id"], kind="mergesort")
+            .assign(c=lambda d: d.groupby("u", sort=False)["v"].cumsum())
+        )
+        merged = out.set_index("id")["c"].sort_index()
+        expect = ref.set_index("id")["c"].sort_index()
+        assert merged.equals(expect)
+
+    def test_tie_order_by_id(self, ray_session):
+        from geomedea_ray.stages.joins import cumulative_sum
+
+        t = pa.table({"id": pa.array([2, 1], pa.int64()),
+                      "u": pa.array([0, 0], pa.int64()),
+                      "t": pa.array([5, 5], pa.int64()),
+                      "v": pa.array([10, 1], pa.int64())})
+        out = cumulative_sum(_ds(t), by="u", on="t", val_col="v",
+                             id_col="id", out_col="c").to_pandas().set_index("id")["c"]
+        assert out[1] == 1 and out[2] == 11

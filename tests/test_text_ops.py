@@ -1,0 +1,57 @@
+"""Vocabulary / quantile operators (pipelines/text_queries.py): exact
+semantics vs plain-pandas references at sf0.001, plus edge cases the
+sf-scale SQL oracle can't isolate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from geomedea_ray.pipelines.text_queries import (
+    NGRAM_TOP_K,
+    QUANTILE_LEVELS,
+    q_lang_token_quantiles,
+    q_top_ngrams,
+)
+from geomedea_ray.sources import tables
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pq.read_table(tables.path(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang"]).to_pandas()
+
+
+def _bigram_counts(texts) -> pd.Series:
+    rows = []
+    for t in texts:
+        toks = (t or "").split()
+        rows.extend(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    return pd.Series(rows).value_counts()
+
+
+class TestTopNgrams:
+    def test_matches_reference(self, ray_session, sf_dir, docs):
+        got = q_top_ngrams(sf_dir).to_pandas()
+        ref = _bigram_counts(docs["text"]).rename_axis("ngram").reset_index(name="n")
+        ref = ref.sort_values(["n", "ngram"], ascending=[False, True]).head(NGRAM_TOP_K)
+        got = got.sort_values(["n", "ngram"], ascending=[False, True]).reset_index(drop=True)
+        assert got["ngram"].tolist() == ref["ngram"].tolist()
+        assert got["n"].tolist() == ref["n"].tolist()
+
+
+class TestLangTokenQuantiles:
+    def test_matches_reference(self, ray_session, sf_dir, docs):
+        got = q_lang_token_quantiles(sf_dir).to_pandas().set_index("lang").sort_index()
+        nt = docs["text"].fillna("").str.split().str.len()
+        for lang, g in pd.DataFrame({"lang": docs["lang"], "nt": nt}).groupby("lang"):
+            v = np.sort(g["nt"].to_numpy())
+            assert got.loc[lang, "n_docs"] == len(v)
+            for q in QUANTILE_LEVELS:
+                rank = int(np.ceil(q * len(v)))
+                assert got.loc[lang, f"p{int(q*100)}"] == v[rank - 1], (lang, q)
+
+    def test_partition_invariant(self, ray_session, sf_dir):
+        a = q_lang_token_quantiles(sf_dir).to_pandas().sort_values("lang").reset_index(drop=True)
+        b = q_lang_token_quantiles(sf_dir).to_pandas().sort_values("lang").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
