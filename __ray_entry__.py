@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_verified": T.q_simhash_verified, # 8×8-bit bands: EXACT ≤7-Hamming pair set (fixture-SQL-oracled)
         "lang_token_quantiles": T.q_lang_token_quantiles, # exact distributed quantiles (histogram method)
         "top_ngrams": T.q_top_ngrams,             # global top-k bigram vocabulary
+        "distinct_users_hll": T.q_distinct_users_hll,  # HyperLogLog sketch (rows-only; error bound pytest-asserted)
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
@@ -196,9 +197,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- image+caption table (flagship; SQL-oracled vs the single-process fixture) ---
         "image_decode_stats": _image_decode_stats,
         "image_phash_dedup": _image_phash_dedup,
+        "image_phash_neardup": F.image_phash_neardup,  # banded-Hamming near-dup over dedup reps (exact ≤3 set)
         "image_spatial_join_tiles": F.spatial_join_tiles,
         "image_tile_counts": F.image_tile_counts,
         "image_tile_mosaic": F.image_tile_mosaic,  # per-tile element-wise thumbnail sums (integer-exact)
+        "image_brightness_quantiles": F.image_brightness_quantiles,  # exact per-fmt brightness quantiles (histogram method)
         "image_thumbnails": _image_thumbnails,
         "image_reencode": _image_reencode,
         "training_prep": _training_prep,          # composite end-to-end prep chain

@@ -285,6 +285,57 @@ def image_thumbnails_q(sf_dir: str, max_id: str = THUMB_MAX_ID):
     return ds.map_batches(_long, batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: ≤3-bit perceptual-hash distance over exact-dedup representatives;
+#: with 8 bands × 8 bits the banded candidates are COMPLETE for any
+#: threshold ≤ 7 (stages/dedup.hamming_band_pairs), so the output is
+#: the exact pair set — shared with the SQL oracle
+PHASH_NEARDUP_MAX_HAMMING = 3
+
+
+def image_phash_neardup(sf_dir: str):
+    """NEAR-duplicate image detection: exact phash dedup first (the
+    mass-duplicate collapse — running banded LSH on raw rows would
+    emit every cross-product of the exact-dup groups), then banded
+    Hamming pairs over the surviving representatives
+    (stages/dedup.hamming_band_pairs on the 64-bit perceptual hash,
+    8×8-bit bands ⇒ exact ≤3 pair set). Output
+    (id_a, id_b, hamming), hash-verified against an all-pairs
+    bit_count oracle over the image fixture."""
+    from geomedea_ray.stages.dedup import hamming_band_pairs, phash_dedup
+
+    reps = phash_dedup(images_ds(sf_dir, columns=["image_id", "phash"]))
+    return hamming_band_pairs(
+        reps, "phash", "image_id",
+        max_hamming=PHASH_NEARDUP_MAX_HAMMING, num_tables=8, max_bucket=None,
+    )
+
+
+def image_brightness_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of per-image brightness
+    (floor(mean_px)) per format — decode-heavy map + the histogram
+    quantile combine (stages/sketch.exact_quantiles: the (fmt,
+    brightness) histogram is ≤ formats × 256 rows regardless of image
+    count). floor, not round: FLOOR is bit-identical between numpy
+    and SQL on exact doubles; ROUND half-rule differs."""
+    import pyarrow as pa
+
+    from geomedea_ray.stages.images import decode_stats
+    from geomedea_ray.stages.sketch import exact_quantiles
+
+    stats = decode_stats(images_ds(sf_dir))
+
+    def _px(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        px = np.floor(batch["mean_px"].to_numpy()).astype(np.int64)
+        return pa.table({"fmt": batch["fmt"], "px": pa.array(px, pa.int64())})
+
+    return exact_quantiles(
+        stats.map_batches(_px, batch_format="pyarrow", zero_copy_batch=True),
+        by="fmt", val_col="px", n_name="n_images",
+    )
+
+
 def image_similar(sf_dir: str, k: int = IMAGE_SIMILAR_K,
                   query_ids: tuple[int, ...] = IMAGE_SIMILAR_IDS):
     """Image similarity search: thumbnail features (stages/images.

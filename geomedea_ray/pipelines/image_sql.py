@@ -54,6 +54,29 @@ def phash_dedup_sql(n: int) -> str:
     )
 
 
+def phash_neardup_sql(n: int) -> str:
+    from geomedea_ray.pipelines.flagship import PHASH_NEARDUP_MAX_HAMMING as TH
+
+    return img_cte(n) + (
+        ", d AS (SELECT MIN(image_id) AS image_id, phash FROM img GROUP BY phash)\n"
+        "SELECT a.image_id AS id_a, b.image_id AS id_b,\n"
+        "       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming\n"
+        "FROM d a JOIN d b ON a.image_id < b.image_id\n"
+        f"WHERE bit_count(xor(a.phash, b.phash)) <= {TH}"
+    )
+
+
+def brightness_quantiles_sql(n: int) -> str:
+    from geomedea_ray.stages.sketch import quantiles_sql
+
+    # quantiles_sql opens with its own WITH — wrap the fixture read as
+    # a subquery source instead of the shared img CTE
+    from geomedea_ray.sources.oracle_fixture import oracle_images_path
+
+    src = f"(SELECT fmt, CAST(FLOOR(mean_px) AS BIGINT) AS px FROM read_parquet('{oracle_images_path(n)}'))"
+    return quantiles_sql(src, by="fmt", val_expr="px", n_name="n_images")
+
+
 def tile_counts_sql(n: int) -> str:
     tx, ty = _tile_exprs()
     return img_cte(n) + (
@@ -153,6 +176,8 @@ def image_oracle_sqls(sf_dir: str) -> dict[str, str]:
     return {
         "image_decode_stats": decode_stats_sql(n),
         "image_phash_dedup": phash_dedup_sql(n),
+        "image_phash_neardup": phash_neardup_sql(n),
+        "image_brightness_quantiles": brightness_quantiles_sql(n),
         "image_tile_counts": tile_counts_sql(n),
         "image_tile_mosaic": tile_mosaic_sql(n),
         "image_spatial_join_tiles": spatial_join_tiles_sql(n),

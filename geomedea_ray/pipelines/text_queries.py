@@ -423,70 +423,48 @@ QUANTILE_LEVELS = (0.25, 0.5, 0.75, 0.99)
 
 def q_lang_token_quantiles(sf_dir: str):
     """EXACT distributed quantiles of per-doc token counts, per
-    language — the histogram method: per-block partial (lang,
-    n_tokens)→count frames (bounded by langs × distinct counts, never
-    row count), TREE-combined into one final block where discrete
-    quantiles fall out of a cumulative count scan. Scale-safe because
-    the histogram, not the data, crosses the wire; the definition
-    ("smallest v with cum ≥ ceil(q·n)") is mirrored term-for-term by
-    the SQL window oracle."""
-    import pandas as pd
-
+    language — stages/sketch.exact_quantiles (histogram method: the
+    (lang, n_tokens) histogram crosses the wire, never the rows). The
+    smallest-v-with-cum≥ceil(q·n) definition is mirrored term-for-term
+    by the sketch.quantiles_sql window oracle."""
     from geomedea_ray.functions import text as T
+    from geomedea_ray.stages.sketch import exact_quantiles
 
     ds = tables.read(sf_dir, "documents", columns=["lang", "text"])
 
-    def _hist(batch: pa.Table) -> pa.Table:
+    def _nt(batch: pa.Table) -> pa.Table:
         nt = T.token_count(batch["text"].to_pylist())
-        df = pd.DataFrame({"lang": batch["lang"].to_numpy(zero_copy_only=False), "n_tokens": nt})
-        out = df.groupby(["lang", "n_tokens"], as_index=False).size().rename(columns={"size": "c"})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.table({"lang": batch["lang"], "n_tokens": pa.array(nt, pa.int64())})
 
-    def _combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["lang", "n_tokens"], as_index=False)["c"].sum()
-
-    def _quantiles(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for lang, g in df.groupby("lang"):
-            g = g.sort_values("n_tokens")
-            v = g["n_tokens"].to_numpy(np.int64)
-            cum = g["c"].to_numpy(np.int64).cumsum()
-            tot = int(cum[-1])
-            row = {"lang": lang, "n_docs": tot}
-            for q in QUANTILE_LEVELS:
-                rank = int(np.ceil(q * tot))
-                row[f"p{int(q * 100)}"] = int(v[np.searchsorted(cum, rank)])
-            rows.append(row)
-        return pd.DataFrame(rows)
-
-    # kilobyte partials: coalesce before ONE driver-sized combine
-    # (cardinality ≤ langs × max token count — a few thousand rows)
-    return (
-        ds.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(8)
-        .map_batches(_combine, batch_format="pandas", batch_size=None)
-        .repartition(1)
-        .map_batches(lambda d: _quantiles(_combine(d)), batch_format="pandas", batch_size=None)
+    return exact_quantiles(
+        ds.map_batches(_nt, batch_format="pyarrow", zero_copy_batch=True),
+        by="lang", val_col="n_tokens", levels=QUANTILE_LEVELS, n_name="n_docs",
     )
 
 
-LANG_TOKEN_QUANTILES_SQL = """
-WITH t AS (SELECT lang,
-                  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
-           FROM documents),
-h AS (SELECT lang, n_tokens, COUNT(*) AS c FROM t GROUP BY 1, 2),
-c AS (SELECT lang, n_tokens,
-             SUM(c) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
-             SUM(c) OVER (PARTITION BY lang) AS tot
-      FROM h)
-SELECT lang,
-       CAST(MAX(tot) AS BIGINT) AS n_docs,
-       CAST(MIN(CASE WHEN cum >= CEIL(0.25 * tot) THEN n_tokens END) AS BIGINT) AS p25,
-       CAST(MIN(CASE WHEN cum >= CEIL(0.5  * tot) THEN n_tokens END) AS BIGINT) AS p50,
-       CAST(MIN(CASE WHEN cum >= CEIL(0.75 * tot) THEN n_tokens END) AS BIGINT) AS p75,
-       CAST(MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN n_tokens END) AS BIGINT) AS p99
-FROM c GROUP BY lang
-"""
+def _lang_token_quantiles_sql() -> str:
+    from geomedea_ray.stages.sketch import quantiles_sql
+
+    tok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    return quantiles_sql(
+        f"(SELECT lang, {tok} AS n_tokens FROM documents)",
+        by="lang", val_expr="n_tokens", levels=QUANTILE_LEVELS, n_name="n_docs",
+    )
+
+
+LANG_TOKEN_QUANTILES_SQL = _lang_token_quantiles_sql()
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """Approximate distinct users per event type — the HyperLogLog
+    sketch path (stages/sketch.hll_distinct) next to the exact
+    two-level groupby (distinct_users). Deterministic but not
+    SQL-expressible: rows-only gate check; the ±error bound vs the
+    exact count is pytest-asserted (tests/test_sketch.py)."""
+    from geomedea_ray.stages.sketch import hll_distinct
+
+    ds = tables.read(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_distinct(ds, by="event_type", val_col="user_id")
 
 
 #: global vocabulary top-k size (shared with the SQL LIMIT)

@@ -327,24 +327,24 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(h, pa.int64()))
 
 
-def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8,
-                  num_tables: int = 4, num_shards: int | None = None,
-                  max_bucket: int | None = DEFAULT_MAX_BUCKET):
-    """Near-dup pairs by SimHash: band the 64-bit hash into
-    ``num_tables`` keys of 64/num_tables bits each; any pair with
-    Hamming < num_tables shares at least one band EXACTLY (pigeonhole)
-    — so ``max_hamming <= num_tables - 1`` makes the candidate set
-    complete and the output the exact ≤-max_hamming pair set. Wider
-    bands (fewer tables) trade that completeness for fewer exploded
-    rows. Exact Hamming is always verified per candidate."""
+def hamming_band_pairs(ds, hash_col: str, id_col: str, max_hamming: int = 8,
+                       num_tables: int = 4, num_shards: int | None = None,
+                       max_bucket: int | None = DEFAULT_MAX_BUCKET):
+    """Near-dup pairs over ANY 64-bit hash column (SimHash, perceptual
+    image hash, …): band the hash into ``num_tables`` keys of
+    64/num_tables bits each; any pair with Hamming < num_tables shares
+    at least one band EXACTLY (pigeonhole) — so ``max_hamming <=
+    num_tables - 1`` makes the candidate set complete and the output
+    the exact ≤-max_hamming pair set. Wider bands (fewer tables) trade
+    that completeness for fewer exploded rows. Exact Hamming is always
+    verified per candidate. Output: (id_a, id_b, hamming)."""
     assert 64 % num_tables == 0, "num_tables must divide 64"
     band_bits = 64 // num_tables
     band_mask = np.uint64((1 << band_bits) - 1)
     num_shards = _resolve_shards(ds, num_shards)
-    ds = ds.map_batches(add_simhash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow")
 
     def _explode(batch: pa.Table) -> pa.Table:
-        h = batch["simhash"].to_numpy()
+        h = batch[hash_col].to_numpy()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         out_id, out_band, out_key, out_h = [], [], [], []
         u = h.astype(np.uint64)
@@ -356,14 +356,14 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
             out_h.append(h)
         band = np.concatenate(out_band)
         key = np.concatenate(out_key)
-        shard = ((key.astype(np.uint64) * np.uint64(4) + band.astype(np.uint64))
+        shard = ((key.astype(np.uint64) * np.uint64(num_tables) + band.astype(np.uint64))
                  % np.uint64(num_shards)).astype(np.int64)
         return pa.table(
             {
                 id_col: pa.array(np.concatenate(out_id)),
                 "band": pa.array(band, pa.int64()),
                 "key": pa.array(key, pa.int64()),
-                "simhash": pa.array(np.concatenate(out_h), pa.int64()),
+                "_h": pa.array(np.concatenate(out_h), pa.int64()),
                 "_shard": pa.array(shard, pa.int64()),
             }
         )
@@ -371,7 +371,7 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
     exploded = ds.map_batches(_explode, batch_format="pyarrow")
 
     def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = _bucket_pairs_df(df, ["band", "key"], id_col, extra={"h": "simhash"},
+        out = _bucket_pairs_df(df, ["band", "key"], id_col, extra={"h": "_h"},
                                max_bucket=max_bucket)
         if len(out) == 0:
             return pd.DataFrame({"id_a": out["id_a"], "id_b": out["id_b"],
@@ -382,6 +382,18 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
 
     pairs = exploded.groupby("_shard").map_groups(_shard_pairs, batch_format="pandas")
     return _dedup_pairs(pairs, num_shards)
+
+
+def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8,
+                  num_tables: int = 4, num_shards: int | None = None,
+                  max_bucket: int | None = DEFAULT_MAX_BUCKET):
+    """Near-dup pairs by SimHash over a text column: compute the
+    64-bit SimHash per batch, then ``hamming_band_pairs`` (see there
+    for the banding/completeness contract)."""
+    ds = ds.map_batches(add_simhash, fn_kwargs={"text_col": text_col}, batch_format="pyarrow")
+    return hamming_band_pairs(ds, "simhash", id_col, max_hamming=max_hamming,
+                              num_tables=num_tables, num_shards=num_shards,
+                              max_bucket=max_bucket)
 
 
 # ---------------------------------------------------- embedding cosine

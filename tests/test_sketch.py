@@ -1,0 +1,87 @@
+"""Sketch operators (stages/sketch.py): exact-quantile histogram
+semantics and the HyperLogLog error bound / merge laws."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geomedea_ray.stages.sketch import (
+    HLL_P,
+    _hll_registers,
+    exact_quantiles,
+    hll_distinct,
+    hll_estimate,
+)
+
+
+def _ds(table: pa.Table):
+    import ray.data
+
+    return ray.data.from_arrow(table)
+
+
+class TestExactQuantiles:
+    def test_matches_sorted_reference(self, ray_session):
+        rng = np.random.default_rng(11)
+        n = 20000
+        t = pa.table({
+            "g": pa.array(rng.integers(0, 5, n), pa.int64()),
+            "v": pa.array(rng.poisson(40, n), pa.int64()),
+        })
+        out = exact_quantiles(_ds(t).repartition(9), "g", "v").to_pandas().set_index("g")
+        df = t.to_pandas()
+        for g, grp in df.groupby("g"):
+            v = np.sort(grp["v"].to_numpy())
+            assert out.loc[g, "n"] == len(v)
+            for q in (0.25, 0.5, 0.75, 0.99):
+                assert out.loc[g, f"p{int(q*100)}"] == v[int(np.ceil(q * len(v))) - 1]
+
+    def test_single_value_group(self, ray_session):
+        t = pa.table({"g": pa.array([1, 1, 1], pa.int64()),
+                      "v": pa.array([7, 7, 7], pa.int64())})
+        out = exact_quantiles(_ds(t), "g", "v").to_pandas()
+        assert out.iloc[0][["p25", "p50", "p75", "p99"]].tolist() == [7, 7, 7, 7]
+
+
+class TestHll:
+    def test_error_bound_at_p12(self):
+        """±5 standard errors (σ ≈ 1.04/√m ≈ 1.6%) over several true
+        cardinalities, including the linear-counting range."""
+        rng = np.random.default_rng(7)
+        for true_n in (50, 500, 5000, 200_000):
+            vals = pd.Series(rng.integers(0, 2**62, true_n * 3, dtype=np.int64)).drop_duplicates()
+            true = len(vals)
+            est = hll_estimate(_hll_registers(vals, HLL_P))
+            assert abs(est - true) / true < 5 * 1.04 / np.sqrt(1 << HLL_P), (true, est)
+
+    def test_merge_equals_single_pass(self):
+        """Register max-merge law: union of halves == whole."""
+        rng = np.random.default_rng(3)
+        a = pd.Series(rng.integers(0, 10**9, 5000))
+        b = pd.Series(rng.integers(0, 10**9, 5000))
+        merged = np.maximum(_hll_registers(a, HLL_P), _hll_registers(b, HLL_P))
+        whole = _hll_registers(pd.concat([a, b], ignore_index=True), HLL_P)
+        assert np.array_equal(merged, whole)
+
+    def test_distributed_matches_exact_within_bound(self, ray_session):
+        rng = np.random.default_rng(5)
+        n = 30000
+        t = pa.table({
+            "g": pa.array(rng.integers(0, 3, n), pa.int64()),
+            "u": pa.array(rng.integers(0, 4000, n), pa.int64()),
+        })
+        out = hll_distinct(_ds(t).repartition(11), "g", "u").to_pandas().set_index("g")
+        df = t.to_pandas()
+        for g, grp in df.groupby("g"):
+            true = grp["u"].nunique()
+            est = int(out.loc[g, "n_distinct_hll"])
+            assert abs(est - true) / true < 5 * 1.04 / np.sqrt(1 << HLL_P)
+
+    def test_deterministic_across_partitionings(self, ray_session):
+        rng = np.random.default_rng(9)
+        t = pa.table({"g": pa.array(rng.integers(0, 2, 8000), pa.int64()),
+                      "u": pa.array(rng.integers(0, 999, 8000), pa.int64())})
+        a = hll_distinct(_ds(t), "g", "u").to_pandas().sort_values("g").reset_index(drop=True)
+        b = hll_distinct(_ds(t).repartition(17), "g", "u").to_pandas().sort_values("g").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
