@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "training_prep",
     "audio_features",
     "video_frames",
+    "image_phash_neardup",     # banded-Hamming near-dup over dedup reps (round 3)
+    "image_brightness_quantiles",  # decode + histogram quantile combine (round 3)
+    "simhash_verified",        # exact ≤7-Hamming pair set, 8×8-bit bands (round 3)
+    "top_ngrams",              # vocabulary top-k with partial counts (round 3)
+    "lang_token_quantiles",    # exact histogram quantiles (round 3)
+    "user_cumulative_spend",   # distributed window cumsum (round 3)
+    "distinct_users_hll",      # HyperLogLog sketch (round 3)
 ]
 
 #: Q=500 kNN workload (seeded)

@@ -455,6 +455,36 @@ def _lang_token_quantiles_sql() -> str:
 LANG_TOKEN_QUANTILES_SQL = _lang_token_quantiles_sql()
 
 
+#: per-language keep fractions for the stratified corpus sample —
+#: downsample the dominant languages, keep every rare-language doc
+STRATA_FRACTIONS = {"en": 0.1, "de": 0.5, "zh": 1.0}
+STRATA_DEFAULT = 0.25
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Stratified corpus sampling (stages/joins.sample_stratified):
+    per-language keep fractions via the engine-portable multiplicative
+    hash — the rebalance-the-language-mix op of a training-data
+    pipeline. SQL evaluates the identical predicate."""
+    from geomedea_ray.stages.joins import sample_stratified
+
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sample_stratified(ds, "lang", "doc_id", STRATA_FRACTIONS,
+                             default_fraction=STRATA_DEFAULT)
+
+
+def _doc_sample_stratified_sql() -> str:
+    from geomedea_ray.stages.joins import sample_stratified_sql
+
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + sample_stratified_sql("lang", "doc_id", STRATA_FRACTIONS, STRATA_DEFAULT)
+    )
+
+
+DOC_SAMPLE_STRATIFIED_SQL = _doc_sample_stratified_sql()
+
+
 def q_distinct_users_hll(sf_dir: str):
     """Approximate distinct users per event type — the HyperLogLog
     sketch path (stages/sketch.hll_distinct) next to the exact

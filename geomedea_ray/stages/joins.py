@@ -311,6 +311,48 @@ def sample_fraction_sql(key_expr: str, fraction: float) -> str:
     return f"(({key_expr} * {SAMPLE_MULT}) % 4294967296) < {threshold}"
 
 
+def sample_stratified(ds, strata_col: str, key_col: str, fractions: dict,
+                      default_fraction: float = 0.0):
+    """Deterministic STRATIFIED sample: per-stratum keep-fractions
+    (e.g. downsample the dominant language, keep all of a rare one).
+    Same pure multiplicative-hash predicate as ``sample_fraction``,
+    with the threshold looked up per row from the broadcast stratum
+    map — reproducible across runs, partitionings and engines
+    (``sample_stratified_sql`` evaluates the identical expression)."""
+    import pyarrow as pa
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    thresholds = {s: int(f * (1 << 32)) for s, f in fractions.items()}
+    default_thr = int(default_fraction * (1 << 32))
+    ref = ray.put(thresholds)
+
+    def _flt(batch: pa.Table) -> pa.Table:
+        th = get_once(ref)
+        k = batch[key_col].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(SAMPLE_MULT)) % np.uint64(1 << 32)
+        strata = batch[strata_col].to_numpy(zero_copy_only=False)
+        lim = (
+            pd.Series(strata).map(th).fillna(default_thr).to_numpy(np.uint64)
+        )
+        return batch.filter(pa.array(h < lim))
+
+    return ds.map_batches(_flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_stratified_sql(strata_expr: str, key_expr: str, fractions: dict,
+                          default_fraction: float = 0.0) -> str:
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN {int(f * (1 << 32))}"
+        for s, f in fractions.items()
+    )
+    return (
+        f"(({key_expr} * {SAMPLE_MULT}) % 4294967296) < "
+        f"(CASE {cases} ELSE {int(default_fraction * (1 << 32))} END)"
+    )
+
+
 def distinct_keys(ds, key_col: str) -> np.ndarray:
     """Distinct values of ``key_col``, collected to the driver — the
     build side of a broadcast SEMI/ANTI join. Per-block partial

@@ -245,3 +245,26 @@ class TestCumulativeSum:
         out = cumulative_sum(_ds(t), by="u", on="t", val_col="v",
                              id_col="id", out_col="c").to_pandas().set_index("id")["c"]
         assert out[1] == 1 and out[2] == 11
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rate_and_determinism(self, ray_session):
+        from geomedea_ray.stages.joins import SAMPLE_MULT, sample_stratified
+
+        rng = np.random.default_rng(21)
+        n = 30000
+        strata = np.array(["a", "b", "c"], dtype=object)[rng.integers(0, 3, n)]
+        t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                      "s": pa.array(strata, pa.string())})
+        fr = {"a": 0.1, "b": 1.0}
+        out = sample_stratified(_ds(t).repartition(5), "s", "id", fr,
+                                default_fraction=0.0).to_pandas()
+        # exact membership: hash predicate per row
+        h = (np.arange(n).astype(np.uint64) * np.uint64(SAMPLE_MULT)) % np.uint64(1 << 32)
+        lim = np.where(strata == "a", int(0.1 * (1 << 32)),
+                       np.where(strata == "b", 1 << 32, 0)).astype(np.uint64)
+        expect = np.flatnonzero(h < lim)
+        assert sorted(out["id"]) == expect.tolist()
+        # stratum c fully dropped, b fully kept
+        assert set(out["s"]) == {"a", "b"}
+        assert (out["s"] == "b").sum() == (strata == "b").sum()
