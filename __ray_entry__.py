@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": R.revenue_by_nation,
         "brand_revenue_by_region": R.brand_revenue_by_region,  # 4-way broadcast dim join (part/supplier/nation/region)
         "events_window": R.events_tumbling_window,
+        "events_hopping": R.events_hopping_window,  # sliding window: k windows per event, tree combine
+        "ship_in_order_windows": R.ship_in_order_windows,  # broadcast range join (interval stabbing)
         "distinct_users": R.distinct_users_by_type,
         "purchase_asof_signup": R.purchase_asof_signup,     # as-of join
         "purchases_after_signup": R.purchases_after_signup, # range join
@@ -269,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": R.REVENUE_BY_NATION_SQL,
         "brand_revenue_by_region": R.BRAND_REVENUE_SQL,
         "events_window": R.EVENTS_WINDOW_SQL,
+        "events_hopping": R.EVENTS_HOPPING_SQL,
+        "ship_in_order_windows": R.SHIP_IN_ORDER_WINDOWS_SQL,
         "distinct_users": R.DISTINCT_USERS_SQL,
         "purchase_asof_signup": R.PURCHASE_ASOF_SQL,
         "purchases_after_signup": R.PURCHASES_AFTER_SIGNUP_SQL,

@@ -589,25 +589,35 @@ def late_events_by_type(sf_dir: str, delay_h: int = 1):
     processing events in arrival order (event_id), watermark =
     running_max(ts) - delay; count late vs total per event type.
     Oracle = the same running max as a SQL window function."""
-    from ray.data.aggregate import Count, Sum
-
     from geomedea_ray.stages.joins import watermark_late_flags
 
     ev = tables.read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
     flagged = watermark_late_flags(ev, ts_col="ts", arrival_col="event_id",
                                    delay=f"{delay_h}h")
 
-    def _fin(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": b["event_type"],
-            "late": b["is_late"].cast(pa.int64()),
+    # event_type cardinality is tiny → per-batch partial counts + a
+    # two-level TREE combine instead of a groupby sort-exchange (the
+    # sort machinery costs seconds on kilobyte partials; tiles.py
+    # tile_aggregate pattern, measured ~3× there)
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "n_late": df["is_late"].to_numpy().astype(np.int64),
         })
+        out = g.groupby("event_type", as_index=False).agg(
+            n_late=("n_late", "sum"), n_total=("n_late", "size"))
+        out["n_total"] = out["n_total"].astype(np.int64)
+        return out
 
-    out = (
-        flagged.map_batches(_fin, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("late", alias_name="n_late"), Count(alias_name="n_total"))
-    )
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_late=("n_late", "sum"), n_total=("n_total", "sum"))
+
+    partials = flagged.map_batches(_partial, batch_format="pandas")
+    level1 = partials.repartition(4).map_batches(
+        _combine, batch_format="pandas", batch_size=None)
+    out = level1.repartition(1).map_batches(
+        _combine, batch_format="pandas", batch_size=None)
     return out.select_columns(["event_type", "n_late", "n_total"])
 
 
@@ -623,4 +633,105 @@ SELECT event_type,
        CAST(SUM(CASE WHEN wm IS NOT NULL AND tns < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
        COUNT(*) AS n_total
 FROM w GROUP BY event_type
+"""
+
+
+def ship_in_order_windows(sf_dir: str, window_days: int = 3):
+    """RANGE JOIN (brief "custom operators"): per distinct order date
+    ``d``, count/sum lineitems shipped in ``[d, d + window_days)`` —
+    the interval side (distinct dates, dimension-sized) is broadcast
+    and stabbed per batch (stages/joins.interval_aggregate_broadcast);
+    the fact side streams with NO shuffle. Sum is exact (quantity is
+    integral)."""
+    from geomedea_ray.stages.joins import (distinct_keys,
+                                           interval_aggregate_broadcast)
+
+    dates = distinct_keys(
+        tables.read(sf_dir, "orders", columns=["o_orderdate"]), "o_orderdate")
+    date_ns = np.sort(dates.astype("datetime64[ns]").astype(np.int64))
+    day_ns = 86_400_000_000_000
+    starts, ends = date_ns, date_ns + window_days * day_ns
+
+    li = tables.read(sf_dir, "lineitem", columns=["l_shipdate", "l_quantity"])
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_shipdate": b["l_shipdate"],
+            "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+        })
+
+    agg = interval_aggregate_broadcast(
+        li.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True),
+        starts, ends, point_col="l_shipdate", value_col="qty")
+
+    def _label(df: pd.DataFrame) -> pd.DataFrame:
+        iv = df["interval_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "o_orderdate": pd.to_datetime(date_ns[iv]),
+            "n_ship": df["n"].to_numpy(np.int64),
+            "sum_qty": df["sum_qty"].to_numpy(np.int64),
+        })
+
+    return agg.map_batches(_label, batch_format="pandas", batch_size=None)
+
+
+SHIP_IN_ORDER_WINDOWS_SQL = """
+SELECT d.o_orderdate,
+       CAST(COUNT(*) AS BIGINT) AS n_ship,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM (SELECT DISTINCT o_orderdate FROM orders) d
+JOIN lineitem ON l_shipdate >= d.o_orderdate
+             AND l_shipdate < d.o_orderdate + INTERVAL 3 DAY
+GROUP BY d.o_orderdate
+"""
+
+
+def events_hopping_window(sf_dir: str, hop_min: int = 30, k: int = 2):
+    """HOPPING (sliding) window aggregate — window = k × hop, so each
+    event lands in exactly k windows: the window ids are computed
+    per batch (k vectorized replicas, no join), partial counts/cents
+    reduce per block, and the window×type-cardinality partial stream
+    TREE-combines. At planet scale window cardinality grows with the
+    time span — swap the tree tail for the hash groupby (tiles.py
+    tile_aggregate's fall-through) past ~1e6 windows."""
+    hop_ns = hop_min * 60 * 1_000_000_000
+    ev = tables.read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        ws0 = (t // hop_ns) * hop_ns
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        et = df["event_type"].to_numpy()
+        frames = [pd.DataFrame({"window_start": ws0 - i * hop_ns,
+                                "event_type": et, "cents": cents})
+                  for i in range(k)]
+        g = pd.concat(frames, ignore_index=True)
+        return g.groupby(["window_start", "event_type"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum"))
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = ev.map_batches(_partial, batch_format="pandas")
+    level1 = partials.repartition(8).map_batches(
+        _combine, batch_format="pandas", batch_size=None)
+    return level1.repartition(1).map_batches(
+        _combine, batch_format="pandas", batch_size=None)
+
+
+EVENTS_HOPPING_SQL = """
+WITH h AS (
+  SELECT (epoch_ns(ts) // 1800000000000) * 1800000000000
+           - i.i * 1800000000000 AS window_start,
+         event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) i
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM h GROUP BY window_start, event_type
 """

@@ -569,3 +569,122 @@ def watermark_late_flags(
         return df.assign(is_late=ts < wm, watermark_ts=wm).drop(columns="_band")
 
     return banded.groupby("_band").map_groups(_flag, batch_format="pandas")
+
+
+def _interval_candidates(p: np.ndarray, s: np.ndarray, e: np.ndarray):
+    """Vectorized interval stabbing for a batch of points against
+    sorted-by-start intervals ``[s, e)`` with BOUNDED length
+    ``L = max(e - s)``: candidates for point ``p`` are the intervals
+    with ``start in (p - L, p]`` (two searchsorted calls); candidates
+    with ``start <= p - L`` have ``end <= p`` and drop in the mask.
+    Returns ``(point_idx, interval_idx)`` pairs, both into the sorted
+    arrays. O(B log I + matches) per batch, no Python loop."""
+    if len(s) == 0 or len(p) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    L = int((e - s).max())
+    lo = np.searchsorted(s, p - L, side="left")
+    hi = np.searchsorted(s, p, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    rep_point = np.repeat(np.arange(len(p), dtype=np.int64), counts)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    cand = np.repeat(lo, counts) + offs
+    mask = e[cand] > p[rep_point]
+    return rep_point[mask], cand[mask]
+
+
+def interval_join_broadcast(ds, starts: np.ndarray, ends: np.ndarray,
+                            point_col: str, interval_id_col: str = "interval_id"):
+    """RANGE JOIN, broadcast form (task brief "custom operators"):
+    emit each input row once per half-open interval ``[start, end)``
+    containing ``point_col`` (rows in no interval are dropped; rows in
+    k overlapping intervals emit k times), plus ``interval_id_col`` =
+    the index into the CALLER's (start, end) order.
+
+    Partitioning assumption (documented per the brief): the interval
+    side is dimension-sized — it is broadcast once via ``ray.put`` and
+    probed per batch with two ``searchsorted`` calls; the point side
+    streams with no shuffle. Intervals must have bounded length (the
+    candidate window is ``max(end - start)``); for a fact-sized or
+    unbounded-length interval side, band BOTH sides by
+    ``point // max_len`` and co-partition instead.
+    """
+    import pyarrow as pa
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    s = np.asarray(starts, np.int64)
+    e = np.asarray(ends, np.int64)
+    order = np.argsort(s, kind="stable")
+    ref = ray.put((s[order], e[order], order.astype(np.int64)))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        ss, ee, oo = get_once(ref)
+        p = batch[point_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(p.dtype, np.datetime64):
+            p = p.astype("datetime64[ns]").astype(np.int64)
+        rep, cand = _interval_candidates(p.astype(np.int64), ss, ee)
+        out = batch.take(pa.array(rep))
+        return out.append_column(interval_id_col, pa.array(oo[cand], pa.int64()))
+
+    return ds.map_batches(_probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interval_aggregate_broadcast(ds, starts: np.ndarray, ends: np.ndarray,
+                                 point_col: str, value_col: str | None = None,
+                                 tree_fan: int = 8):
+    """Fused range-join + per-interval COUNT/SUM: the stabbing kernel
+    of ``interval_join_broadcast`` feeding ``np.bincount`` partials in
+    the same batch pass (the matched rows are never materialized), then
+    a two-level TREE combine of the interval-cardinality-sized partial
+    vectors. Returns (interval_id, n [, sum_value]); intervals with no
+    points are omitted. Same broadcast-side assumption as the join;
+    ``value_col`` must be integer-exact (cast upstream)."""
+    import pyarrow as pa
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    s = np.asarray(starts, np.int64)
+    e = np.asarray(ends, np.int64)
+    order = np.argsort(s, kind="stable")
+    n_iv = len(s)
+    ref = ray.put((s[order], e[order], order.astype(np.int64)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ss, ee, oo = get_once(ref)
+        p = batch[point_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(p.dtype, np.datetime64):
+            p = p.astype("datetime64[ns]").astype(np.int64)
+        rep, cand = _interval_candidates(p.astype(np.int64), ss, ee)
+        ids = oo[cand]
+        n = np.bincount(ids, minlength=n_iv).astype(np.int64)
+        nz = np.flatnonzero(n)
+        cols = {"interval_id": pa.array(nz, pa.int64()),
+                "n": pa.array(n[nz], pa.int64())}
+        if value_col is not None:
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sums = np.bincount(ids, weights=v[rep].astype(np.float64),
+                               minlength=n_iv)
+            cols[f"sum_{value_col}"] = pa.array(
+                np.rint(sums[nz]).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    agg = {"n": "sum"}
+    if value_col is not None:
+        agg[f"sum_{value_col}"] = "sum"
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("interval_id", as_index=False).agg(agg)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    level1 = partials.repartition(tree_fan).map_batches(
+        _combine, batch_format="pandas", batch_size=None)
+    return level1.repartition(1).map_batches(
+        _combine, batch_format="pandas", batch_size=None)

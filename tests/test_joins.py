@@ -268,3 +268,73 @@ class TestStratifiedSample:
         # stratum c fully dropped, b fully kept
         assert set(out["s"]) == {"a", "b"}
         assert (out["s"] == "b").sum() == (strata == "b").sum()
+
+
+class TestIntervalJoin:
+    def test_stabbing_kernel_overlaps_and_bounds(self):
+        from geomedea_ray.stages.joins import _interval_candidates
+
+        # intervals (sorted by start): [0,10) [5,15) [20,25)
+        s = np.array([0, 5, 20], np.int64)
+        e = np.array([10, 15, 25], np.int64)
+        p = np.array([0, 5, 9, 10, 14, 19, 20, 24, 25, -1], np.int64)
+        rep, cand = _interval_candidates(p, s, e)
+        got = {}
+        for r, c in zip(rep, cand):
+            got.setdefault(int(p[r]), set()).add(int(c))
+        # half-open [s, e): start included, end excluded
+        assert got[0] == {0}
+        assert got[5] == {0, 1}          # overlap region → both
+        assert got[9] == {0, 1}
+        assert got[10] == {1}            # end of [0,10) excluded
+        assert got[14] == {1}
+        assert 19 not in got             # gap
+        assert got[20] == {2} and got[24] == {2}
+        assert 25 not in got and -1 not in got
+
+    def test_join_replicates_rows_and_maps_ids(self, ray_session):
+        from geomedea_ray.stages.joins import interval_join_broadcast
+
+        # caller order NOT sorted by start — ids must map back
+        starts = np.array([50, 0], np.int64)
+        ends = np.array([60, 10], np.int64)
+        t = pa.table({"x": pa.array([5, 55, 100], pa.int64()),
+                      "tag": pa.array(["a", "b", "c"])})
+        out = interval_join_broadcast(_ds(t), starts, ends, "x").to_pandas()
+        assert sorted(zip(out["tag"], out["interval_id"])) == [("a", 1), ("b", 0)]
+
+    def test_aggregate_matches_bruteforce(self, ray_session):
+        from geomedea_ray.stages.joins import interval_aggregate_broadcast
+
+        rng = np.random.default_rng(7)
+        p = rng.integers(0, 1000, 5000)
+        v = rng.integers(1, 9, 5000)
+        starts = np.arange(0, 1000, 37, dtype=np.int64)
+        ends = starts + 50
+        t = pa.table({"x": pa.array(p, pa.int64()), "v": pa.array(v, pa.int64())})
+        out = (interval_aggregate_broadcast(_ds(t).repartition(4), starts, ends,
+                                            "x", value_col="v")
+               .to_pandas().set_index("interval_id"))
+        for i, (s0, e0) in enumerate(zip(starts, ends)):
+            m = (p >= s0) & (p < e0)
+            if m.sum() == 0:
+                assert i not in out.index
+            else:
+                assert out.loc[i, "n"] == m.sum()
+                assert out.loc[i, "sum_v"] == v[m].sum()
+
+
+class TestHoppingWindow:
+    def test_each_event_in_exactly_k_windows(self, ray_session):
+        import pandas as pd
+
+        from geomedea_ray.pipelines.relational import events_hopping_window
+
+        out = events_hopping_window("/root/testdata/sf0.001").to_pandas()
+        ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                             columns=["ts", "value"])
+        assert out["n"].sum() == 2 * len(ev)          # k=2 replicas
+        assert out["sum_cents"].sum() == 2 * int(
+            np.rint(ev["value"].to_numpy() * 100).sum())
+        # window ids are hop-aligned
+        assert (out["window_start"] % (30 * 60 * 10**9) == 0).all()
