@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_radius": T.q_ann_radius,         # radius search from the store (SQL-oracled)
         "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (SQL-oracled)
         "simhash_verified": T.q_simhash_verified, # 8×8-bit bands: EXACT ≤7-Hamming pair set (fixture-SQL-oracled)
+        "doc_components": T.q_doc_components,     # iterative large-star/small-star CC over the exact pair set (recursive-CTE-oracled)
         "lang_token_quantiles": T.q_lang_token_quantiles, # exact distributed quantiles (histogram method)
         "top_ngrams": T.q_top_ngrams,             # global top-k bigram vocabulary
         "distinct_users_hll": T.q_distinct_users_hll,  # HyperLogLog sketch (rows-only; error bound pytest-asserted)
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         lambda: {"audio_features": audio_features_sql(sf_dir)},
         lambda: {"video_frames": video_frames_sql(sf_dir)},
         lambda: {"simhash_verified": T.simhash_verified_sql(sf_dir)},
+        lambda: {"doc_components": T.doc_components_sql(sf_dir)},
     ):
         try:
             sqls.update(build())

@@ -631,6 +631,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+def q_doc_components(sf_dir: str):
+    """Connected components over the EXACT SimHash ≤7-Hamming pair set
+    (the q_simhash_verified edge stream): distributed large-star /
+    small-star (stages/graph.py) turning the near-dup pairs into
+    canonical (doc_id, component=min-doc-id) representatives. Only
+    nodes that appear in ≥1 pair are emitted (singletons are their own
+    trivial component and carry no dedup decision). Oracle: DuckDB
+    recursive CTE reachability over the same fixture pair set."""
+    from geomedea_ray.stages.graph import connected_components
+
+    pairs = q_simhash_verified(sf_dir).select_columns(["id_a", "id_b"])
+    comp = connected_components(pairs, "id_a", "id_b")
+    import pyarrow as pa
+
+    return comp.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "component": t["component"]}),
+        batch_format="pyarrow",
+    )
+
+
+def doc_components_sql(sf_dir: str) -> str:
+    """Min-id-label reachability via recursive CTE: walk enumerates
+    every (reachable node, start node) pair — quadratic in component
+    size, fine for the oracle at gate scale; the distributed side is
+    the O(log n)-round algorithm."""
+    path = simhash_fixture_path(sf_dir)
+    return f"""
+WITH RECURSIVE
+s AS (SELECT doc_id, simhash FROM read_parquet('{path}')),
+e AS (SELECT a.doc_id AS u, b.doc_id AS v
+      FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}),
+walk(node, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.v, walk.comp FROM walk JOIN e ON e.u = walk.node
+)
+SELECT node AS doc_id, CAST(MIN(comp) AS BIGINT) AS component
+FROM walk GROUP BY node
+"""
+
+
 #: SQL mirror of functions/text.detect_lang — same stopword lists, same
 #: CJK-ratio branch, same tie-break (first language in sorted order
 #: with the strictly-greatest score; 0 matches → 'und')

@@ -1,0 +1,188 @@
+"""Distributed connected components over near-dup pair streams.
+
+The dedup operators (stages/dedup.py) emit PAIRS (minhash / simhash /
+phash / embedding near-dups); turning pairs into canonical document
+representatives needs the transitive closure — an ITERATIVE algorithm
+(task brief: "iterative algorithms" are the expected non-SQL-shaped
+ops). No reference counterpart (the reference has no join/graph ops at
+all — SURVEY §2.5).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — public
+method), which converges in O(log n) rounds on any graph, vs the
+graph-diameter rounds of plain label propagation:
+
+- large-star(u): connect every neighbor v > u to m(u) = min(N(u) ∪ u)
+- small-star(u): connect every neighbor v ≤ u (and u itself) to m(u)
+
+Each half-round is ONE sharded exchange (hash(u) % num_shards) with
+the neighborhood min and the emitted edges computed VECTORIZED inside
+each shard (sort + reduceat — never a Python call per node, the
+stages/dedup.py pattern). The edge set is materialized per round (it
+is the candidate-pair stream: orders of magnitude smaller than the
+corpus that produced it) and the loop stops when the canonical edge
+multiset is unchanged (count + order-independent checksum).
+
+At convergence every component is a star centered on its minimum
+node id; the returned mapping is (node, component=center) for every
+node that appeared in at least one input pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geomedea_ray.stages.dedup import _resolve_shards, _runs
+
+#: O(log n) bound in practice means single digits; a cycle here would
+#: mean a bug, not a hard graph — fail loudly rather than loop.
+MAX_ROUNDS = 40
+
+
+def _star_shard(df: pd.DataFrame, large: bool) -> pd.DataFrame:
+    """One star half-round over a shard holding every (u, v) edge of
+    its nodes u (both directions present). Emits canonical (lo, hi)
+    edges, deduplicated in-shard."""
+    if len(df) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64)})
+    u = df["u"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    order = np.argsort(u, kind="stable")
+    u, v = u[order], v[order]
+    starts, ends = _runs(u)
+    # m(u) = min over the run's neighbors and u itself
+    m_run = np.minimum(np.minimum.reduceat(v, starts), u[starts])
+    m = np.repeat(m_run, ends - starts)
+    if large:
+        mask = v > u
+        a, b = v[mask], m[mask]
+    else:
+        mask = (v <= u) & (v != m)
+        a, b = v[mask], m[mask]
+        # u itself joins its center (u ≤ u): one edge per run
+        self_mask = u[starts] != m_run
+        a = np.concatenate([a, u[starts][self_mask]])
+        b = np.concatenate([b, m_run[self_mask]])
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keep = lo != hi
+    packed = np.unique((lo[keep].astype(np.uint64) << np.uint64(32))
+                       | hi[keep].astype(np.uint64))
+    return pd.DataFrame({
+        "a": (packed >> np.uint64(32)).astype(np.int64),
+        "b": (packed & np.uint64(0xFFFFFFFF)).astype(np.int64),
+    })
+
+
+def _star_round(edges, num_shards: int, large: bool):
+    """Map: symmetrize + shard by hash(u). Reduce: vectorized star
+    pass per shard. Node ids must fit uint32 (edge packing); lift to
+    two-column unique if a corpus ever exceeds 4B docs."""
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "_shard": pa.array((u.astype(np.uint64) % np.uint64(num_shards))
+                               .astype(np.int64), pa.int64()),
+        })
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True)
+    # kilobyte-partial coalesce before the exchange (round-3 rule:
+    # groupby sort cost is per-block) — the pair stream is small
+    sym = sym.repartition(min(num_shards, 8))
+    return sym.groupby("_shard").map_groups(
+        lambda df: _star_shard(df, large), batch_format="pandas"
+    )
+
+
+def _edge_checksum(edges) -> tuple[int, int]:
+    """(count, order-independent xor checksum) of the canonical edge
+    set — the per-round convergence probe; one tiny aggregate, no
+    driver materialization of the edges themselves."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a << np.uint64(32) | b) * np.uint64(0x9E3779B97F4A7C15)
+        x = np.uint64(0)
+        for chunk in [h]:
+            x ^= np.bitwise_xor.reduce(chunk) if len(chunk) else np.uint64(0)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "x": pa.array([int(x)], pa.uint64())})
+
+    parts = edges.map_batches(_p, batch_format="pyarrow").to_pandas()
+    x = np.uint64(0)
+    for val in parts["x"].to_numpy(np.uint64):
+        x ^= val
+    return int(parts["n"].sum()), int(x)
+
+
+def connected_components(pairs, a_col: str, b_col: str,
+                         num_shards: int | None = None):
+    """(node, component) for every node in ``pairs`` — component id =
+    the minimum node id of the connected component. See module
+    docstring for the algorithm and scale contract."""
+    num_shards = _resolve_shards(pairs, num_shards)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if len(a) and (a.min() < 0 or b.min() < 0
+                       or max(a.max(), b.max()) >= 1 << 32):
+            raise ValueError("connected_components packs node ids into "
+                             "uint32; ids must be in [0, 2^32)")
+        return pa.table({"a": pa.array(np.minimum(a, b), pa.int64()),
+                         "b": pa.array(np.maximum(a, b), pa.int64())})
+
+    edges = pairs.map_batches(_canon, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    prev = _edge_checksum(edges)
+    for _ in range(MAX_ROUNDS):
+        edges = _star_round(edges, num_shards, large=True).materialize()
+        edges = _star_round(edges, num_shards, large=False).materialize()
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {MAX_ROUNDS} rounds")
+
+    # stars: every edge is (center=component min, member)
+    def _emit(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([b, a])
+        comp = np.concatenate([a, a])
+        packed, idx = np.unique(
+            (node.astype(np.uint64) << np.uint64(32))
+            | comp.astype(np.uint64), return_index=True)
+        return pa.table({"node": pa.array(node[idx], pa.int64()),
+                         "component": pa.array(comp[idx], pa.int64())})
+
+    out = edges.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    # centers appear once per member ((a,a) replicas): dedup in one
+    # small SHARDED exchange (hash(node) % shards — never a map_groups
+    # call per distinct node), vectorized drop_duplicates in-shard
+    def _shard_col(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("_shard", pa.array(
+            (n % np.uint64(num_shards)).astype(np.int64), pa.int64()))
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset="node")[["node", "component"]]
+
+    return (out.map_batches(_shard_col, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .repartition(min(num_shards, 8))
+            .groupby("_shard").map_groups(_dedup, batch_format="pandas"))

@@ -1,0 +1,72 @@
+"""connected_components (stages/graph.py) vs a brute-force union-find."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from geomedea_ray.stages.graph import connected_components
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def _run(edges, **kw):
+    df = pd.DataFrame(edges, columns=["a", "b"], dtype=np.int64)
+    out = connected_components(ray.data.from_pandas(df), "a", "b", **kw).to_pandas()
+    assert out["node"].is_unique
+    return dict(zip(out["node"], out["component"]))
+
+
+def test_chain_and_star(ray_session):
+    # chain 0-1-2-3-4 plus star 10-{11,12,13}; isolated pair (20,21)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)]
+    assert _run(edges) == _uf_components(edges)
+
+
+def test_self_loops_and_duplicates(ray_session):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2), (3, 3)]
+    got = _run(edges)
+    # self-loop-only nodes carry no merge decision and are dropped
+    assert got == {1: 1, 2: 1}
+
+
+def test_long_path_converges_logarithmically(ray_session):
+    # path of 200 nodes: label propagation would need ~200 rounds;
+    # large/small-star must finish within MAX_ROUNDS (40)
+    edges = [(i, i + 1) for i in range(200)]
+    got = _run(edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 201
+
+
+def test_random_graph_matches_union_find(ray_session):
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 400, 600)
+    b = rng.integers(0, 400, 600)
+    edges = list(zip(a.tolist(), b.tolist()))
+    assert _run(edges, num_shards=4) == _uf_components(edges)
+
+
+def test_id_range_guard(ray_session):
+    with pytest.raises(Exception):  # ValueError surfaced through Ray
+        _run([(1, 1 << 33)])
