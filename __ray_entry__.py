@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (SQL-oracled)
         "simhash_verified": T.q_simhash_verified, # 8×8-bit bands: EXACT ≤7-Hamming pair set (fixture-SQL-oracled)
         "doc_components": T.q_doc_components,     # iterative large-star/small-star CC over the exact pair set (recursive-CTE-oracled)
+        "dedup_neardup": T.q_dedup_neardup,       # end-to-end near-dup dedup: CC reps kept, anti-join drop set (recursive-CTE-oracled)
         "lang_token_quantiles": T.q_lang_token_quantiles, # exact distributed quantiles (histogram method)
         "top_ngrams": T.q_top_ngrams,             # global top-k bigram vocabulary
         "distinct_users_hll": T.q_distinct_users_hll,  # HyperLogLog sketch (rows-only; error bound pytest-asserted)
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         lambda: {"video_frames": video_frames_sql(sf_dir)},
         lambda: {"simhash_verified": T.simhash_verified_sql(sf_dir)},
         lambda: {"doc_components": T.doc_components_sql(sf_dir)},
+        lambda: {"dedup_neardup": T.dedup_neardup_sql(sf_dir)},
     ):
         try:
             sqls.update(build())

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "distinct_users_hll",      # HyperLogLog sketch (round 3)
     "ship_in_order_windows",   # broadcast range join, interval stabbing (round 3)
     "events_hopping",          # sliding-window aggregate, k windows/event (round 3)
+    "doc_components",          # iterative large-star/small-star CC over exact simhash pairs (round 3)
 ]
 
 #: Q=500 kNN workload (seeded)

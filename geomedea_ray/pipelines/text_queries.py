@@ -673,6 +673,48 @@ FROM walk GROUP BY node
 """
 
 
+def q_dedup_neardup(sf_dir: str):
+    """END-TO-END near-dup dedup: the corpus minus every non-canonical
+    member of a SimHash near-dup component — pairs → connected
+    components → broadcast ANTI join (the non-representative id set is
+    pair-bounded, dimension-sized by construction; the corpus side
+    streams through one membership filter, no shuffle). The canonical
+    keep-policy is min-doc-id (= the component label)."""
+    import pyarrow.compute as pc
+
+    from geomedea_ray.stages.joins import distinct_keys, semi_anti_filter
+
+    comp = q_doc_components(sf_dir)
+    non_reps = comp.map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_id"], t["component"]))
+                   .select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    keys = distinct_keys(non_reps, "doc_id")
+    docs = tables.read(sf_dir, "documents",
+                       columns=["doc_id", "lang", "source", "n_chars"])
+    return semi_anti_filter(docs, "doc_id", keys, anti=True)
+
+
+def dedup_neardup_sql(sf_dir: str) -> str:
+    path = simhash_fixture_path(sf_dir)
+    return f"""
+WITH RECURSIVE
+s AS (SELECT doc_id, simhash FROM read_parquet('{path}')),
+e AS (SELECT a.doc_id AS u, b.doc_id AS v
+      FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}),
+walk(node, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.v, walk.comp FROM walk JOIN e ON e.u = walk.node
+),
+labels AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> component)
+"""
+
+
 #: SQL mirror of functions/text.detect_lang — same stopword lists, same
 #: CJK-ratio branch, same tie-break (first language in sorted order
 #: with the strictly-greatest score; 0 matches → 'und')
