@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_after_signup": R.purchases_after_signup, # range join
         "top_events_per_user": R.top_events_per_user,       # windowed top-k
         "lineitem_sample": R.lineitem_sample,               # deterministic sampling
+        "lineitem_order_join": R.lineitem_order_join,       # fact×fact SHUFFLE hash join (co-sharded, no broadcast)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
         "user_cumulative_spend": R.user_cumulative_spend,   # running-total window (prefix scan)
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "purchases_after_signup": R.PURCHASES_AFTER_SIGNUP_SQL,
         "top_events_per_user": R.TOP_EVENTS_SQL,
         "lineitem_sample": R.lineitem_sample_sql(),
+        "lineitem_order_join": R.LINEITEM_ORDER_JOIN_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "user_cumulative_spend": R.USER_CUMULATIVE_SPEND_SQL,

@@ -492,6 +492,64 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-
 """
 
 
+def lineitem_order_join(sf_dir: str):
+    """Fact×fact SHUFFLE hash join (stages/joins.hash_join — the one
+    row-level large×large join in the suite; every other join is
+    broadcast by design because its small side is dimension-sized).
+    Every lineitem row picks up its order's status/priority; revenue
+    is exact int64 1e-4-$ units fixed per row BEFORE the join."""
+    from geomedea_ray.stages.joins import hash_join
+
+    li = tables.read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def _pre(b: pa.Table) -> pa.Table:
+        price_c = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))).cast(pa.int64())
+        disc_pct = pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0))).cast(pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"].cast(pa.int64()),
+                "revenue_e4": pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)),
+            }
+        )
+
+    ords = tables.read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )
+    out = hash_join(
+        li.map_batches(_pre, batch_format="pyarrow", zero_copy_batch=True),
+        ords, "l_orderkey", "o_orderkey", ["o_orderstatus", "o_orderpriority"],
+    )
+
+    # left int payloads crossed the union as nullable (float) columns —
+    # restore exact int64 (values ≤ ~1e9, exactly representable)
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "l_linenumber": t["l_linenumber"].cast(pa.int64()),
+                "revenue_e4": t["revenue_e4"].cast(pa.int64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+LINEITEM_ORDER_JOIN_SQL = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       o_orderstatus, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
 def user_cumulative_spend(sf_dir: str):
     """Running per-user purchase total in event-time order — the
     distributed SUM() OVER (PARTITION BY user ORDER BY ts) window

@@ -166,6 +166,68 @@ def _asof_merge(both, on: str, by: str, right_cols: list[str], suffix: str):
     return both.groupby("_shard").map_groups(_merge, batch_format="pandas")
 
 
+def hash_join(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    num_shards: int | None = None,
+):
+    """Large×large INNER equi-join via ONE hash co-shuffle — for
+    fact×fact joins where neither side is broadcastable (dimension
+    sides should use ``semi_anti_filter`` / the broadcast-lookup
+    pattern instead; no reference counterpart — the reference has no
+    join ops at all, SURVEY §2.5).
+
+    Both sides are tagged and co-sharded on the join key, renamed to a
+    common ``_key`` so the key column stays null-free — and therefore
+    integer-typed — through the Arrow schema unification of the union.
+    Each shard then runs ONE vectorized ``pd.merge`` (a C hash join),
+    never a Python call per key. Non-key column names must be disjoint
+    across sides. Caveat: non-key columns ride through the OTHER
+    side's blocks as nulls, so integer payload columns surface as
+    float64 after unification — cast back downstream where exactness
+    matters. ``Dataset.union`` serializes the two branch executions
+    (CLAUDE.md); each branch is one fused read+tag, so the cost is one
+    extra scan latency, not a correctness issue.
+    """
+    num_shards = _resolve_shards(left_ds, num_shards)
+    rcols = [c for c in right_cols if c != right_on]
+
+    def _tag(side: int, on: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.rename(columns={on: "_key"})
+            return df.assign(
+                _side=np.int8(side), _shard=_shard_of(df["_key"], num_shards)
+            )
+
+        return fn
+
+    left = left_ds.map_batches(_tag(0, left_on), batch_format="pandas")
+    right = right_ds.map_batches(_tag(1, right_on), batch_format="pandas")
+    both = left.union(right)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0]
+        lcols = [
+            c for c in df.columns if c not in ("_side", "_shard") and c not in rcols
+        ]
+        if not set(rcols) <= set(df.columns):
+            # an entirely-empty right dataset contributes no blocks, so
+            # its columns never entered the unified schema: inner join
+            # result is empty (typed object for the absent payloads)
+            out = l[lcols].iloc[0:0].copy()
+            for c in rcols:
+                out[c] = pd.Series([], dtype=object)
+            return out.rename(columns={"_key": left_on})
+        r = df[df["_side"] == 1][["_key"] + rcols]
+        out = l[lcols].merge(r, on="_key", how="inner")
+        return out.rename(columns={"_key": left_on})
+
+    return both.groupby("_shard").map_groups(_merge, batch_format="pandas")
+
+
 def range_join_pairs(
     ds,
     on: str,
