@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup": T.q_dedup_neardup,       # end-to-end near-dup dedup: CC reps kept, anti-join drop set (recursive-CTE-oracled)
         "lang_token_quantiles": T.q_lang_token_quantiles, # exact distributed quantiles (histogram method)
         "top_ngrams": T.q_top_ngrams,             # global top-k bigram vocabulary
+        "doc_tfidf": T.q_doc_tfidf,               # per-doc top-k TF-IDF terms (integer-exact score; DF via grouped sum, tf⋈df via hash_join)
         "distinct_users_hll": T.q_distinct_users_hll,  # HyperLogLog sketch (rows-only; error bound pytest-asserted)
         "doc_sample_stratified": T.q_doc_sample_stratified,  # per-language keep fractions, engine-portable hash
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
@@ -297,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_verified": T.MINHASH_VERIFIED_SQL,
         "lang_token_quantiles": T.LANG_TOKEN_QUANTILES_SQL,
         "top_ngrams": T.TOP_NGRAMS_SQL,
+        "doc_tfidf": T.DOC_TFIDF_SQL,
         "doc_sample_stratified": T.DOC_SAMPLE_STRATIFIED_SQL,
         "label_centroids": T.Q_LABEL_CENTROIDS_SQL,
         "langid": T.LANGID_SQL,

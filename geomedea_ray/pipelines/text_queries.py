@@ -673,6 +673,116 @@ FROM walk GROUP BY node
 """
 
 
+#: per-doc top-k terms (shared with the SQL QUALIFY bound)
+TFIDF_TOP_K = 3
+
+
+def q_doc_tfidf(sf_dir: str, k: int = TFIDF_TOP_K):
+    """Per-document top-k TF-IDF terms — the classic three-exchange
+    MapReduce shape, each stage scale-idiomatic:
+
+    1. TF: one vectorized explode+groupby per batch (a document never
+       spans batches, so per-doc counts complete in-map — no shuffle);
+    2. DF: per-block partial term counts, ONE grouped sum (the shuffle
+       moves (term, partial) rows, not token streams); N comes from
+       parquet metadata (no counting pass);
+    3. score join: tf ⋈ df on term via the large×large hash_join (the
+       vocabulary is corpus-sized — broadcasting it is exactly the
+       wrong call at 100 TB), then per-doc top-k via the sharded
+       windowed-rank operator.
+
+    The score is INTEGER-exact on both engines: tf * ((1e6 * N) // df)
+    — floor division of int64s, no libm, so ranking can't drift."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from geomedea_ray.stages.joins import hash_join, top_k_per_group
+
+    n_docs = pq.ParquetFile(tables.path(sf_dir, "documents")).metadata.num_rows
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+        ex = s.str.split(" ").explode()
+        ex = ex[(ex != "") & ex.notna()]
+        if len(ex) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        grp = (pd.DataFrame({"doc_id": ids[ex.index.to_numpy(np.int64)],
+                             "term": ex.to_numpy()})
+               .groupby(["doc_id", "term"], sort=False).size()
+               .reset_index(name="tf"))
+        return pa.table({"doc_id": pa.array(grp["doc_id"].to_numpy(np.int64)),
+                         "term": pa.array(grp["term"].to_numpy(), pa.string()),
+                         "tf": pa.array(grp["tf"].to_numpy(np.int64))})
+
+    tf = ds.map_batches(_tf, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(batch["term"].to_pylist(), dtype="object").value_counts()
+        return pa.table({"term": pa.array(vc.index.to_numpy(), pa.string()),
+                         "df": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    df_tbl = (
+        tf.map_batches(_df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+    )
+
+    def _idf(batch: pa.Table) -> pa.Table:
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "term": batch["term"],
+            "idf_scaled": pa.array((1_000_000 * n_docs) // dfv, pa.int64()),
+        })
+
+    idf = df_tbl.map_batches(_idf, batch_format="pyarrow")
+    joined = hash_join(tf, idf, "term", "term", ["idf_scaled"])
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "term": df["term"],
+            "tf": df["tf"].to_numpy(np.int64),
+            "score": (df["tf"].to_numpy(np.int64)
+                      * df["idf_scaled"].to_numpy(np.int64)),
+        })
+
+    scored = joined.map_batches(_score, batch_format="pandas")
+    out = top_k_per_group(scored, by="doc_id", order_col="score",
+                          k=k, tiebreak="term", descending=True)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "term": t["term"],
+            "tf": t["tf"].cast(pa.int64()),
+            "score": t["score"].cast(pa.int64()),
+            "rank": t["rank"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DOC_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ((1000000 * (SELECT COUNT(*) FROM documents)) // df.df) AS score
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS "rank"
+FROM scored QUALIFY "rank" <= {TFIDF_TOP_K}
+"""
+
+
 def q_dedup_neardup(sf_dir: str):
     """END-TO-END near-dup dedup: the corpus minus every non-canonical
     member of a SimHash near-dup component — pairs → connected

@@ -40,6 +40,35 @@ class TestTopNgrams:
         assert got["n"].tolist() == ref["n"].tolist()
 
 
+class TestDocTfidf:
+    def test_matches_pandas_reference(self, ray_session, sf_dir, docs):
+        from geomedea_ray.pipelines.text_queries import TFIDF_TOP_K, q_doc_tfidf
+
+        got = (q_doc_tfidf(sf_dir).to_pandas()
+               .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+        # reference: plain-pandas TF-IDF with the identical integer score
+        n = len(docs)
+        rows = []
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            toks = [t for t in (text or "").split(" ") if t != ""]
+            for term, tf in pd.Series(toks).value_counts().items():
+                rows.append((doc_id, term, int(tf)))
+        tfd = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+        df_counts = tfd.groupby("term").size()
+        tfd["score"] = tfd["tf"] * (
+            (1_000_000 * n) // df_counts.reindex(tfd["term"]).to_numpy(np.int64)
+        )
+        tfd = tfd.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True], kind="mergesort")
+        tfd["rank"] = tfd.groupby("doc_id").cumcount() + 1
+        ref = tfd[tfd["rank"] <= TFIDF_TOP_K].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "term", "tf", "score", "rank"]],
+            ref[["doc_id", "term", "tf", "score", "rank"]],
+            check_dtype=False,
+        )
+
+
 class TestLangTokenQuantiles:
     def test_matches_reference(self, ray_session, sf_dir, docs):
         got = q_lang_token_quantiles(sf_dir).to_pandas().set_index("lang").sort_index()
