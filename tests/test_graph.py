@@ -30,41 +30,62 @@ def _uf_components(edges):
     return {n: find(n) for n in nodes}
 
 
-def _run(edges, **kw):
+#: driver_finish_bytes=0 forces the distributed star rounds; the
+#: default takes the driver union-find tail on these tiny edge sets —
+#: every test runs BOTH paths
+BOTH_PATHS = pytest.mark.parametrize("dfb", [0, None],
+                                     ids=["distributed", "driver"])
+
+
+def _run(edges, dfb=None, **kw):
+    if dfb is not None:
+        kw["driver_finish_bytes"] = dfb
     df = pd.DataFrame(edges, columns=["a", "b"], dtype=np.int64)
     out = connected_components(ray.data.from_pandas(df), "a", "b", **kw).to_pandas()
     assert out["node"].is_unique
     return dict(zip(out["node"], out["component"]))
 
 
-def test_chain_and_star(ray_session):
+@BOTH_PATHS
+def test_chain_and_star(ray_session, dfb):
     # chain 0-1-2-3-4 plus star 10-{11,12,13}; isolated pair (20,21)
     edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)]
-    assert _run(edges) == _uf_components(edges)
+    assert _run(edges, dfb) == _uf_components(edges)
 
 
-def test_self_loops_and_duplicates(ray_session):
+@BOTH_PATHS
+def test_self_loops_and_duplicates(ray_session, dfb):
     edges = [(5, 5), (1, 2), (2, 1), (1, 2), (3, 3)]
-    got = _run(edges)
+    got = _run(edges, dfb)
     # self-loop-only nodes carry no merge decision and are dropped
     assert got == {1: 1, 2: 1}
 
 
-def test_long_path_converges_logarithmically(ray_session):
+@BOTH_PATHS
+def test_long_path_converges_logarithmically(ray_session, dfb):
     # path of 200 nodes: label propagation would need ~200 rounds;
-    # large/small-star must finish within MAX_ROUNDS (40)
+    # large/small-star (and the driver pointer-jumping tail) must
+    # finish within MAX_ROUNDS (40) / O(log n) numpy passes
     edges = [(i, i + 1) for i in range(200)]
-    got = _run(edges)
+    got = _run(edges, dfb)
     assert set(got.values()) == {0}
     assert len(got) == 201
 
 
-def test_random_graph_matches_union_find(ray_session):
+@BOTH_PATHS
+def test_random_graph_matches_union_find(ray_session, dfb):
     rng = np.random.default_rng(42)
     a = rng.integers(0, 400, 600)
     b = rng.integers(0, 400, 600)
     edges = list(zip(a.tolist(), b.tolist()))
-    assert _run(edges, num_shards=4) == _uf_components(edges)
+    assert _run(edges, dfb, num_shards=4) == _uf_components(edges)
+
+
+def test_both_paths_agree(ray_session):
+    rng = np.random.default_rng(7)
+    edges = list(zip(rng.integers(0, 300, 500).tolist(),
+                     rng.integers(0, 300, 500).tolist()))
+    assert _run(edges, 0) == _run(edges, None)
 
 
 def test_id_range_guard(ray_session):
