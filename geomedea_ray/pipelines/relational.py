@@ -522,6 +522,9 @@ def lineitem_order_join(sf_dir: str):
     out = hash_join(
         li.map_batches(_pre, batch_format="pyarrow", zero_copy_batch=True),
         ords, "l_orderkey", "o_orderkey", ["o_orderstatus", "o_orderpriority"],
+        broadcast_bytes=0,  # pin the co-shuffle plan: this query IS the
+        # suite's large×large exercise; at fixture scale the adaptive
+        # join would (correctly) demote orders to a broadcast side
     )
 
     # left int payloads crossed the union as nullable (float) columns —

@@ -166,6 +166,14 @@ def _asof_merge(both, on: str, by: str, right_cols: list[str], suffix: str):
     return both.groupby("_shard").map_groups(_merge, batch_format="pandas")
 
 
+#: adaptive-join build-side budget: the materialized right side must
+#: fit every worker's heap simultaneously (it is fetched once per
+#: worker process via util.get_once). 128 MB × 32 workers ≈ 4 GB of
+#: plasma-backed shared reads on one node — comfortably under the
+#: per-worker heap; tune down on memory-tight clusters.
+BROADCAST_JOIN_BYTES = 128 << 20
+
+
 def hash_join(
     left_ds,
     right_ds,
@@ -173,25 +181,68 @@ def hash_join(
     right_on: str,
     right_cols: list[str],
     num_shards: int | None = None,
+    broadcast_bytes: int = BROADCAST_JOIN_BYTES,
 ):
-    """Large×large INNER equi-join via ONE hash co-shuffle — for
-    fact×fact joins where neither side is broadcastable (dimension
-    sides should use ``semi_anti_filter`` / the broadcast-lookup
-    pattern instead; no reference counterpart — the reference has no
-    join ops at all, SURVEY §2.5).
+    """Large×large INNER equi-join — ADAPTIVE between two plans, the
+    AQE pattern (Spark SQL's runtime broadcast-join demotion, public
+    design): the right side is materialized first and its MEASURED
+    size picks the plan. No reference counterpart — the reference has
+    no join ops at all, SURVEY §2.5.
 
-    Both sides are tagged and co-sharded on the join key, renamed to a
-    common ``_key`` so the key column stays null-free — and therefore
-    integer-typed — through the Arrow schema unification of the union.
-    Each shard then runs ONE vectorized ``pd.merge`` (a C hash join),
-    never a Python call per key. Non-key column names must be disjoint
-    across sides. Caveat: non-key columns ride through the OTHER
-    side's blocks as nulls, so integer payload columns surface as
-    float64 after unification — cast back downstream where exactness
-    matters. ``Dataset.union`` serializes the two branch executions
-    (CLAUDE.md); each branch is one fused read+tag, so the cost is one
-    extra scan latency, not a correctness issue.
+    - right ≤ ``broadcast_bytes``: broadcast map-side merge — the
+      right table is ``ray.put`` once, fetched once per worker
+      process (util.get_once), and every left batch runs one
+      vectorized ``pd.merge`` inside a fusable TASK stage. Zero
+      shuffle; left streams. Payload dtypes stay exact (no union
+      schema unification).
+    - larger: ONE hash co-shuffle. Both sides are tagged and
+      co-sharded on the join key, renamed to a common ``_key`` so the
+      key column stays null-free — and therefore integer-typed —
+      through the Arrow schema unification of the union. Each shard
+      then runs ONE vectorized ``pd.merge`` (a C hash join), never a
+      Python call per key. Caveat: non-key columns ride through the
+      OTHER side's blocks as nulls, so integer payload columns
+      surface as float64 after unification — cast back downstream
+      where exactness matters. ``Dataset.union`` serializes the two
+      branch executions (CLAUDE.md); each branch is one fused
+      read+tag, so the cost is one extra scan latency.
+
+    Materializing the right side to decide is ~free: the shuffle plan
+    re-reads the same materialized blocks, and a genuinely huge right
+    side would have been materialized by its exchange anyway. Pass
+    ``broadcast_bytes=0`` to pin the shuffle plan (fact×fact demos /
+    tests). Non-key column names must be disjoint across sides.
     """
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    rcols_b = [c for c in right_cols if c != right_on]
+    if broadcast_bytes > 0:
+        right_mat = right_ds.materialize()
+        if right_mat.size_bytes() <= broadcast_bytes:
+            rdf = right_mat.to_pandas()
+            if right_on in rdf.columns:
+                rdf = rdf.rename(columns={right_on: "_key"})[["_key"] + rcols_b]
+            else:  # zero-block right side carries no schema at all
+                rdf = pd.DataFrame({c: pd.Series([], dtype=object)
+                                    for c in ["_key"] + rcols_b})
+            ref = ray.put(rdf)
+
+            def _bmerge(df: pd.DataFrame) -> pd.DataFrame:
+                r = get_once(ref)
+                df = df.rename(columns={left_on: "_key"})
+                if len(r) == 0:  # typed empty, skip dtype-mismatched merge
+                    out = df.iloc[0:0].copy()
+                    for c in rcols_b:
+                        out[c] = pd.Series([], dtype=object)
+                else:
+                    out = df.merge(r, on="_key", how="inner")
+                return out.rename(columns={"_key": left_on})
+
+            return left_ds.map_batches(_bmerge, batch_format="pandas")
+        right_ds = right_mat  # reuse the blocks in the shuffle plan
+
     num_shards = _resolve_shards(left_ds, num_shards)
     rcols = [c for c in right_cols if c != right_on]
 

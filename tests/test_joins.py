@@ -49,30 +49,48 @@ class TestAsofJoin:
         assert len(out) == 0
 
 
+#: broadcast_bytes=0 pins the co-shuffle plan; the default takes the
+#: adaptive broadcast path on these tiny right sides — run BOTH plans
+JOIN_PLANS = pytest.mark.parametrize("bb", [{"broadcast_bytes": 0}, {}],
+                                     ids=["shuffle", "broadcast"])
+
+
 class TestHashJoin:
     def _join(self, left, right, **kw):
         from geomedea_ray.stages.joins import hash_join
 
         return hash_join(_ds(left), _ds(right), **kw).to_pandas()
 
-    def test_many_to_many_and_unmatched(self, ray_session):
+    @JOIN_PLANS
+    def test_many_to_many_and_unmatched(self, ray_session, bb):
         left = pa.table({"k": [1, 1, 2, 3], "lv": [10, 11, 20, 30]})
         right = pa.table({"rk": [1, 1, 2, 9], "rv": ["a", "b", "c", "z"]})
         out = self._join(left, right, left_on="k", right_on="rk",
-                         right_cols=["rv"]).sort_values(["lv", "rv"])
+                         right_cols=["rv"], **bb).sort_values(["lv", "rv"])
         # k=1 → 2×2 pairs, k=2 → 1, k=3 and rk=9 drop (inner)
         assert list(zip(out["lv"].astype(int), out["rv"])) == [
             (10, "a"), (10, "b"), (11, "a"), (11, "b"), (20, "c")
         ]
 
-    def test_string_keys_and_empty_right(self, ray_session):
+    @JOIN_PLANS
+    def test_string_keys_and_empty_right(self, ray_session, bb):
         left = pa.table({"k": ["x", "y"], "lv": [1, 2]})
         right = pa.table({"k": ["y"], "rv": [9]})
-        out = self._join(left, right, left_on="k", right_on="k", right_cols=["rv"])
+        out = self._join(left, right, left_on="k", right_on="k",
+                         right_cols=["rv"], **bb)
         assert out["k"].tolist() == ["y"] and int(out["rv"].iloc[0]) == 9
         empty = pa.table({"k": pa.array([], pa.string()), "rv": pa.array([], pa.int64())})
         assert len(self._join(left, empty, left_on="k", right_on="k",
-                              right_cols=["rv"])) == 0
+                              right_cols=["rv"], **bb)) == 0
+
+    def test_broadcast_preserves_int_dtypes(self, ray_session):
+        # the shuffle plan's union nulls integer payloads to float64;
+        # the broadcast plan must NOT (no schema unification)
+        left = pa.table({"k": [1, 2], "lv": [10, 20]})
+        right = pa.table({"k": [1, 2], "rv": [7, 8]})
+        out = self._join(left, right, left_on="k", right_on="k",
+                         right_cols=["rv"])
+        assert out["rv"].dtype.kind == "i" and out["lv"].dtype.kind == "i"
 
     def test_key_dtype_survives_shuffle(self, ray_session):
         # the _key rename keeps the join key null-free through the
