@@ -106,6 +106,22 @@ def _bucket_pairs_df(df: pd.DataFrame, key_cols: list[str], id_col: str,
     return pd.DataFrame(res)
 
 
+def _coalesce_width() -> int:
+    """Block count for coalescing a small exploded/partial stream
+    ahead of a hash-shard groupby: the sort-exchange cost is per-BLOCK
+    (CLAUDE.md round-3 rule), so a candidate stream spread over the
+    input's read parallelism pays 2-4× the shuffle machinery it needs.
+    CPU-derived so bigger clusters keep enough blocks for their reduce
+    width; these streams are pair/band-bounded — orders of magnitude
+    smaller than the corpus — so ~8-block granularity stays well under
+    worker heaps (a 64 MB exploded stream → 8 MB blocks). Measured on
+    simhash bands at sf0.1: 2.4 s → 1.1 s."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(8, cpus // 4)
+
+
 def _pair_shard(id_a, id_b, num_shards: int) -> np.ndarray:
     return (
         T.stable_hash64([f"{a}|{b}" for a, b in zip(id_a, id_b)]) % np.uint64(num_shards)
@@ -118,10 +134,6 @@ def _dedup_pairs(pairs, num_shards: int):
     duplicates of a pair co-locate and one vectorized drop_duplicates
     per shard finishes — the same partial+coalesce shape as
     dedup_exact (the sort-exchange machinery cost is per-block)."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["id_a", "id_b"])
         if len(df) == 0:
@@ -133,7 +145,7 @@ def _dedup_pairs(pairs, num_shards: int):
 
     return (
         pairs.map_batches(_partial, batch_format="pandas", batch_size=None)
-        .repartition(max(8, cpus // 4))
+        .repartition(_coalesce_width())
         .groupby("_shard")
         .map_groups(_drop, batch_format="pandas")
     )
@@ -290,7 +302,8 @@ def minhash_lsh_pairs(
     def _shard_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return _bucket_pairs_df(df, ["band", "band_hash"], id_col, max_bucket=max_bucket)
 
-    pairs = exploded.groupby("_shard").map_groups(_shard_pairs, batch_format="pandas")
+    pairs = (exploded.repartition(_coalesce_width())
+             .groupby("_shard").map_groups(_shard_pairs, batch_format="pandas"))
     uniq = _dedup_pairs(pairs, num_shards)
 
     if verify_threshold is not None and texts_by_id is not None:
@@ -380,7 +393,8 @@ def hamming_band_pairs(ds, hash_col: str, id_col: str, max_hamming: int = 8,
         out = out.drop(columns=["h_a", "h_b"]).assign(hamming=hd)
         return out[out["hamming"] <= max_hamming]
 
-    pairs = exploded.groupby("_shard").map_groups(_shard_pairs, batch_format="pandas")
+    pairs = (exploded.repartition(_coalesce_width())
+             .groupby("_shard").map_groups(_shard_pairs, batch_format="pandas"))
     return _dedup_pairs(pairs, num_shards)
 
 
@@ -516,5 +530,6 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embeddin
             }
         )
 
-    pairs = exploded.groupby("_shard").map_groups(_shard_pairs, batch_format="pandas")
+    pairs = (exploded.repartition(_coalesce_width())
+             .groupby("_shard").map_groups(_shard_pairs, batch_format="pandas"))
     return _dedup_pairs(pairs, num_shards)
