@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": T.q_distinct_users_hll,  # HyperLogLog sketch (rows-only; error bound pytest-asserted)
         "doc_sample_stratified": T.q_doc_sample_stratified,  # per-language keep fractions, engine-portable hash
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
+        "embedding_clusters": T.q_embedding_clusters,  # nearest-centroid assignment (SemDeDup-style bucketing; integer-exact, fixture-SQL-oracled)
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
         "embedding_neardup": _embedding_neardup,  # planted table, exact-cosine oracle
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         lambda: {"simhash_verified": T.simhash_verified_sql(sf_dir)},
         lambda: {"doc_components": T.doc_components_sql(sf_dir)},
         lambda: {"dedup_neardup": T.dedup_neardup_sql(sf_dir)},
+        lambda: {"embedding_clusters": T.embedding_clusters_sql(sf_dir)},
     ):
         try:
             sqls.update(build())

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "events_hopping",          # sliding-window aggregate, k windows/event (round 3)
     "doc_components",          # iterative large-star/small-star CC over exact simhash pairs (round 3)
     "dedup_neardup",           # end-to-end near-dup dedup: pairs -> CC -> anti-join (round 3)
+    "embedding_clusters",      # nearest-centroid assignment, broadcast centroids (round 3)
     "lineitem_order_join",     # fact×fact shuffle hash join (round 3)
     "doc_tfidf",               # TF-IDF: partial DF sum + hash join + windowed rank (round 3)
 ]

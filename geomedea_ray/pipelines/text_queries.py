@@ -856,3 +856,91 @@ SELECT doc_id,
        END AS lang_pred
 FROM s
 """
+
+
+# ------------------------------------------------- embedding clusters
+
+#: k for the cluster-assignment gate query — small enough that every
+#: sf tag trains cleanly, large enough to exercise real argmax ties
+EMB_CLUSTER_K = 8
+
+
+def centroid_fixture_path(sf_dir: str, k: int = EMB_CLUSTER_K) -> str:
+    """Quantized k-means centroids over the sf's embeddings table, in
+    LONG form (cluster_id, pos, cq) — the SHARED input of the Ray
+    query and its SQL oracle (the comparison verifies the distributed
+    assignment + argmax, which is the operator under test; centroid
+    training itself is iterative and not SQL-expressible). Built
+    single-process through the validated cache layer; deterministic
+    (seeded k-means over all rows — bounded-sample at real scale)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.cache import cached_file
+    from geomedea_ray.stages.ann import (CLUSTER_QUANT_SCALE,
+                                         kmeans_centroids)
+
+    src = tables.path(sf_dir, "embeddings")
+    dim = 64
+
+    def _build(tmp: str) -> None:
+        t = pq.read_table(src, columns=["embedding"])
+        m = np.stack([np.asarray(v, np.float64)
+                      for v in t["embedding"].to_pylist()])
+        c = kmeans_centroids(m, k)
+        cq = np.floor(c * CLUSTER_QUANT_SCALE).astype(np.int64)
+        kk = cq.shape[0]
+        pq.write_table(pa.table({
+            "cluster_id": pa.array(np.repeat(np.arange(kk, dtype=np.int64), dim)),
+            "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), kk)),
+            "cq": pa.array(cq.reshape(-1), pa.int64()),
+        }), tmp)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return cached_file(
+        f"/tmp/geomedea_ray_cache/emb_centroids_k{k}_{tag}.parquet",
+        _build, expected_rows=k * dim)
+
+
+def q_embedding_clusters(sf_dir: str):
+    """Nearest-centroid cluster assignment over the embeddings table
+    (stages/ann.assign_clusters): the partition step of cluster-based
+    corpus curation (SemDeDup-style bucketing / cluster-balanced
+    sampling). Centroids broadcast once; per-batch int64 matmul +
+    argmax; INTEGER-exact scores (floor-quantized dot products) so the
+    assignment hash-matches the fixture-SQL oracle exactly."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.stages.ann import assign_clusters
+
+    t = pq.read_table(centroid_fixture_path(sf_dir))
+    k = int(t["cluster_id"].to_numpy().max()) + 1
+    cq = np.zeros((k, 64), np.int64)
+    cq[t["cluster_id"].to_numpy(), t["pos"].to_numpy()] = t["cq"].to_numpy()
+    ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return assign_clusters(ds, cq)
+
+
+def embedding_clusters_sql(sf_dir: str) -> str:
+    from geomedea_ray.stages.ann import CLUSTER_QUANT_SCALE
+
+    path = centroid_fixture_path(sf_dir)
+    return f"""
+WITH c AS (SELECT cluster_id, pos, cq FROM read_parquet('{path}')),
+dots AS (
+  SELECT e.vec_id, c.cluster_id,
+         CAST(SUM(CAST(FLOOR(CAST(e.embedding[CAST(c.pos AS INT) + 1] AS DOUBLE)
+                             * {CLUSTER_QUANT_SCALE}) AS BIGINT) * c.cq)
+              AS BIGINT) AS dot
+  FROM embeddings e CROSS JOIN c
+  GROUP BY e.vec_id, c.cluster_id
+),
+best AS (
+  SELECT vec_id, cluster_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cluster_id) AS rn
+  FROM dots
+)
+SELECT vec_id, cluster_id, dot AS score FROM best WHERE rn = 1
+"""

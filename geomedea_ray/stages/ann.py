@@ -673,3 +673,58 @@ def bucket_scan_stats(store_dir: str, buckets: np.ndarray) -> dict:
         "bytes_total": int(bytes_total),
         "bytes_touched": int(bytes_touched),
     }
+
+
+# ---------------------------------------------------- cluster assignment
+
+#: embedding quantization scale for integer-exact cluster assignment:
+#: floor(float64(x) * 1e6) is the same IEEE double multiply + floor in
+#: numpy and DuckDB, so both engines derive IDENTICAL int64 vectors —
+#: dot products (|x| ≲ 1, dim 64 ⇒ < 2^46) never overflow and argmax
+#: cannot drift on float accumulation order.
+CLUSTER_QUANT_SCALE = 1_000_000
+
+
+def quantize_embeddings(m: np.ndarray) -> np.ndarray:
+    """floor(x · 1e6) as int64 — see CLUSTER_QUANT_SCALE."""
+    return np.floor(m.astype(np.float64) * CLUSTER_QUANT_SCALE).astype(np.int64)
+
+
+def assign_clusters(ds, centroids_q: np.ndarray, emb_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """Nearest-centroid assignment over an embedding column — the
+    partition step of cluster-based data curation (SemDeDup-style
+    corpus bucketing, cluster-balanced sampling): centroids are the
+    BROADCAST small side (``ray.put`` once, fetched once per worker via
+    util.get_once inside a fusable task stage — never re-shipped per
+    batch), each batch does ONE int64 matmul + argmax. Ties go to the
+    smallest cluster_id (np.argmax first-hit). Output: (id_col,
+    cluster_id, score) with score the exact integer dot product —
+    hash-comparable against a SQL oracle sharing the centroid fixture.
+
+    Scale: O(n · k · d) vectorized work, zero shuffle; k×d int64
+    centroids are kilobytes even at k=64k."""
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    cq = np.ascontiguousarray(np.asarray(centroids_q, np.int64))
+    ref = ray.put(cq)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = get_once(ref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        eq = quantize_embeddings(_emb_matrix(batch, emb_col))
+        dots = eq @ c.T                     # exact int64 (n, k)
+        assign = np.argmax(dots, axis=1)
+        score = dots[np.arange(len(dots)), assign]
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "cluster_id": pa.array(assign.astype(np.int64), pa.int64()),
+            "score": pa.array(score, pa.int64()),
+        })
+
+    return ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -164,3 +164,41 @@ class TestIVFStore:
         st = bucket_scan_stats(store, probes)
         assert st["bytes_touched"] < st["bytes_total"]
         assert st["row_groups_touched"] < st["row_groups_total"]
+
+
+class TestAssignClusters:
+    def test_matches_bruteforce_and_ties(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.ann import (assign_clusters,
+                                             quantize_embeddings)
+
+        rng = np.random.default_rng(11)
+        m = rng.normal(size=(200, 16)).astype(np.float32) * 0.4
+        cq = quantize_embeddings(rng.normal(size=(6, 16)) * 0.4)
+        # duplicate centroid 0 as centroid 5: every vector nearest to 0
+        # ties with 5 and must resolve to the SMALLER cluster_id
+        cq[5] = cq[0]
+        t = pa.table({"vec_id": pa.array(np.arange(200), pa.int64()),
+                      "embedding": pa.array([list(map(float, r)) for r in m],
+                                            pa.list_(pa.float32()))})
+        out = (assign_clusters(ray.data.from_arrow(t), cq)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        eq = quantize_embeddings(m.astype(np.float64))
+        dots = eq @ cq.T
+        expect = np.argmax(dots, axis=1)
+        assert (out["cluster_id"].to_numpy() == expect).all()
+        assert (out["score"].to_numpy()
+                == dots[np.arange(200), expect]).all()
+        assert not (out["cluster_id"] == 5).any()  # ties -> min id
+
+    def test_fixture_determinism(self, ray_session, tmp_path):
+        import geomedea_ray.pipelines.text_queries as T
+
+        p = T.centroid_fixture_path("/root/testdata/sf0.001")
+        a = T.q_embedding_clusters("/root/testdata/sf0.001").to_pandas()
+        b = T.q_embedding_clusters("/root/testdata/sf0.001").to_pandas()
+        sa = a.sort_values("vec_id").reset_index(drop=True)
+        sb = b.sort_values("vec_id").reset_index(drop=True)
+        assert sa.equals(sb)
+        assert sa["cluster_id"].nunique() > 1  # real partitioning, not vacuous
