@@ -675,6 +675,12 @@ FROM walk GROUP BY node
 
 #: per-doc top-k terms (shared with the SQL QUALIFY bound)
 TFIDF_TOP_K = 3
+#: input-size ceiling for materializing the tokenized TF stream once
+#: instead of re-running tokenize for each of its two consumers (the
+#: token stream is ~2-3× the text bytes; 4 GB input ⇒ ~10 GB in a
+#: 128 GB-heap object store — fine; past that, streaming recompute
+#: beats spilling)
+TFIDF_MATERIALIZE_INPUT_BYTES = 4 << 30
 
 
 def q_doc_tfidf(sf_dir: str, k: int = TFIDF_TOP_K):
@@ -720,6 +726,18 @@ def q_doc_tfidf(sf_dir: str, k: int = TFIDF_TOP_K):
                          "tf": pa.array(grp["tf"].to_numpy(np.int64))})
 
     tf = ds.map_batches(_tf, batch_format="pyarrow", zero_copy_batch=True)
+
+    # the DAG forks here (DF aggregate + join left side) and Ray Data
+    # re-executes the tokenize stage once per consumer. When the input
+    # is small enough that the token stream fits the object store
+    # comfortably, materialize once instead; past the gate, recompute
+    # beats spilling a larger-than-memory token stream — the same
+    # size-gated driver decision as hash_join's broadcast demotion.
+    from geomedea_ray.util import size_hint
+
+    hint = size_hint(ds)
+    if hint is not None and hint <= TFIDF_MATERIALIZE_INPUT_BYTES:
+        tf = tf.materialize()
 
     def _df_partial(batch: pa.Table) -> pa.Table:
         vc = pd.Series(batch["term"].to_pylist(), dtype="object").value_counts()
