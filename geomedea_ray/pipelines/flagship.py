@@ -194,7 +194,7 @@ def image_tile_mosaic(sf_dir: str, zoom: int = 6):
     import pyarrow as pa
 
     from geomedea_ray.functions import codecs
-    from geomedea_ray.pipelines.tiles import TREE_FAN
+    from geomedea_ray.pipelines.tiles import PYRAMID_DRIVER_MAX_ZOOM, TREE_FAN
     from geomedea_ray.stages.geocode import lnglat_from_phash, tile_xy_eq
     from geomedea_ray.stages.images import binary_views
 
@@ -242,6 +242,14 @@ def image_tile_mosaic(sf_dir: str, zoom: int = 6):
     def _combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["tile_x", "tile_y"], as_index=False).agg(agg)
 
+    if zoom <= PYRAMID_DRIVER_MAX_ZOOM:
+        # ≤ 4^8 distinct tiles (same gate as tiles.py's pyramid tail):
+        # the per-block partials are already tile-collapsed, so the
+        # driver combine touches ~tiles×blocks rows — the repartition
+        # barriers of the TREE combine cost more than they move
+        import ray.data
+
+        return ray.data.from_pandas(_combine(partials.to_pandas()))
     level1 = partials.repartition(TREE_FAN).map_batches(
         _combine, batch_format="pandas", batch_size=None)
     return level1.repartition(1).map_batches(
