@@ -91,3 +91,21 @@ def test_join_output_captions_match_source(ray_session):
     oracle = {r["image_id"]: r["caption"] for r in oracle_image_rows(ids).to_pylist()}
     for r in out:
         assert r["caption"] == oracle[r["image_id"]]
+
+
+def test_mosaic_driver_and_tree_paths_agree(ray_session, monkeypatch):
+    """image_tile_mosaic finishes driver-side at zoom <= the pyramid
+    gate; the distributed TREE path must stay live and bit-identical
+    (integer sums commute)."""
+    import geomedea_ray.pipelines.flagship as F
+    import geomedea_ray.pipelines.tiles as TL
+
+    sf = "/root/testdata/sf0.001"
+    a = F.image_tile_mosaic(sf).to_pandas()
+    monkeypatch.setattr(TL, "PYRAMID_DRIVER_MAX_ZOOM", -1)
+    b = F.image_tile_mosaic(sf).to_pandas()
+    key = ["tile_x", "tile_y"]
+    sa = a.sort_values(key).reset_index(drop=True)
+    sb = b.sort_values(key).reset_index(drop=True)[sa.columns]
+    assert sa.equals(sb)
+    assert len(sa) > 1
