@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": T.q_doc_sample_stratified,  # per-language keep fractions, engine-portable hash
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "embedding_clusters": T.q_embedding_clusters,  # nearest-centroid assignment (SemDeDup-style bucketing; integer-exact, fixture-SQL-oracled)
+        "lang_source_rollup": T.q_lang_source_rollup,  # single-pass GROUP BY ROLLUP (per-level in-map partials, one exchange)
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
         "embedding_neardup": _embedding_neardup,  # planted table, exact-cosine oracle
@@ -296,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": T.Q_DOC_QUALITY_SQL,
         "dedup_text": T.Q_DEDUP_TEXT_SQL,
         "lang_source_agg": T.Q_LANG_SOURCE_SQL,
+        "lang_source_rollup": T.LANG_SOURCE_ROLLUP_SQL,
         "ann_topk": T.q_ann_topk_sql(),
         "minhash_verified": T.MINHASH_VERIFIED_SQL,
         "lang_token_quantiles": T.LANG_TOKEN_QUANTILES_SQL,

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "doc_components",          # iterative large-star/small-star CC over exact simhash pairs (round 3)
     "dedup_neardup",           # end-to-end near-dup dedup: pairs -> CC -> anti-join (round 3)
     "embedding_clusters",      # nearest-centroid assignment, broadcast centroids (round 3)
+    "lang_source_rollup",      # single-pass GROUP BY ROLLUP, per-level partials (round 3)
     "lineitem_order_join",     # fact×fact shuffle hash join (round 3)
     "doc_tfidf",               # TF-IDF: partial DF sum + hash join + windowed rank (round 3)
 ]

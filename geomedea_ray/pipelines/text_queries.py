@@ -962,3 +962,29 @@ best AS (
 )
 SELECT vec_id, cluster_id, dot AS score FROM best WHERE rn = 1
 """
+
+
+# --------------------------------------------------------- lang rollup
+
+def q_lang_source_rollup(sf_dir: str):
+    """Hierarchical per-(lang,source) / per-lang / grand-total counts
+    and character sums in ONE pass (stages/rollup.rollup_aggregate) —
+    the GROUP BY ROLLUP shape that otherwise costs one corpus scan per
+    level. Suppressed levels carry the printable ALL token so the SQL
+    mirror COALESCEs instead of comparing NULL group keys."""
+    from geomedea_ray.stages.rollup import rollup_aggregate
+
+    ds = tables.read(sf_dir, "documents",
+                     columns=["lang", "source", "n_chars"])
+    return rollup_aggregate(ds, ["lang", "source"],
+                            sums={"n_chars": "sum_chars"})
+
+
+LANG_SOURCE_ROLLUP_SQL = """
+SELECT COALESCE(lang, '∑ALL') AS lang,
+       COALESCE(source, '∑ALL') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""

@@ -1,0 +1,49 @@
+"""rollup_aggregate (stages/rollup.py) vs pandas brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from geomedea_ray.stages.rollup import ALL_TOKEN, rollup_aggregate
+
+
+def _expected(df, keys, sums, count_col="n"):
+    levels = []
+    for lvl in range(len(keys), -1, -1):
+        p = df.copy()
+        for k in keys[lvl:]:
+            p[k] = ALL_TOKEN
+        g = p.groupby(keys, as_index=False).agg(
+            **{count_col: (keys[0], "size")},
+            **{out: (src, "sum") for src, out in sums.items()},
+        )
+        levels.append(g)
+    return pd.concat(levels, ignore_index=True)
+
+
+def test_rollup_matches_bruteforce_across_blocks(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.choice([f"s{i}" for i in range(7)], 500),
+        "v": rng.integers(0, 1000, 500),
+    })
+    # many small blocks: level partials must merge ACROSS blocks
+    ds = ray.data.from_pandas(df).repartition(13)
+    got = (rollup_aggregate(ds, ["a", "b"], sums={"v": "sum_v"})
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    exp = (_expected(df, ["a", "b"], {"v": "sum_v"})
+           .sort_values(["a", "b"]).reset_index(drop=True)[got.columns])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # grand total present exactly once
+    gt = got[(got["a"] == ALL_TOKEN) & (got["b"] == ALL_TOKEN)]
+    assert len(gt) == 1 and int(gt["n"].iloc[0]) == 500
+
+
+def test_rollup_count_only(ray_session):
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"]})
+    got = rollup_aggregate(ray.data.from_pandas(df), ["a", "b"],
+                           sums={}).to_pandas()
+    assert int(got[(got["a"] == ALL_TOKEN)]["n"].sum()) == 3
+    assert len(got) == 3 + 2 + 1
