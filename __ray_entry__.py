@@ -25,6 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from geomedea_ray.pipelines import curation as C
     from geomedea_ray.pipelines import flagship as F
     from geomedea_ray.pipelines import geo_queries as G
     from geomedea_ray.pipelines import relational as R
@@ -200,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "embedding_clusters": T.q_embedding_clusters,  # nearest-centroid assignment (SemDeDup-style bucketing; integer-exact, fixture-SQL-oracled)
         "lang_source_rollup": T.q_lang_source_rollup,  # single-pass GROUP BY ROLLUP (per-level in-map partials, one exchange)
+        "pii_redact": C.q_pii_redact,             # RE2 PII scrub over the planted corpus (SQL-mirrored regexes)
+        "doc_repetition": C.q_doc_repetition,     # Gopher-style repetition filter (integer-exact metrics + verdict)
+        "decontaminate": C.q_decontaminate,       # benchmark 8-gram decontamination (broadcast eval-gram set)
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
         "embedding_neardup": _embedding_neardup,  # planted table, exact-cosine oracle
@@ -224,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     import os
 
+    from geomedea_ray.pipelines import curation as C
     from geomedea_ray.pipelines import geo_queries as G
     from geomedea_ray.pipelines import hilbert_sql as H
     from geomedea_ray.pipelines import image_sql as I
@@ -250,6 +255,8 @@ def oracle_sql() -> dict[str, str]:
         lambda: {"doc_components": T.doc_components_sql(sf_dir)},
         lambda: {"dedup_neardup": T.dedup_neardup_sql(sf_dir)},
         lambda: {"embedding_clusters": T.embedding_clusters_sql(sf_dir)},
+        lambda: {"pii_redact": C.pii_redact_sql(sf_dir)},
+        lambda: {"decontaminate": C.decontaminate_sql(sf_dir)},
     ):
         try:
             sqls.update(build())
@@ -306,5 +313,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stratified": T.DOC_SAMPLE_STRATIFIED_SQL,
         "label_centroids": T.Q_LABEL_CENTROIDS_SQL,
         "langid": T.LANGID_SQL,
+        "doc_repetition": C.DOC_REPETITION_SQL,
     })
     return sqls
