@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "embedding_clusters": T.q_embedding_clusters,  # nearest-centroid assignment (SemDeDup-style bucketing; integer-exact, fixture-SQL-oracled)
         "lang_source_rollup": T.q_lang_source_rollup,  # single-pass GROUP BY ROLLUP (per-level in-map partials, one exchange)
+        "frequent_bigrams": T.q_frequent_bigrams,  # EXACT heavy hitters (candidate bound + recount, two streaming passes)
+        "events_sample_bottomk": R.events_sample_bottomk,  # fixed-size uniform sample (bottom-k hashing)
         "pii_redact": C.q_pii_redact,             # RE2 PII scrub over the planted corpus (SQL-mirrored regexes)
         "doc_repetition": C.q_doc_repetition,     # Gopher-style repetition filter (integer-exact metrics + verdict)
         "decontaminate": C.q_decontaminate,       # benchmark 8-gram decontamination (broadcast eval-gram set)
@@ -314,5 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": T.Q_LABEL_CENTROIDS_SQL,
         "langid": T.LANGID_SQL,
         "doc_repetition": C.DOC_REPETITION_SQL,
+        "frequent_bigrams": T.FREQUENT_BIGRAMS_SQL,
+        "events_sample_bottomk": R.EVENTS_SAMPLE_BOTTOMK_SQL,
     })
     return sqls

@@ -796,3 +796,25 @@ SELECT window_start, event_type,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM h GROUP BY window_start, event_type
 """
+
+
+#: bottom-k sample size (shared with the SQL LIMIT)
+BOTTOMK = 200
+
+
+def events_sample_bottomk(sf_dir: str):
+    """Fixed-size uniform event sample via bottom-k hashing
+    (stages/joins.sample_bottomk) — the fixed-budget cousin of the
+    fraction sampler: per-block partial bottom-k, one k-row-per-block
+    exchange, deterministic under any partitioning."""
+    from geomedea_ray.stages.joins import sample_bottomk
+
+    ds = tables.read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    return sample_bottomk(ds, "event_id", BOTTOMK)
+
+
+EVENTS_SAMPLE_BOTTOMK_SQL = f"""
+SELECT event_id, user_id, event_type,
+       (event_id * 2654435761) % 4294967296 AS h_sample
+FROM events ORDER BY h_sample LIMIT {BOTTOMK}
+"""

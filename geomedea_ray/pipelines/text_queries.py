@@ -988,3 +988,49 @@ SELECT COALESCE(lang, '∑ALL') AS lang,
 FROM documents
 GROUP BY ROLLUP(lang, source)
 """
+
+
+#: frequent-bigram threshold: count >= N/1000 of all bigram occurrences
+HH_NUM, HH_DEN = 1, 1000
+
+
+def q_frequent_bigrams(sf_dir: str):
+    """EXACT heavy hitters over the corpus bigram stream
+    (stages/sketch.heavy_hitters): candidates via the per-block
+    frequency bound, then a recount pass — two streaming scans, the
+    exchange carries only candidate-bounded partials. The HAVING
+    oracle recomputes the identical integer threshold."""
+    from geomedea_ray.stages.sketch import heavy_hitters
+
+    ds = tables.read(sf_dir, "documents", columns=["text"])
+
+    def _bigrams(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(batch["text"].to_pylist(), dtype="object").fillna("")
+        ex = s.str.split().explode().dropna()
+        if len(ex) < 2:
+            return pa.table({"ngram": pa.array([], pa.string())})
+        idx = ex.index.to_numpy(np.int64)
+        vals = ex.to_numpy()
+        same = idx[1:] == idx[:-1]
+        bg = pd.Series(vals[:-1][same]) + " " + pd.Series(vals[1:][same])
+        return pa.table({"ngram": pa.array(bg.to_numpy(), pa.string())})
+
+    return heavy_hitters(
+        ds.map_batches(_bigrams, batch_format="pyarrow", zero_copy_batch=True),
+        "ngram", num=HH_NUM, den=HH_DEN,
+    )
+
+
+FREQUENT_BIGRAMS_SQL = f"""
+WITH tok AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             FROM documents),
+bg AS (SELECT UNNEST(list_transform(range(1, len(toks)),
+                                    i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+       FROM tok),
+tot AS (SELECT COUNT(*) AS n FROM bg)
+SELECT ngram, COUNT(*) AS n FROM bg
+GROUP BY ngram HAVING {HH_DEN} * COUNT(*) >= {HH_NUM} * (SELECT n FROM tot)
+ORDER BY ngram
+"""

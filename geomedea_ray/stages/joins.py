@@ -801,3 +801,27 @@ def interval_aggregate_broadcast(ds, starts: np.ndarray, ends: np.ndarray,
         _combine, batch_format="pandas", batch_size=None)
     return level1.repartition(1).map_batches(
         _combine, batch_format="pandas", batch_size=None)
+
+
+def sample_bottomk(ds, key_col: str, k: int):
+    """Fixed-size uniform sample: the k rows with the SMALLEST
+    multiplicative hash of ``key_col`` (bottom-k sampling). The hash
+    is a bijection on the key's low 32 bits, so there are no ties and
+    the sample is a pure function of the key set — reproducible across
+    runs, partitionings and engines (the SQL oracle sorts by the
+    identical expression). Per-block partial bottom-k prunes before
+    the global sort, so the exchange moves at most k rows per block."""
+    import pyarrow as pa
+
+    def _h(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].to_numpy().astype(np.uint64)
+        h = (key * np.uint64(SAMPLE_MULT)) % np.uint64(1 << 32)
+        t = batch.append_column("h_sample", pa.array(h.astype(np.int64), pa.int64()))
+        if t.num_rows > k:
+            keep = np.argpartition(h, k)[:k]
+            t = t.take(pa.array(np.sort(keep)))
+        return t
+
+    return ds.map_batches(_h, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "h_sample"
+    ).limit(k)

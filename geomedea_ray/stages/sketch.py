@@ -161,3 +161,58 @@ def hll_distinct(ds, by: str, val_col: str, p: int = HLL_P):
         .groupby(by)
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def heavy_hitters(ds, col: str, num: int = 1, den: int = 100):
+    """EXACT frequent items: every value of ``col`` whose count is
+    >= (num/den) of the total row count — the Misra-Gries family done
+    in two streaming passes so the answer is exact, not a sketch.
+
+    Pass 1 (candidates): per-block value counts keep only values with
+    ``m * local_count >= local_rows`` for m = 2*den/num.  If a value
+    is kept in NO block then its global count < N/m < num*N/den, so
+    the kept union is a GUARANTEED superset of the answer (the
+    space-saving/MG frequency bound, vectorized per block) and is
+    bounded by m values per block — the only thing collected.
+
+    Pass 2 (recount): per-block exact counts of the broadcast
+    candidates (plus a sentinel '' row carrying the block row count),
+    one tiny grouped sum, then the exact integer threshold filter
+    ``den * count >= num * N``.  The input streams twice; nothing
+    row-sized ever shuffles.  Returns a pandas DataFrame (result is
+    candidate-bounded by construction).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from geomedea_ray.util import get_once
+
+    m = max(2 * den // max(num, 1), den // max(num, 1) + 1)
+
+    def _candidates(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        keep = vc[m * vc >= len(df)]
+        return pd.DataFrame({col: keep.index})
+
+    cand = ds.map_batches(_candidates, batch_format="pandas")
+    cand_set = frozenset(cand.to_pandas()[col])
+    ref = ray.put(cand_set)
+
+    def _recount(df: pd.DataFrame) -> pd.DataFrame:
+        cs = get_once(ref)
+        vc = df[col][df[col].isin(cs)].value_counts()
+        return pd.DataFrame(
+            {col: list(vc.index) + [""], "n": list(vc.to_numpy()) + [len(df)]}
+        )
+
+    combined = (
+        ds.map_batches(_recount, batch_format="pandas")
+        .groupby(col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(combined.loc[combined[col] == "", "n"].iloc[0])
+    out = combined[(combined[col] != "") & (den * combined["n"] >= num * total)]
+    out = out.sort_values(col).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -390,3 +390,24 @@ class TestHoppingWindow:
             np.rint(ev["value"].to_numpy() * 100).sum())
         # window ids are hop-aligned
         assert (out["window_start"] % (30 * 60 * 10**9) == 0).all()
+
+
+class TestBottomK:
+    def test_partition_invariant_and_uniformish(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.joins import SAMPLE_MULT, sample_bottomk
+
+        df = pd.DataFrame({"k": np.arange(5000, dtype=np.int64),
+                           "payload": np.arange(5000) * 3})
+        a = sample_bottomk(ray.data.from_pandas(df).repartition(3), "k", 100).to_pandas()
+        b = sample_bottomk(ray.data.from_pandas(df).repartition(17), "k", 100).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("k").reset_index(drop=True),
+            b.sort_values("k").reset_index(drop=True),
+        )
+        # matches the brute-force bottom-k of the same hash
+        h = (df["k"].to_numpy(np.uint64) * np.uint64(SAMPLE_MULT)) % np.uint64(1 << 32)
+        expect = set(df["k"].to_numpy()[np.argsort(h)[:100]])
+        assert set(a["k"]) == expect
+        assert len(a) == 100

@@ -85,3 +85,35 @@ class TestHll:
         a = hll_distinct(_ds(t), "g", "u").to_pandas().sort_values("g").reset_index(drop=True)
         b = hll_distinct(_ds(t).repartition(17), "g", "u").to_pandas().sort_values("g").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestHeavyHitters:
+    def test_exact_vs_value_counts(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.sketch import heavy_hitters
+
+        rng = np.random.default_rng(7)
+        # zipf-ish skew: a few hot items + a long tail
+        vals = np.concatenate([
+            np.repeat([f"hot{i}" for i in range(5)], [400, 300, 200, 120, 80]),
+            np.array([f"tail{i}" for i in rng.integers(0, 2000, 3000)]),
+        ])
+        rng.shuffle(vals)
+        df = pd.DataFrame({"v": vals})
+        ds = ray.data.from_pandas(df).repartition(7)
+        out = heavy_hitters(ds, "v", num=1, den=100)
+        vc = df["v"].value_counts()
+        expect = vc[100 * vc >= len(df)].sort_index()
+        assert list(out["v"]) == list(expect.index)
+        assert list(out["n"]) == list(expect.to_numpy())
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.sketch import heavy_hitters
+
+        df = pd.DataFrame({"v": [f"x{i % 13}" for i in range(997)]})
+        a = heavy_hitters(ray.data.from_pandas(df).repartition(2), "v", 1, 20)
+        b = heavy_hitters(ray.data.from_pandas(df).repartition(11), "v", 1, 20)
+        pd.testing.assert_frame_equal(a, b)
