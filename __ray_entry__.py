@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": T.q_embedding_clusters,  # nearest-centroid assignment (SemDeDup-style bucketing; integer-exact, fixture-SQL-oracled)
         "lang_source_rollup": T.q_lang_source_rollup,  # single-pass GROUP BY ROLLUP (per-level in-map partials, one exchange)
         "frequent_bigrams": T.q_frequent_bigrams,  # EXACT heavy hitters (candidate bound + recount, two streaming passes)
+        "lang_source_cube": T.q_lang_source_cube,  # single-pass GROUP BY CUBE (all key subsets, one exchange)
+        "orders_upsert": R.orders_upsert,          # CDC newest-wins merge (dedup_exact plan on negated version)
+        "user_spend_movsum": R.user_spend_movsum,  # per-key ROWS-window moving sum (one hash shuffle)
         "events_sample_bottomk": R.events_sample_bottomk,  # fixed-size uniform sample (bottom-k hashing)
         "pii_redact": C.q_pii_redact,             # RE2 PII scrub over the planted corpus (SQL-mirrored regexes)
         "doc_repetition": C.q_doc_repetition,     # Gopher-style repetition filter (integer-exact metrics + verdict)
@@ -318,5 +321,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": C.DOC_REPETITION_SQL,
         "frequent_bigrams": T.FREQUENT_BIGRAMS_SQL,
         "events_sample_bottomk": R.EVENTS_SAMPLE_BOTTOMK_SQL,
+        "lang_source_cube": T.LANG_SOURCE_CUBE_SQL,
+        "orders_upsert": R.ORDERS_UPSERT_SQL,
+        "user_spend_movsum": R.USER_SPEND_MOVSUM_SQL,
     })
     return sqls

@@ -818,3 +818,99 @@ SELECT event_id, user_id, event_type,
        (event_id * 2654435761) % 4294967296 AS h_sample
 FROM events ORDER BY h_sample LIMIT {BOTTOMK}
 """
+
+
+def orders_upsert(sf_dir: str):
+    """CDC newest-wins merge (stages/joins.upsert_latest): the orders
+    table plus a derived change stream (every 10th order re-stated
+    with status 'U' and a $10 adjustment, version 1) collapse to the
+    latest version per key. ONE scan emits base+changes in-map (no
+    Dataset.union — branch replication serializes); the merge itself
+    moves only per-block key partials."""
+    from geomedea_ray.stages.joins import upsert_latest
+
+    ds = tables.read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def _with_changes(batch: pa.Table) -> pa.Table:
+        import pyarrow as pa_
+
+        key = batch["o_orderkey"].to_numpy()
+        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        chg = key % 10 == 0
+        out_key = np.concatenate([key, key[chg]])
+        out_ver = np.concatenate(
+            [np.zeros(len(key), np.int64), np.ones(int(chg.sum()), np.int64)]
+        )
+        status = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        out_status = np.concatenate([status, np.full(int(chg.sum()), "U", object)])
+        out_cents = np.concatenate([cents, cents[chg] + 1000])
+        return pa_.table(
+            {
+                "o_orderkey": pa_.array(out_key, pa_.int64()),
+                "version": pa_.array(out_ver, pa_.int64()),
+                "o_orderstatus": pa_.array(out_status, pa_.string()),
+                "totalprice_cents": pa_.array(out_cents, pa_.int64()),
+            }
+        )
+
+    both = ds.map_batches(_with_changes, batch_format="pyarrow", zero_copy_batch=True)
+    return upsert_latest(both, "o_orderkey", "version")
+
+
+ORDERS_UPSERT_SQL = """
+WITH all_rows AS (
+  SELECT o_orderkey, 0 AS version, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 1, 'U',
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000
+  FROM orders WHERE o_orderkey % 10 = 0)
+SELECT o_orderkey, version, o_orderstatus, totalprice_cents
+FROM all_rows
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+"""
+
+
+#: moving-window width (shared with the SQL ROWS BETWEEN)
+MOVSUM_WINDOW = 3
+
+
+def user_spend_movsum(sf_dir: str):
+    """3-event moving purchase total per user in event-time order —
+    the ROWS-window cousin of user_cumulative_spend
+    (stages/joins.rolling_sum; integer cents, order-exact)."""
+    from geomedea_ray.stages.joins import rolling_sum
+
+    ev = tables.read(sf_dir, "events",
+                     columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def _pre(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], pa.scalar("purchase")))
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "value_cents": _cents(b["value"]),
+            }
+        )
+
+    out = rolling_sum(
+        ev.map_batches(_pre, batch_format="pyarrow", zero_copy_batch=True),
+        by="user_id", on="ts", val_col="value_cents", id_col="event_id",
+        window=MOVSUM_WINDOW, out_col="movsum_cents",
+    )
+    return out.select_columns(["user_id", "event_id", "value_cents", "movsum_cents"])
+
+
+USER_SPEND_MOVSUM_SQL = f"""
+SELECT user_id, event_id,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN {MOVSUM_WINDOW - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS movsum_cents
+FROM events WHERE event_type = 'purchase'
+"""

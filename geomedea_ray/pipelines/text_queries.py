@@ -1034,3 +1034,25 @@ SELECT ngram, COUNT(*) AS n FROM bg
 GROUP BY ngram HAVING {HH_DEN} * COUNT(*) >= {HH_NUM} * (SELECT n FROM tot)
 ORDER BY ngram
 """
+
+
+def q_lang_source_cube(sf_dir: str):
+    """Full CUBE over (lang, source) — adds the per-source margin the
+    ROLLUP lacks, still ONE corpus scan (stages/rollup.cube_aggregate:
+    per-block partials emitted once per key subset)."""
+    from geomedea_ray.stages.rollup import cube_aggregate
+
+    ds = tables.read(sf_dir, "documents",
+                     columns=["lang", "source", "n_chars"])
+    return cube_aggregate(ds, ["lang", "source"],
+                          sums={"n_chars": "sum_chars"})
+
+
+LANG_SOURCE_CUBE_SQL = """
+SELECT COALESCE(lang, '∑ALL') AS lang,
+       COALESCE(source, '∑ALL') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+"""

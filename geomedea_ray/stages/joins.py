@@ -825,3 +825,62 @@ def sample_bottomk(ds, key_col: str, k: int):
     return ds.map_batches(_h, batch_format="pyarrow", zero_copy_batch=True).sort(
         "h_sample"
     ).limit(k)
+
+
+def upsert_latest(ds, key_col: str, version_col: str):
+    """CDC newest-wins merge: one row per ``key_col`` — the one with
+    the LARGEST ``version_col`` (base rows carry version 0, change
+    rows 1..n; apply-changes = feed the combined stream through).
+    Delegates to dedup_exact's map-side-partial + sharded-resolve plan
+    on the negated version, so the exchange moves ~keys, not rows, and
+    the reduce side stays shard-wide at any key cardinality."""
+    import pyarrow as pa
+
+    from geomedea_ray.stages.dedup import dedup_exact
+
+    def _neg(batch: pa.Table) -> pa.Table:
+        v = batch[version_col].to_numpy()
+        return batch.append_column("_neg_version", pa.array(-v, pa.int64()))
+
+    out = dedup_exact(
+        ds.map_batches(_neg, batch_format="pyarrow", zero_copy_batch=True),
+        key_col, "_neg_version",
+    )
+    return out.drop_columns(["_neg_version"])
+
+
+def rolling_sum(
+    ds,
+    by: str,
+    on: str,
+    val_col: str,
+    id_col: str,
+    window: int,
+    out_col: str = "roll",
+    num_shards: int | None = None,
+):
+    """Per-key ROWS-window running sum: ``SUM(val) OVER (PARTITION BY
+    by ORDER BY on, id ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)``. Same one-hash-shuffle plan as cumulative_sum; in-shard the
+    window is one vectorized ``groupby(...).rolling(window).sum()``.
+    Integer ``val_col`` keeps every window total order-exact."""
+    num_shards = _resolve_shards(ds, num_shards)
+
+    def _shardit(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_shard=_shard_of(df[by], num_shards))
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([by, on, id_col], kind="mergesort").drop(columns="_shard")
+        r = (
+            df.groupby(by, sort=False)[val_col]
+            .rolling(window, min_periods=1)
+            .sum()
+            .to_numpy()
+        )
+        return df.assign(**{out_col: r.astype(np.int64)})
+
+    return (
+        ds.map_batches(_shardit, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_roll, batch_format="pandas")
+    )

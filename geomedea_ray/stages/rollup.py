@@ -28,20 +28,46 @@ def rollup_aggregate(ds, keys: list[str], sums: dict[str, str],
     grouped sum. ``sums`` maps input column -> output column (int64
     sums); ``count_col`` is the per-group row count. Key columns must
     be strings (the ALL token replaces suppressed levels)."""
+    sets = [tuple(keys[:lvl]) for lvl in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, sums, count_col, all_token)
+
+
+def cube_aggregate(ds, keys: list[str], sums: dict[str, str],
+                   count_col: str = "n", all_token: str = ALL_TOKEN):
+    """CUBE over ``keys``: every key subset is a grouping set (2^n
+    sets — n is 2-3 in practice). Same single-pass partial discipline
+    as ROLLUP."""
+    from itertools import combinations
+
+    sets = [
+        c for r in range(len(keys), -1, -1) for c in combinations(keys, r)
+    ]
+    return grouping_sets_aggregate(ds, keys, sets, sums, count_col, all_token)
+
+
+def grouping_sets_aggregate(ds, keys: list[str], sets: list[tuple],
+                            sums: dict[str, str], count_col: str = "n",
+                            all_token: str = ALL_TOKEN):
+    """GROUPING SETS over ``keys``: per-block partials emitted once per
+    set (suppressed keys carry the ALL token), ONE grouped sum over the
+    union stream — the corpus is scanned once however many sets are
+    asked for."""
     from ray.data.aggregate import Sum
 
     scols = list(sums)
+    sets = [tuple(s) for s in sets]
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         g = df.groupby(keys, sort=False, dropna=False)
         base = g[scols].sum().reset_index() if scols else g.size().reset_index()[keys]
         base[count_col] = g.size().to_numpy()
-        for lvl in range(len(keys), -1, -1):
+        for s in sets:
             p = base.copy()
-            for k in keys[lvl:]:
-                p[k] = all_token
-            # re-collapse: suppressed levels merge block-local groups
+            for k in keys:
+                if k not in s:
+                    p[k] = all_token
+            # re-collapse: suppressed keys merge block-local groups
             gg = p.groupby(keys, sort=False, as_index=False)[scols + [count_col]].sum()
             out.append(gg)
         return pd.concat(out, ignore_index=True)

@@ -411,3 +411,42 @@ class TestBottomK:
         expect = set(df["k"].to_numpy()[np.argsort(h)[:100]])
         assert set(a["k"]) == expect
         assert len(a) == 100
+
+
+class TestUpsertRolling:
+    def test_upsert_latest(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.joins import upsert_latest
+
+        df = pd.DataFrame({
+            "k": [1, 2, 3, 1, 2, 1],
+            "version": [0, 0, 0, 1, 1, 2],
+            "payload": ["a", "b", "c", "a1", "b1", "a2"],
+        })
+        out = (upsert_latest(ray.data.from_pandas(df).repartition(3), "k", "version")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert list(out["payload"]) == ["a2", "b1", "c"]
+        assert list(out["version"]) == [2, 1, 0]
+
+    def test_rolling_sum_vs_pandas(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.joins import rolling_sum
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "u": rng.integers(0, 9, 400),
+            "t": rng.permutation(400),
+            "id": np.arange(400),
+            "v": rng.integers(0, 50, 400).astype(np.int64),
+        })
+        out = (rolling_sum(ray.data.from_pandas(df).repartition(5),
+                           by="u", on="t", val_col="v", id_col="id",
+                           window=4, out_col="r")
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        exp = df.sort_values(["u", "t", "id"]).copy()
+        exp["r"] = (exp.groupby("u")["v"].rolling(4, min_periods=1)
+                    .sum().to_numpy().astype(np.int64))
+        exp = exp.sort_values("id").reset_index(drop=True)
+        assert (out["r"].to_numpy() == exp["r"].to_numpy()).all()

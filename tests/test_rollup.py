@@ -47,3 +47,33 @@ def test_rollup_count_only(ray_session):
                            sums={}).to_pandas()
     assert int(got[(got["a"] == ALL_TOKEN)]["n"].sum()) == 3
     assert len(got) == 3 + 2 + 1
+
+
+def test_cube_vs_pandas(ray_session):
+    from geomedea_ray.stages.rollup import cube_aggregate
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 300),
+        "b": rng.choice(["p", "q"], 300),
+        "v": rng.integers(0, 100, 300),
+    })
+    got = (cube_aggregate(ray.data.from_pandas(df).repartition(7),
+                          ["a", "b"], sums={"v": "sum_v"})
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # expected: four grouping sets
+    parts = []
+    for keys in [["a", "b"], ["a"], ["b"], []]:
+        if keys:
+            g = df.groupby(keys).agg(n=("v", "size"), sum_v=("v", "sum")).reset_index()
+        else:
+            g = pd.DataFrame({"n": [len(df)], "sum_v": [df["v"].sum()]})
+        for k in ["a", "b"]:
+            if k not in keys:
+                g[k] = ALL_TOKEN
+        parts.append(g[["a", "b", "n", "sum_v"]])
+    exp = (pd.concat(parts, ignore_index=True)
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+    # per-b margin exists (the set ROLLUP lacks)
+    assert ((got["a"] == ALL_TOKEN) & (got["b"] != ALL_TOKEN)).any()
