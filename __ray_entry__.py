@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_cube": T.q_lang_source_cube,  # single-pass GROUP BY CUBE (all key subsets, one exchange)
         "orders_upsert": R.orders_upsert,          # CDC newest-wins merge (dedup_exact plan on negated version)
         "user_spend_movsum": R.user_spend_movsum,  # per-key ROWS-window moving sum (one hash shuffle)
+        "price_quantiles": R.price_quantiles,      # EXACT continuous-domain quantiles (distributed radix selection)
         "events_sample_bottomk": R.events_sample_bottomk,  # fixed-size uniform sample (bottom-k hashing)
         "pii_redact": C.q_pii_redact,             # RE2 PII scrub over the planted corpus (SQL-mirrored regexes)
         "doc_repetition": C.q_doc_repetition,     # Gopher-style repetition filter (integer-exact metrics + verdict)
@@ -324,5 +325,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_cube": T.LANG_SOURCE_CUBE_SQL,
         "orders_upsert": R.ORDERS_UPSERT_SQL,
         "user_spend_movsum": R.USER_SPEND_MOVSUM_SQL,
+        "price_quantiles": R.price_quantiles_sql(),
     })
     return sqls

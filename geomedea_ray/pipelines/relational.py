@@ -914,3 +914,24 @@ SELECT user_id, event_id,
             AS BIGINT) AS movsum_cents
 FROM events WHERE event_type = 'purchase'
 """
+
+
+def price_quantiles(sf_dir: str):
+    """EXACT quantiles of a CONTINUOUS column (l_extendedprice) per
+    return flag — distributed radix selection over the IEEE-ordered
+    bits (stages/sketch.quantile_select): 4 counting rounds, no raw
+    value ever collected; the histogram method (lang_token_quantiles)
+    would ship one row per distinct price here."""
+    from geomedea_ray.stages.sketch import quantile_select
+
+    ds = tables.read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return quantile_select(ds, "l_returnflag", "l_extendedprice")
+
+
+def price_quantiles_sql() -> str:
+    from geomedea_ray.stages.sketch import quantiles_sql
+
+    return quantiles_sql(
+        "lineitem", by="l_returnflag", val_expr="l_extendedprice",
+        cast_type="DOUBLE",
+    )

@@ -68,13 +68,14 @@ def exact_quantiles(ds, by: str, val_col: str, levels=DEFAULT_LEVELS,
 
 
 def quantiles_sql(source: str, by: str, val_expr: str, levels=DEFAULT_LEVELS,
-                  n_name: str = "n") -> str:
-    """DuckDB mirror of ``exact_quantiles``: cumulative-count window
-    over the same histogram, same smallest-v-with-cum≥ceil(q·n)
-    definition. ``source`` is a table name or a parenthesized
-    subquery/CTE reference."""
+                  n_name: str = "n", cast_type: str = "BIGINT") -> str:
+    """DuckDB mirror of ``exact_quantiles`` / ``quantile_select``:
+    cumulative-count window over the same histogram, same
+    smallest-v-with-cum≥ceil(q·n) definition. ``source`` is a table
+    name or a parenthesized subquery/CTE reference; ``cast_type`` is
+    BIGINT for integer domains, DOUBLE for continuous ones."""
     level_cols = ",\n       ".join(
-        f"CAST(MIN(CASE WHEN cum >= CEIL({q!r} * tot) THEN v END) AS BIGINT) AS {_level_col(q)}"
+        f"CAST(MIN(CASE WHEN cum >= CEIL({q!r} * tot) THEN v END) AS {cast_type}) AS {_level_col(q)}"
         for q in levels
     )
     return f"""
@@ -216,3 +217,158 @@ def heavy_hitters(ds, col: str, num: int = 1, den: int = 100):
     out = out.sort_values(col).reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out
+
+
+# ------------------------------------------------- radix selection
+
+def _ordered_u64(x: np.ndarray) -> np.ndarray:
+    """IEEE-754 monotone bijection float64 -> uint64 (negative floats
+    bit-flip, non-negatives set the sign bit) — total order preserved,
+    so quantile selection can run on integer prefixes."""
+    u = np.ascontiguousarray(x, np.float64).view(np.uint64)
+    return np.where(u >> np.uint64(63) == 1, ~u, u | np.uint64(1 << 63))
+
+
+def _unordered_f64(u: np.ndarray) -> np.ndarray:
+    b = np.where(u >> np.uint64(63) == 1, u ^ np.uint64(1 << 63), ~u)
+    return np.ascontiguousarray(b, np.uint64).view(np.float64)
+
+
+def quantile_select(ds, by: str, val_col: str, levels=DEFAULT_LEVELS,
+                    n_name: str = "n", bits: int = 16):
+    """EXACT distributed quantiles for CONTINUOUS (float64) domains —
+    where exact_quantiles' value histogram would be row-sized.
+
+    Distributed radix selection: 64/bits counting rounds; each round
+    every block emits counts of the next ``bits``-bit digit of the
+    IEEE-ordered integer, restricted to the (group, prefix) windows
+    still in play, and the driver narrows each quantile's prefix by
+    rank.  After the last round the prefix IS the answer's bit
+    pattern — no raw value is ever collected.  Every exchange is
+    count-bounded (≤ active-windows × 2^bits nonzero rows per block,
+    keys-not-rows); the input streams once per round with only
+    (by, val) columns read.  Same smallest-v-with-cum≥ceil(q·n) rank
+    definition as exact_quantiles, mirrored by ``quantiles_sql``
+    (cast_type='DOUBLE').  Rows with NaN/null values are excluded.
+
+    Digits ship as (parent-prefix, digit) pairs: the full prefix at
+    the last round needs all 64 bits and would overflow the int64
+    block column (sign-extended shifts then never match), while the
+    parent stays < 2^(64-bits)."""
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    rounds = (64 + bits - 1) // bits
+    dmask = np.uint64((1 << bits) - 1)
+
+    def _clean(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        return pd.DataFrame({"g": df[by].to_numpy()[ok],
+                             "u": _ordered_u64(v[ok])})
+
+    cleaned = ds.map_batches(_clean, batch_format="pandas")
+    empty = {
+        "g": pd.Series([], dtype=object),
+        "p": pd.Series([], dtype=np.int64),
+        "dd": pd.Series([], dtype=np.int64),
+        "c": pd.Series([], dtype=np.int64),
+    }
+
+    # state: group -> {"n": total, "targets": {prefix(py int): [(level, residual_rank)]}}
+    state: dict = {}
+    for r in range(rounds):
+        shift = np.uint64(64 - bits * (r + 1))
+        pshift = np.uint64(64 - bits * r)
+        if r == 0:
+            def _count(df: pd.DataFrame, _shift=shift) -> pd.DataFrame:
+                dd = ((df["u"] >> _shift) & dmask).astype(np.int64)
+                out = (
+                    pd.DataFrame({"g": df["g"], "p": np.int64(0), "dd": dd})
+                    .groupby(["g", "p", "dd"], sort=False).size().reset_index()
+                )
+                out.columns = ["g", "p", "dd", "c"]
+                return out
+        else:
+            active = {(g, p) for g, st in state.items() for p in st["targets"]}
+            ref = ray.put(frozenset(active))
+
+            def _count(df: pd.DataFrame, _shift=shift, _pshift=pshift,
+                       _ref=ref) -> pd.DataFrame:
+                act = get_once(_ref)
+                parent = (df["u"] >> _pshift).astype(np.int64)
+                keys = pd.Series(list(zip(df["g"], parent)))
+                m = keys.isin(act).to_numpy()
+                if not m.any():
+                    # dtyped empty — an untyped {} frame arrives float64
+                    # and poisons the aggregate's schema union
+                    return pd.DataFrame(empty)
+                u = df["u"].to_numpy()[m]
+                sub = pd.DataFrame(
+                    {"g": df["g"].to_numpy()[m],
+                     "p": parent.to_numpy()[m],
+                     "dd": ((u >> _shift) & dmask).astype(np.int64)}
+                )
+                out = sub.groupby(["g", "p", "dd"], sort=False).size().reset_index()
+                out.columns = ["g", "p", "dd", "c"]
+                return out
+
+        def _merge(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(["g", "p", "dd"], as_index=False)["c"].sum()
+
+        # digit-count partials are kilobytes: a groupby sort-exchange
+        # per round costs seconds of pure machinery (CLAUDE.md rule);
+        # TREE-combine in a couple of blocks and finish on the driver
+        counts = (
+            cleaned.map_batches(_count, batch_format="pandas")
+            .repartition(2)
+            .map_batches(_merge, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+        counts = (
+            counts.groupby(["g", "p", "dd"], as_index=False)["c"].sum()
+            .sort_values(["g", "p", "dd"])
+            .reset_index(drop=True)
+        )
+        new_state: dict = {}
+        if r == 0:
+            for g, grp in counts.groupby("g", sort=False):
+                n = int(grp["c"].sum())
+                if n == 0:
+                    continue
+                targets: dict[int, list] = {}
+                cum = grp["c"].cumsum().to_numpy()
+                digs = grp["dd"].to_numpy()
+                for q in levels:
+                    rank = max(int(np.ceil(q * n)), 1)
+                    j = int(np.searchsorted(cum, rank))
+                    before = int(cum[j - 1]) if j else 0
+                    targets.setdefault(int(digs[j]), []).append((q, rank - before))
+                new_state[g] = {"n": n, "targets": targets}
+        else:
+            for g, st in state.items():
+                grp = counts[counts["g"] == g]
+                targets = {}
+                for p, lv in st["targets"].items():
+                    sub = grp[grp["p"] == p]
+                    cum = sub["c"].cumsum().to_numpy()
+                    digs = sub["dd"].to_numpy()
+                    for q, rank in lv:
+                        j = int(np.searchsorted(cum, rank))
+                        before = int(cum[j - 1]) if j else 0
+                        pref = (p << bits) | int(digs[j])
+                        targets.setdefault(pref, []).append((q, rank - before))
+                new_state[g] = {"n": st["n"], "targets": targets}
+        state = new_state
+
+    rows = []
+    for g, st in sorted(state.items()):
+        row = {by: g, n_name: st["n"]}
+        for p, lv in st["targets"].items():
+            val = float(_unordered_f64(np.array([p], np.uint64))[0])
+            for q, _ in lv:
+                row[_level_col(q)] = val
+        rows.append(row)
+    cols = [by, n_name] + [_level_col(q) for q in levels]
+    return pd.DataFrame(rows)[cols]

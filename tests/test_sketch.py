@@ -117,3 +117,35 @@ class TestHeavyHitters:
         a = heavy_hitters(ray.data.from_pandas(df).repartition(2), "v", 1, 20)
         b = heavy_hitters(ray.data.from_pandas(df).repartition(11), "v", 1, 20)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestQuantileSelect:
+    def test_exact_vs_sort(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.sketch import quantile_select
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], 8000),
+            "v": rng.lognormal(2, 2, 8000) * np.sign(rng.standard_normal(8000)),
+        })
+        # inject duplicates and exact zeros (bucket-boundary cases)
+        df.loc[:500, "v"] = 7.25
+        df.loc[600:700, "v"] = 0.0
+        out = quantile_select(ray.data.from_pandas(df).repartition(7), "g", "v")
+        for _, row in out.iterrows():
+            vals = np.sort(df[df["g"] == row["g"]]["v"].to_numpy())
+            assert row["n"] == len(vals)
+            for q in (0.25, 0.5, 0.75, 0.99):
+                rank = int(np.ceil(q * len(vals)))
+                assert vals[rank - 1] == row[f"p{int(q*100)}"]
+
+    def test_nan_excluded(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.sketch import quantile_select
+
+        df = pd.DataFrame({"g": ["a"] * 10, "v": [1.0] * 5 + [float("nan")] * 5})
+        out = quantile_select(ray.data.from_pandas(df), "g", "v", levels=(0.5,))
+        assert int(out["n"].iloc[0]) == 5 and out["p50"].iloc[0] == 1.0
