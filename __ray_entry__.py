@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": C.q_pii_redact,             # RE2 PII scrub over the planted corpus (SQL-mirrored regexes)
         "doc_repetition": C.q_doc_repetition,     # Gopher-style repetition filter (integer-exact metrics + verdict)
         "decontaminate": C.q_decontaminate,       # benchmark 8-gram decontamination (broadcast eval-gram set)
+        "pack_sequences": C.q_pack_sequences,     # concat-and-chunk sequence packing (banded global prefix sum)
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
         "embedding_neardup": _embedding_neardup,  # planted table, exact-cosine oracle
@@ -326,5 +327,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_upsert": R.ORDERS_UPSERT_SQL,
         "user_spend_movsum": R.USER_SPEND_MOVSUM_SQL,
         "price_quantiles": R.price_quantiles_sql(),
+        "pack_sequences": C.PACK_SEQUENCES_SQL,
     })
     return sqls

@@ -294,3 +294,62 @@ SELECT corpus.doc_id, COALESCE(hits.n_hits, 0) AS n_hits,
        COALESCE(hits.n_hits, 0) > 0 AS contaminated
 FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# concat-and-chunk sequence packing (token-budget binning)
+# ---------------------------------------------------------------------------
+
+#: tokens per packed training sequence (shared with the SQL mirror)
+PACK_BUDGET = 2048
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing — the LLM-pretraining step
+    that concatenates the tokenized corpus in a canonical order and
+    slices it into fixed-budget training sequences.  Each doc gets the
+    bin (sequence id) and offset where it STARTS: bin = exclusive
+    prefix sum of token counts // budget, via the exact banded
+    prefix scan (stages/joins.banded_prefix_sum — per-band partials +
+    driver carry, ONE band-grouped pass; nothing row-sized crosses the
+    wire except the band co-shuffle)."""
+    import pyarrow.compute as _pc
+
+    from geomedea_ray.stages.joins import banded_prefix_sum
+    from geomedea_ray.stages.text_stages import add_token_count
+
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = ds.map_batches(add_token_count, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+    packed = banded_prefix_sum(toks, order_col="doc_id", val_col="n_tokens")
+
+    def _bins(df: pd.DataFrame) -> pd.DataFrame:
+        cum0 = df["cum0"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": df["n_tokens"].to_numpy(np.int64),
+                "bin_id": cum0 // PACK_BUDGET,
+                "bin_offset": cum0 % PACK_BUDGET,
+            }
+        )
+
+    return packed.map_batches(_bins, batch_format="pandas")
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+  FROM t)
+SELECT doc_id, n_tokens,
+       cum0 // {PACK_BUDGET} AS bin_id,
+       cum0 % {PACK_BUDGET} AS bin_offset
+FROM c
+"""

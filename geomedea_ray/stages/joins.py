@@ -884,3 +884,56 @@ def rolling_sum(
         .groupby("_shard")
         .map_groups(_roll, batch_format="pandas")
     )
+
+
+def banded_prefix_sum(
+    ds,
+    order_col: str,
+    val_col: str,
+    out_col: str = "cum0",
+    band: int = 10_000,
+):
+    """EXACT global EXCLUSIVE prefix sum of ``val_col`` in
+    ``order_col`` order — the same two-phase banded scan as
+    watermark_late_flags (running max) with SUM as the monoid:
+    per-band partial sums (per-block partials, driver-combined, no
+    shuffle), driver exclusive-prefix over the band summaries, then
+    ONE band-grouped pass adds carry + within-band cumsum.  Appends
+    ``out_col`` = sum of all values strictly before the row."""
+    import ray
+
+    def _band(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_band=(df[order_col].to_numpy(np.int64) // band))
+
+    banded = ds.map_batches(_band, batch_format="pandas")
+
+    def _partial_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"_band": pd.Series([], dtype=np.int64),
+                                 "band_sum": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({"_band": df["_band"].to_numpy(np.int64),
+                          "v": df[val_col].to_numpy(np.int64)})
+        return (g.groupby("_band", as_index=False)["v"].sum()
+                .rename(columns={"v": "band_sum"}))
+
+    parts = (
+        banded.map_batches(_partial_sum, batch_format="pandas")
+        .to_pandas()
+        .groupby("_band", as_index=False)["band_sum"].sum()
+        .sort_values("_band")
+    )
+    sums = parts["band_sum"].to_numpy(np.int64)
+    carry = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    carry_map = {int(b): int(c) for b, c in zip(parts["_band"], carry)}
+    ref = ray.put(carry_map)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        from geomedea_ray.util import get_once
+
+        cm = get_once(ref)
+        df = df.sort_values(order_col, kind="mergesort")
+        v = df[val_col].to_numpy(np.int64)
+        cum_excl = np.cumsum(v) - v + cm[int(df["_band"].iloc[0])]
+        return df.assign(**{out_col: cum_excl}).drop(columns="_band")
+
+    return banded.groupby("_band").map_groups(_scan, batch_format="pandas")

@@ -450,3 +450,34 @@ class TestUpsertRolling:
                     .sum().to_numpy().astype(np.int64))
         exp = exp.sort_values("id").reset_index(drop=True)
         assert (out["r"].to_numpy() == exp["r"].to_numpy()).all()
+
+
+class TestBandedPrefixSum:
+    def test_exact_vs_numpy(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.joins import banded_prefix_sum
+
+        rng = np.random.default_rng(2)
+        # sparse, shuffled ids across several bands
+        ids = rng.choice(np.arange(0, 90000, 3), 4000, replace=False)
+        df = pd.DataFrame({"i": ids, "v": rng.integers(0, 100, 4000).astype(np.int64)})
+        out = (banded_prefix_sum(ray.data.from_pandas(df).repartition(6),
+                                 "i", "v")
+               .to_pandas().sort_values("i").reset_index(drop=True))
+        exp = df.sort_values("i").reset_index(drop=True)
+        expected = np.cumsum(exp["v"].to_numpy()) - exp["v"].to_numpy()
+        assert (out["cum0"].to_numpy() == expected).all()
+
+    def test_pack_invariants(self, ray_session, sf_dir):
+        from geomedea_ray.pipelines.curation import PACK_BUDGET, q_pack_sequences
+
+        out = q_pack_sequences(sf_dir).to_pandas().sort_values("doc_id")
+        # offsets are in-budget; bins fill sequentially without gaps
+        assert (out["bin_offset"] < PACK_BUDGET).all()
+        assert (out["bin_offset"] >= 0).all()
+        bins = out["bin_id"].to_numpy()
+        assert (np.diff(bins) >= 0).all()
+        assert set(np.unique(bins)) == set(range(int(bins.max()) + 1))
+        # exclusive prefix: first doc starts at bin 0 offset 0
+        assert bins[0] == 0 and out["bin_offset"].iloc[0] == 0
