@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": C.q_doc_repetition,     # Gopher-style repetition filter (integer-exact metrics + verdict)
         "decontaminate": C.q_decontaminate,       # benchmark 8-gram decontamination (broadcast eval-gram set)
         "pack_sequences": C.q_pack_sequences,     # concat-and-chunk sequence packing (banded global prefix sum)
+        "jsonl_docs_agg": T.q_jsonl_docs_agg,     # JSONL source/sink bridge (sharded NDJSON roundtrip, differential oracle)
         "minhash_pairs": _minhash_pairs,          # rows-only
         "simhash_pairs": _simhash_pairs,          # rows-only
         "embedding_neardup": _embedding_neardup,  # planted table, exact-cosine oracle
@@ -328,5 +329,6 @@ def oracle_sql() -> dict[str, str]:
         "user_spend_movsum": R.USER_SPEND_MOVSUM_SQL,
         "price_quantiles": R.price_quantiles_sql(),
         "pack_sequences": C.PACK_SEQUENCES_SQL,
+        "jsonl_docs_agg": T.JSONL_DOCS_AGG_SQL,
     })
     return sqls

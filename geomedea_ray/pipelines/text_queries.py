@@ -1056,3 +1056,31 @@ SELECT COALESCE(lang, '∑ALL') AS lang,
 FROM documents
 GROUP BY CUBE(lang, source)
 """
+
+
+def q_jsonl_docs_agg(sf_dir: str):
+    """JSONL ingest bridge (sources/jsonl.py): the documents table
+    exported to sharded newline-delimited JSON (the corpus interchange
+    format), read back through pyarrow's NDJSON reader, aggregated —
+    a differential check that the JSONL writer/reader round-trips
+    values exactly (same oracle family as csv_points_select)."""
+    from ray.data.aggregate import Count, Sum
+
+    from geomedea_ray.sources.jsonl import documents_jsonl_path, read_jsonl_sharded
+
+    ds = read_jsonl_sharded(documents_jsonl_path(sf_dir))
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {"lang": b["lang"], "n": b["n"], "sum_chars": b["sum_chars"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+JSONL_DOCS_AGG_SQL = """
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""

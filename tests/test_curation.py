@@ -2,6 +2,7 @@
 repetition filter, benchmark decontamination — vs plain-Python
 references at sf0.001, plus planted-fixture invariants."""
 
+import os
 import re
 
 import numpy as np
@@ -130,3 +131,36 @@ def test_fixture_deterministic(ray_session, sf_dir, curated):
     pd.testing.assert_frame_equal(curated, again)
     # row count preserved; splices only ever ADD tokens
     assert len(curated) == len(again)
+
+
+class TestJsonl:
+    def test_roundtrip_exact(self, ray_session, sf_dir, tmp_path):
+        import ray.data
+
+        from geomedea_ray.sources.jsonl import (
+            jsonl_is_valid,
+            read_jsonl_sharded,
+            write_jsonl_sharded,
+        )
+
+        src = ray.data.read_parquet(sf_dir + "/documents.parquet")
+        out = str(tmp_path / "docs_jsonl")
+        manifest = write_jsonl_sharded(src.repartition(3), out)
+        assert manifest["total_rows"] == src.count()
+        assert jsonl_is_valid(out)
+        back = read_jsonl_sharded(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        orig = src.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back[orig.columns], orig)
+
+    def test_validation_catches_truncation(self, ray_session, sf_dir, tmp_path):
+        import ray.data
+
+        from geomedea_ray.sources.jsonl import jsonl_is_valid, write_jsonl_sharded
+
+        src = ray.data.read_parquet(sf_dir + "/documents.parquet")
+        out = str(tmp_path / "docs_jsonl_bad")
+        manifest = write_jsonl_sharded(src, out)
+        victim = os.path.join(out, manifest["files"][0]["path"])
+        lines = open(victim).readlines()
+        open(victim, "w").writelines(lines[:-1])
+        assert not jsonl_is_valid(out)
