@@ -82,6 +82,14 @@ BENCH_QUERIES = [
     "lang_source_rollup",      # single-pass GROUP BY ROLLUP, per-level partials (round 3)
     "lineitem_order_join",     # fact×fact shuffle hash join (round 3)
     "doc_tfidf",               # TF-IDF: partial DF sum + hash join + windowed rank (round 3)
+    "pii_redact",              # RE2 PII scrub over the planted corpus (round 3b)
+    "doc_repetition",          # Gopher-style repetition filter (round 3b)
+    "decontaminate",           # benchmark 8-gram scan vs broadcast eval set (round 3b)
+    "frequent_bigrams",        # exact heavy hitters: candidates + recount (round 3b)
+    "price_quantiles",         # continuous-domain radix-selection quantiles (round 3b)
+    "pack_sequences",          # banded global prefix sum -> sequence bins (round 3b)
+    "orders_upsert",           # CDC newest-wins merge (round 3b)
+    "lang_source_cube",        # single-pass GROUP BY CUBE (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)
