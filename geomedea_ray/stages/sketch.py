@@ -178,13 +178,16 @@ def heavy_hitters(ds, col: str, num: int = 1, den: int = 100):
 
     Pass 2 (recount): per-block exact counts of the broadcast
     candidates (plus a sentinel '' row carrying the block row count),
-    one tiny grouped sum, then the exact integer threshold filter
-    ``den * count >= num * N``.  The input streams twice; nothing
-    row-sized ever shuffles.  Returns a pandas DataFrame (result is
-    candidate-bounded by construction).
+    combined by a two-level TREE (repartition + pandas grouped sum —
+    each partial block holds <= |candidates|+1 rows, so the final
+    single-task input is fan x candidates rows regardless of dataset
+    size; a groupby sort-exchange on these kilobyte partials measured
+    ~4 s of pure machinery at sf0.01), then the exact integer
+    threshold filter ``den * count >= num * N``.  The input streams
+    twice; nothing row-sized ever shuffles.  Returns a pandas
+    DataFrame (result is candidate-bounded by construction).
     """
     import ray
-    from ray.data.aggregate import Sum
 
     from geomedea_ray.util import get_once
 
@@ -206,10 +209,15 @@ def heavy_hitters(ds, col: str, num: int = 1, den: int = 100):
             {col: list(vc.index) + [""], "n": list(vc.to_numpy()) + [len(df)]}
         )
 
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(col, as_index=False)["n"].sum()
+
     combined = (
         ds.map_batches(_recount, batch_format="pandas")
-        .groupby(col)
-        .aggregate(Sum("n", alias_name="n"))
+        .repartition(8)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
     total = int(combined.loc[combined[col] == "", "n"].iloc[0])
