@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": R.top_events_per_user,       # windowed top-k
         "lineitem_sample": R.lineitem_sample,               # deterministic sampling
         "lineitem_order_join": R.lineitem_order_join,       # fact×fact SHUFFLE hash join (co-sharded, no broadcast)
+        "urgent_order_lineitems": R.urgent_order_lineitems, # bloom-pruned shuffle join (map-side probe filtering)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
         "user_cumulative_spend": R.user_cumulative_spend,   # running-total window (prefix scan)
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": R.TOP_EVENTS_SQL,
         "lineitem_sample": R.lineitem_sample_sql(),
         "lineitem_order_join": R.LINEITEM_ORDER_JOIN_SQL,
+        "urgent_order_lineitems": R.URGENT_ORDER_LINEITEMS_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "user_cumulative_spend": R.USER_CUMULATIVE_SPEND_SQL,

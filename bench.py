@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "pack_sequences",          # banded global prefix sum -> sequence bins (round 3b)
     "orders_upsert",           # CDC newest-wins merge (round 3b)
     "lang_source_cube",        # single-pass GROUP BY CUBE (round 3b)
+    "urgent_order_lineitems",  # bloom-pruned shuffle hash join (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

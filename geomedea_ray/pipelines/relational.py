@@ -553,6 +553,67 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+def urgent_order_lineitems(sf_dir: str):
+    """Bloom-pruned shuffle hash join: the right side is the SELECTIVE
+    order subset ('1-URGENT', ~20%), so the stages/bloom bitmap built
+    over its keys drops ~80% of lineitem probe rows map-side BEFORE
+    the exchange — the 100 TB shuffle-volume lever. broadcast_bytes=0
+    pins the shuffle plan so the bloom path itself is what the oracle
+    verifies (the adaptive join would broadcast at fixture scale)."""
+    from geomedea_ray.stages.joins import hash_join
+
+    li = tables.read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def _pre(b: pa.Table) -> pa.Table:
+        price_c = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))).cast(pa.int64())
+        disc_pct = pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0))).cast(pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"].cast(pa.int64()),
+                "revenue_e4": pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)),
+            }
+        )
+
+    ords = tables.read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT"))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = hash_join(
+        li.map_batches(_pre, batch_format="pyarrow", zero_copy_batch=True),
+        ords, "l_orderkey", "o_orderkey", ["o_orderpriority"],
+        broadcast_bytes=0, bloom=True,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "l_linenumber": t["l_linenumber"].cast(pa.int64()),
+                "revenue_e4": t["revenue_e4"].cast(pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+URGENT_ORDER_LINEITEMS_SQL = """
+SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
 def user_cumulative_spend(sf_dir: str):
     """Running per-user purchase total in event-time order — the
     distributed SUM() OVER (PARTITION BY user ORDER BY ts) window

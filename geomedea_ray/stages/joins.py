@@ -182,6 +182,7 @@ def hash_join(
     right_cols: list[str],
     num_shards: int | None = None,
     broadcast_bytes: int = BROADCAST_JOIN_BYTES,
+    bloom: bool = False,
 ):
     """Large×large INNER equi-join — ADAPTIVE between two plans, the
     AQE pattern (Spark SQL's runtime broadcast-join demotion, public
@@ -212,6 +213,14 @@ def hash_join(
     side would have been materialized by its exchange anyway. Pass
     ``broadcast_bytes=0`` to pin the shuffle plan (fact×fact demos /
     tests). Non-key column names must be disjoint across sides.
+
+    ``bloom=True`` (shuffle plan only) builds a Bloom filter over the
+    right side's keys (stages/bloom — TREE OR-combined partial
+    bitmaps, ≤16 MiB broadcast once per worker) and drops left rows
+    whose key cannot join BEFORE the exchange — at 100 TB the shuffle
+    then moves only joinable probe rows plus a ~0.04% false-positive
+    trickle, which the in-shard merge removes; results are identical
+    with or without the filter.
     """
     import ray
 
@@ -246,9 +255,23 @@ def hash_join(
     num_shards = _resolve_shards(left_ds, num_shards)
     rcols = [c for c in right_cols if c != right_on]
 
+    bref = None
+    if bloom:
+        from geomedea_ray.stages.bloom import auto_num_bits, bloom_build
+
+        right_ds = right_ds.materialize()  # one scan feeds count + build + shuffle
+        keys = right_ds.map_batches(
+            lambda df: df[[right_on]], batch_format="pandas"
+        )
+        bref = ray.put(
+            bloom_build(keys, right_on, num_bits=auto_num_bits(right_ds.count()))
+        )
+
     def _tag(side: int, on: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.rename(columns={on: "_key"})
+            if side == 0 and bref is not None:
+                df = df[get_once(bref).contains(df["_key"])]
             return df.assign(
                 _side=np.int8(side), _shard=_shard_of(df["_key"], num_shards)
             )

@@ -100,6 +100,49 @@ class TestHashJoin:
         out = self._join(left, right, left_on="k", right_on="rk", right_cols=["rv"])
         assert out["k"].tolist() == [2**40 + 1]
 
+    def test_bloom_prefilter_same_answer(self, ray_session):
+        # bloom=True must not change the inner-join result (false
+        # positives ride through to the merge and drop there)
+        rng = np.random.default_rng(7)
+        lk = rng.integers(0, 5000, 4000)
+        left = pa.table({"k": lk, "lv": np.arange(4000)})
+        rk = np.arange(0, 5000, 10)  # 10% of key space joins
+        right = pa.table({"rk": rk, "rv": rk * 2})
+        kw = dict(left_on="k", right_on="rk", right_cols=["rv"])
+        plain = self._join(left, right, broadcast_bytes=0, **kw)
+        bloomed = self._join(left, right, broadcast_bytes=0, bloom=True, **kw)
+        key = ["k", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            plain.sort_values(key).reset_index(drop=True)[key].astype("int64"),
+            bloomed.sort_values(key).reset_index(drop=True)[key].astype("int64"),
+        )
+
+
+class TestBloomFilter:
+    def test_membership_and_fpr(self, ray_session):
+        from geomedea_ray.stages.bloom import bloom_build
+
+        keys = pd.Series(np.arange(0, 100000, 10))  # 10k members
+        bf = bloom_build(_ds(pa.table({"k": keys.to_numpy()})), "k")
+        assert bf.contains(keys).all()  # no false negatives, ever
+        absent = pd.Series(np.arange(1, 100000, 10))  # disjoint 10k
+        fpr = bf.contains(absent).mean()
+        assert fpr < 0.01, fpr  # 16 bits/key, k=7 → ~0.04% expected
+
+    def test_int_width_normalization(self, ray_session):
+        # int32 probe keys must hash like the int64 build keys
+        from geomedea_ray.stages.bloom import bloom_build
+
+        bf = bloom_build(_ds(pa.table({"k": np.array([5, 6], np.int64)})), "k")
+        assert bf.contains(pd.Series(np.array([5, 6], np.int32))).all()
+
+    def test_string_keys(self, ray_session):
+        from geomedea_ray.stages.bloom import bloom_build
+
+        bf = bloom_build(_ds(pa.table({"k": ["abc", "def"]})), "k")
+        assert bf.contains(pd.Series(["abc", "def"])).all()
+        assert not bf.contains(pd.Series([f"zz{i}" for i in range(200)])).any()
+
 
 class TestRangeJoin:
     def test_window_boundaries_inclusive(self, ray_session):
