@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "orders_upsert",           # CDC newest-wins merge (round 3b)
     "lang_source_cube",        # single-pass GROUP BY CUBE (round 3b)
     "urgent_order_lineitems",  # bloom-pruned shuffle hash join (round 3b)
+    "hot_user_events_join",    # skew fragment-and-replicate join (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

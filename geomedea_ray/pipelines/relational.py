@@ -996,3 +996,71 @@ def price_quantiles_sql() -> str:
         "lineitem", by="l_returnflag", val_expr="l_extendedprice",
         cast_type="DOUBLE",
     )
+
+
+def hot_user_events_join(sf_dir: str):
+    """SKEW-handled shuffle join (stages/joins.hash_join skew_den):
+    every even user_id collapses onto cohort key 0 — ~50% of all event
+    rows land on ONE join key, the classic hot-key pathology that
+    turns a hash exchange into a single straggler reducer. The MG
+    candidate pass detects the hot key and joins it fragment-and-
+    replicate (hot probe rows spread round-robin, hot dimension rows
+    replicated per shard); the oracle recomputes the identical cohort
+    mapping in SQL. broadcast_bytes=0 pins the shuffle+skew plan."""
+    import ray.data
+
+    from geomedea_ray.stages.joins import distinct_keys, hash_join
+
+    ev = tables.read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def _cohort(b: pa.Table) -> pa.Table:
+        u = b["user_id"].cast(pa.int64())
+        k = pc.if_else(
+            pc.equal(pc.bit_wise_and(u, pa.scalar(1, pa.int64())), pa.scalar(0, pa.int64())),
+            pa.scalar(0, pa.int64()), u,
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "cohort": k,
+                "value_c": pc.round(pc.multiply(b["value"], pa.scalar(100.0))).cast(pa.int64()),
+            }
+        )
+
+    left = ev.map_batches(_cohort, batch_format="pyarrow", zero_copy_batch=True)
+    # dimension side: one row per cohort key with a derived weight —
+    # built FROM the same mapping so the join domain always matches
+    ks = np.sort(distinct_keys(left, "cohort"))
+    dim = ray.data.from_arrow(
+        pa.table({"cohort_k": pa.array(ks, pa.int64()),
+                  "weight": pa.array(ks * 7 + 3, pa.int64())})
+    )
+    out = hash_join(
+        left, dim, "cohort", "cohort_k", ["weight"],
+        broadcast_bytes=0, skew_den=32,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "cohort": t["cohort"].cast(pa.int64()),
+                "value_c": t["value_c"].cast(pa.int64()),
+                "weight": t["weight"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+HOT_USER_EVENTS_JOIN_SQL = """
+WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CASE WHEN user_id % 2 = 0 THEN 0 ELSE CAST(user_id AS BIGINT) END AS cohort,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+),
+d AS (SELECT DISTINCT cohort AS cohort_k, cohort * 7 + 3 AS weight FROM e)
+SELECT e.event_id, e.cohort, e.value_c, d.weight
+FROM e JOIN d ON e.cohort = d.cohort_k
+"""

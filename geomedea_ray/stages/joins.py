@@ -183,6 +183,8 @@ def hash_join(
     num_shards: int | None = None,
     broadcast_bytes: int = BROADCAST_JOIN_BYTES,
     bloom: bool = False,
+    skew_den: int | None = None,
+    skew_hot_keys=None,
 ):
     """Large×large INNER equi-join — ADAPTIVE between two plans, the
     AQE pattern (Spark SQL's runtime broadcast-join demotion, public
@@ -221,6 +223,20 @@ def hash_join(
     then moves only joinable probe rows plus a ~0.04% false-positive
     trickle, which the in-shard merge removes; results are identical
     with or without the filter.
+
+    SKEW (shuffle plan only): a hot key hashes all its rows to ONE
+    shard, so a key holding 50% of the probe side turns the exchange
+    into a single straggler reducer. ``skew_den=m`` finds a GUARANTEED
+    superset of keys holding ≥ 1/m of left rows (one cheap extra
+    streaming pass — the per-block Misra-Gries frequency bound from
+    stages/sketch.heavy_hitters, ≤ m candidates per block, no
+    recount needed because false positives only cost replication) and
+    joins them fragment-and-replicate style (the classic skew plan):
+    hot LEFT rows spread round-robin over all shards, hot RIGHT rows
+    replicated to every shard, so each hot pair still meets exactly
+    once and no reducer sees more than ~1/num_shards of the hot key.
+    Pass ``skew_hot_keys=[...]`` instead when the hot set is known
+    (skips the extra pass). Results are identical with or without.
     """
     import ray
 
@@ -267,14 +283,47 @@ def hash_join(
             bloom_build(keys, right_on, num_bits=auto_num_bits(right_ds.count()))
         )
 
+    href = None
+    if skew_hot_keys is not None:
+        href = ray.put(frozenset(skew_hot_keys))
+    elif skew_den is not None:
+        m = max(int(skew_den), 2)
+
+        def _hot_cands(df: pd.DataFrame) -> pd.DataFrame:
+            vc = df[left_on].value_counts()
+            return pd.DataFrame({"k": vc[m * vc >= len(df)].index})
+
+        hot = frozenset(
+            left_ds.map_batches(_hot_cands, batch_format="pandas").to_pandas()["k"]
+        )
+        href = ray.put(hot)
+
     def _tag(side: int, on: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.rename(columns={on: "_key"})
             if side == 0 and bref is not None:
                 df = df[get_once(bref).contains(df["_key"])]
-            return df.assign(
-                _side=np.int8(side), _shard=_shard_of(df["_key"], num_shards)
-            )
+            shard = _shard_of(df["_key"], num_shards)
+            if href is not None:
+                hot_mask = df["_key"].isin(get_once(href)).to_numpy()
+                if side == 0:
+                    # spread hot probe rows round-robin — any assignment
+                    # is correct (the matching right rows live in EVERY
+                    # shard), so block-local arange is fine
+                    shard = np.where(
+                        hot_mask, np.arange(len(df)) % num_shards, shard
+                    )
+                elif hot_mask.any():
+                    cold = df[~hot_mask].assign(
+                        _side=np.int8(side), _shard=shard[~hot_mask]
+                    )
+                    h = df[hot_mask]
+                    rep = h.loc[h.index.repeat(num_shards)].assign(
+                        _side=np.int8(side),
+                        _shard=np.tile(np.arange(num_shards), len(h)),
+                    )
+                    return pd.concat([cold, rep], ignore_index=True)
+            return df.assign(_side=np.int8(side), _shard=shard)
 
         return fn
 

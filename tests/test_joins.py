@@ -117,6 +117,40 @@ class TestHashJoin:
             bloomed.sort_values(key).reset_index(drop=True)[key].astype("int64"),
         )
 
+    @pytest.mark.parametrize("skw", [dict(skew_den=4), dict(skew_hot_keys=[0])],
+                             ids=["detected", "explicit"])
+    def test_skew_fragment_replicate_same_answer(self, ray_session, skw):
+        # 60% of probe rows on key 0; hot right key is many-to-many
+        # (2 rows) so each hot pair must appear exactly once despite
+        # replication
+        rng = np.random.default_rng(3)
+        lk = np.where(rng.random(3000) < 0.6, 0, rng.integers(1, 50, 3000))
+        left = pa.table({"k": lk, "lv": np.arange(3000)})
+        right = pa.table({"rk": np.r_[0, np.arange(0, 50)],
+                          "rv": np.r_[999, np.arange(0, 50) * 2]})
+        kw = dict(left_on="k", right_on="rk", right_cols=["rv"],
+                  broadcast_bytes=0, num_shards=6)
+        plain = self._join(left, right, **kw)
+        skewed = self._join(left, right, **skw, **kw)
+        key = ["k", "lv", "rv"]
+        pd.testing.assert_frame_equal(
+            plain.sort_values(key).reset_index(drop=True)[key].astype("int64"),
+            skewed.sort_values(key).reset_index(drop=True)[key].astype("int64"),
+        )
+
+    def test_skew_all_keys_hot_degenerate(self, ray_session):
+        # tiny blocks make EVERY key a hot candidate (the MG bound is a
+        # superset); full replication must still give the exact join
+        left = pa.table({"k": [1, 1, 2, 3], "lv": [10, 11, 20, 30]})
+        right = pa.table({"rk": [1, 2], "rv": ["a", "c"]})
+        out = self._join(left, right, left_on="k", right_on="rk",
+                         right_cols=["rv"], broadcast_bytes=0,
+                         num_shards=4, skew_den=2)
+        out = out.sort_values(["lv", "rv"])
+        assert list(zip(out["lv"].astype(int), out["rv"])) == [
+            (10, "a"), (11, "a"), (20, "c")
+        ]
+
 
 class TestBloomFilter:
     def test_membership_and_fpr(self, ray_session):
