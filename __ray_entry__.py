@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": T.q_doc_sample_stratified,  # per-language keep fractions, engine-portable hash
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "embedding_clusters": T.q_embedding_clusters,  # nearest-centroid assignment (SemDeDup-style bucketing; integer-exact, fixture-SQL-oracled)
+        "kmeans_embeddings": T.q_kmeans_embeddings,    # ITERATIVE k-means training, 2 unrolled rounds, bit-exact oracle
         "lang_source_rollup": T.q_lang_source_rollup,  # single-pass GROUP BY ROLLUP (per-level in-map partials, one exchange)
         "frequent_bigrams": T.q_frequent_bigrams,  # EXACT heavy hitters (candidate bound + recount, two streaming passes)
         "lang_source_cube": T.q_lang_source_cube,  # single-pass GROUP BY CUBE (all key subsets, one exchange)
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
             print(f"[oracle_sql] fixture group failed, degrading to "
                   f"rows-only: {type(exc).__name__}: {exc}", file=sys.stderr)
     sqls.update({
+        "kmeans_embeddings": T.kmeans_embeddings_sql(),
         "bbox_select": G.q_bbox_select_sql(),
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,
         "knn": G.q_knn_sql(),

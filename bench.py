@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "lang_source_cube",        # single-pass GROUP BY CUBE (round 3b)
     "urgent_order_lineitems",  # bloom-pruned shuffle hash join (round 3b)
     "hot_user_events_join",    # skew fragment-and-replicate join (round 3b)
+    "kmeans_embeddings",       # iterative k-means training, 2 rounds (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

@@ -1084,3 +1084,82 @@ JSONL_DOCS_AGG_SQL = """
 SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
+
+
+# ------------------------------------------------- iterative k-means
+
+#: small k / fixed rounds keep the unrolled-CTE oracle tractable while
+#: still exercising real multi-round convergence
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed ITERATIVE k-means training (stages/ann.
+    kmeans_train_exact): deterministic seed (k smallest vec_ids), two
+    full assign→update rounds each re-streaming the table, bit-exact
+    integer semantics — verified against an oracle that UNROLLS both
+    rounds into CTEs. The suite's iterative-algorithm representative:
+    most engines gate such loops rows-only; the 1e-6-grid quantized
+    arithmetic makes every centroid component and final assignment
+    hash-comparable."""
+    from geomedea_ray.stages.ann import kmeans_train_exact
+
+    ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out, _ = kmeans_train_exact(ds, KMEANS_K, KMEANS_ITERS)
+    return out
+
+
+def kmeans_embeddings_sql(dim: int = 64) -> str:
+    """Unrolled-CTE mirror of kmeans_train_exact (KMEANS_ITERS rounds):
+    same quantization, same argmax tie rule, same floor(sum/count)
+    update, same empty-cluster carry-over."""
+    from geomedea_ray.stages.ann import CLUSTER_QUANT_SCALE
+
+    k, iters, s = KMEANS_K, KMEANS_ITERS, CLUSTER_QUANT_SCALE
+    parts = [f"""
+WITH p AS (SELECT UNNEST(range({dim})) AS pos),
+q AS (
+  SELECT e.vec_id, p.pos,
+         CAST(FLOOR(CAST(e.embedding[CAST(p.pos AS INT) + 1] AS DOUBLE) * {s}) AS BIGINT) AS qv
+  FROM embeddings e CROSS JOIN p
+),
+seed AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT s.cluster_id, q.pos, q.qv AS cq FROM seed s JOIN q ON q.vec_id = s.vec_id)"""]
+    for i in range(iters):
+        parts.append(f""",
+dots{i} AS (
+  SELECT q.vec_id, c.cluster_id, CAST(SUM(q.qv * c.cq) AS BIGINT) AS dot
+  FROM q JOIN c{i} c ON q.pos = c.pos GROUP BY q.vec_id, c.cluster_id
+),
+a{i} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster_id) AS rn
+    FROM dots{i}) WHERE rn = 1
+),
+upd{i} AS (
+  SELECT a.cluster_id, q.pos,
+         CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+  FROM a{i} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY a.cluster_id, q.pos
+),
+c{i + 1} AS (
+  SELECT c.cluster_id, c.pos, COALESCE(u.cq, c.cq) AS cq
+  FROM c{i} c LEFT JOIN upd{i} u
+    ON u.cluster_id = c.cluster_id AND u.pos = c.pos
+)""")
+    parts.append(f""",
+fdots AS (
+  SELECT q.vec_id, c.cluster_id, CAST(SUM(q.qv * c.cq) AS BIGINT) AS dot
+  FROM q JOIN c{iters} c ON q.pos = c.pos GROUP BY q.vec_id, c.cluster_id
+)
+SELECT vec_id, cluster_id, dot AS score FROM (
+  SELECT vec_id, cluster_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster_id) AS rn
+  FROM fdots) WHERE rn = 1
+""")
+    return "".join(parts)

@@ -728,3 +728,93 @@ def assign_clusters(ds, centroids_q: np.ndarray, emb_col: str = "embedding",
         })
 
     return ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bottomk_ids(ds, id_col: str, k: int) -> np.ndarray:
+    """Global k smallest ids: per-block partial bottom-k, tiny driver
+    combine — never a sort-exchange."""
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[id_col]].nsmallest(k, id_col)
+
+    top = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    return np.sort(top[id_col].to_numpy(np.int64))[:k]
+
+
+def kmeans_train_exact(ds, k: int, iters: int = 2,
+                       emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed ITERATIVE k-means over an embedding column with
+    bit-exact cross-engine semantics (the suite's representative of
+    the iterative-algorithm class — train-until-round-budget over a
+    Dataset that re-streams each round; nothing row-sized ever
+    collects).
+
+    Semantics, chosen so an unrolled-CTE SQL oracle reproduces every
+    bit:
+    - vectors quantized to the int64 1e-6 grid (quantize_embeddings);
+    - init: the quantized vectors of the ``k`` SMALLEST ids
+      (deterministic and SQL-expressible — no RNG);
+    - assign: argmax of the EXACT int64 dot product, ties to the
+      smallest cluster_id (same rule as assign_clusters);
+    - update: per-cluster elementwise ``floor(sum / count)`` computed
+      in float64 — exact while ``|sum| < 2^53`` (components ≤ ~4e6 on
+      the 1e-6 grid ⇒ safe below ~2e9 rows per cluster; assert-guarded)
+      — empty clusters keep their previous centroid.
+
+    Each round is ONE streaming pass: broadcast centroids (ray.put +
+    get_once), per-batch matmul+argmax, then LONG-form partial sums
+    (cluster_id, pos, s, n) — k×d×blocks kilobyte rows — combined on
+    the driver (k×d is tiny; at k×d beyond ~1e6 swap in the TREE
+    combine used by tiles.py). Returns (assignments Dataset via
+    assign_clusters, centroids int64 (k,d))."""
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    ids = _bottomk_ids(ds, id_col, k)
+    idvals = pa.array([int(i) for i in ids], pa.int64())
+
+    def _seed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch[id_col].cast(pa.int64()), value_set=idvals))
+
+    seeds = ds.map_batches(_seed, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    seeds = seeds.sort_values(id_col).reset_index(drop=True)
+    init = np.stack([np.asarray(v, np.float64) for v in seeds[emb_col]])
+    cents = quantize_embeddings(init)  # (k, d) int64, row j = j-th smallest id
+    d = cents.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(np.ascontiguousarray(cents))
+
+        def _partial(batch: pa.Table) -> pd.DataFrame:
+            c = get_once(ref)
+            if batch.num_rows == 0:
+                return pd.DataFrame({"cluster_id": [], "pos": [], "s": [], "n": []})
+            eq = quantize_embeddings(_emb_matrix(batch, emb_col))
+            assign = np.argmax(eq @ c.T, axis=1)
+            kk, dd = c.shape
+            sums = np.zeros((kk, dd), np.int64)
+            np.add.at(sums, assign, eq)
+            cnt = np.bincount(assign, minlength=kk).astype(np.int64)
+            return pd.DataFrame({
+                "cluster_id": np.repeat(np.arange(kk, dtype=np.int64), dd),
+                "pos": np.tile(np.arange(dd, dtype=np.int64), kk),
+                "s": sums.reshape(-1),
+                "n": np.repeat(cnt, dd),
+            })
+
+        part = ds.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+        agg = part.groupby(["cluster_id", "pos"], as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+        assert agg["s"].abs().max() < 2**53, "centroid sum exceeds exact-float range"
+        nxt = cents.copy()
+        nz = agg[agg["n"] > 0]
+        nxt[nz["cluster_id"].to_numpy(), nz["pos"].to_numpy()] = np.floor(
+            nz["s"].to_numpy(np.float64) / nz["n"].to_numpy(np.float64)
+        ).astype(np.int64)
+        cents = nxt
+
+    return assign_clusters(ds, cents, emb_col=emb_col, id_col=id_col), cents

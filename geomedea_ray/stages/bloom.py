@@ -93,6 +93,37 @@ def auto_num_bits(count: int) -> int:
     )
 
 
+def _set_bits(bm: np.ndarray, series: pd.Series, num_bits: int, k: int) -> None:
+    if len(series) == 0:
+        return
+    mask = np.uint64(num_bits - 1)
+    h1 = _key_hash(series)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    for i in range(k):
+        p = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            bm,
+            (p >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
+        )
+
+
+def bloom_from_series(
+    series: pd.Series,
+    num_bits: int | None = None,
+    num_hashes: int = BLOOM_HASHES,
+) -> BloomFilter:
+    """Single-shot driver-side build — the fast path when the build
+    side is already small/local (the distributed TREE build's two
+    repartition barriers cost ~1.5 s of latency that dwarfs a small
+    side's hashing work)."""
+    if num_bits is None:
+        num_bits = auto_num_bits(len(series))
+    bm = np.zeros(num_bits // 8, np.uint8)
+    _set_bits(bm, series, num_bits, num_hashes)
+    return BloomFilter(bm, num_bits, num_hashes)
+
+
 def bloom_build(
     ds,
     col: str,
@@ -112,21 +143,11 @@ def bloom_build(
         num_bits = auto_num_bits(ds.count())
     assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of two"
     nbytes = num_bits // 8
-    mask = np.uint64(num_bits - 1)
     k = num_hashes
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         bm = np.zeros(nbytes, np.uint8)
-        if len(df):
-            h1 = _key_hash(df[col])
-            h2 = _splitmix64(h1) | np.uint64(1)
-            for i in range(k):
-                p = (h1 + np.uint64(i) * h2) & mask
-                np.bitwise_or.at(
-                    bm,
-                    (p >> np.uint64(3)).astype(np.int64),
-                    (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8)),
-                )
+        _set_bits(bm, df[col], num_bits, k)
         return pd.DataFrame({"bm": [bm.tobytes()]})
 
     def _orc(df: pd.DataFrame) -> pd.DataFrame:

@@ -273,15 +273,25 @@ def hash_join(
 
     bref = None
     if bloom:
-        from geomedea_ray.stages.bloom import auto_num_bits, bloom_build
+        from geomedea_ray.stages.bloom import (auto_num_bits, bloom_build,
+                                               bloom_from_series)
 
         right_ds = right_ds.materialize()  # one scan feeds count + build + shuffle
-        keys = right_ds.map_batches(
-            lambda df: df[[right_on]], batch_format="pandas"
-        )
-        bref = ray.put(
-            bloom_build(keys, right_on, num_bits=auto_num_bits(right_ds.count()))
-        )
+        nb = auto_num_bits(right_ds.count())
+        if right_ds.size_bytes() <= BROADCAST_JOIN_BYTES:
+            # small build side: one driver-side vectorized build — the
+            # distributed TREE build's repartition barriers cost more
+            # latency than hashing this side outright
+            keys = right_ds.select_columns([right_on]).to_pandas()[right_on]
+            bf = bloom_from_series(keys, num_bits=nb)
+        else:
+            bf = bloom_build(
+                right_ds.map_batches(
+                    lambda df: df[[right_on]], batch_format="pandas"
+                ),
+                right_on, num_bits=nb,
+            )
+        bref = ray.put(bf)
 
     href = None
     if skew_hot_keys is not None:

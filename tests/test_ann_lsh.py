@@ -202,3 +202,56 @@ class TestAssignClusters:
         sb = b.sort_values("vec_id").reset_index(drop=True)
         assert sa.equals(sb)
         assert sa["cluster_id"].nunique() > 1  # real partitioning, not vacuous
+
+
+class TestKMeansTrainExact:
+    def test_converges_and_exact_update(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.ann import (kmeans_train_exact,
+                                             quantize_embeddings)
+
+        # two tight blobs; seeds (ids 0,1) start in the SAME blob, so
+        # only a real multi-round update separates them
+        rng = np.random.default_rng(5)
+        a = rng.normal(0.0, 0.05, (10, 4)) + np.array([1.0, 0, 0, 0])
+        b = rng.normal(0.0, 0.05, (10, 4)) + np.array([-1.0, 0, 0, 0])
+        vecs = np.vstack([a, b])
+        t = pa.table({
+            "vec_id": pa.array(np.arange(20), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        out, cents = kmeans_train_exact(
+            ray.data.from_arrow(t).repartition(4), k=2, iters=3)
+        df = out.to_pandas().sort_values("vec_id")
+        blob_a = df["cluster_id"].to_numpy()[:10]
+        blob_b = df["cluster_id"].to_numpy()[10:]
+        assert len(set(blob_a)) == 1 and len(set(blob_b)) == 1
+        assert set(blob_a) != set(blob_b)
+
+        # final centroid = floor(sum/count) of the members it owns
+        q = quantize_embeddings(vecs.astype(np.float64))
+        for cid in (0, 1):
+            members = q[df["cluster_id"].to_numpy() == cid]
+            want = np.floor(members.sum(0) / len(members)).astype(np.int64)
+            assert (cents[cid] == want).all()
+
+    def test_rerun_identical(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.ann import kmeans_train_exact
+
+        rng = np.random.default_rng(11)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in rng.normal(0, 1, (40, 8))],
+                pa.list_(pa.float32())),
+        })
+        runs = [
+            kmeans_train_exact(ray.data.from_arrow(t).repartition(n), 3, 2)[1]
+            for n in (2, 5)
+        ]
+        # partition-count-invariant AND rerun-stable (exact int sums)
+        assert (runs[0] == runs[1]).all()
