@@ -1163,3 +1163,28 @@ SELECT vec_id, cluster_id, dot AS score FROM (
   FROM fdots) WHERE rn = 1
 """)
     return "".join(parts)
+
+
+# ------------------------------------------------------------ pivot
+
+#: stable lang column set (fixed by the testdata generator at every sf)
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_source_lang_pivot(sf_dir: str):
+    """Long→wide PIVOT (stages/pivot.pivot_counts): one row per
+    source, one count + char-sum column per language. Per-block WIDE
+    partials (≤ sources × langs cells) + TREE combine — the exchange
+    never sees a row-per-(source,lang) stream."""
+    from geomedea_ray.stages.pivot import pivot_counts
+
+    ds = tables.read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    return pivot_counts(ds, "source", "lang", values=PIVOT_LANGS,
+                        sum_col="n_chars")
+
+
+def source_lang_pivot_sql() -> str:
+    from geomedea_ray.stages.pivot import pivot_counts_sql
+
+    return pivot_counts_sql("documents", "source", "lang", PIVOT_LANGS,
+                            sum_col="n_chars")

@@ -77,3 +77,35 @@ def test_cube_vs_pandas(ray_session):
     pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
     # per-b margin exists (the set ROLLUP lacks)
     assert ((got["a"] == ALL_TOKEN) & (got["b"] != ALL_TOKEN)).any()
+
+
+class TestPivot:
+    def test_pivot_counts_and_sums(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.pivot import pivot_counts
+
+        df = pd.DataFrame({
+            "g": ["a", "a", "b", "b", "b", "c"],
+            "p": ["x", "y", "x", "x", "z", "q"],  # 'q' not in values → dropped
+            "v": [1, 2, 3, 4, 5, 6],
+        })
+        out = pivot_counts(
+            ray.data.from_pandas(df).repartition(3), "g", "p",
+            values=["x", "y", "z"], sum_col="v",
+        ).to_pandas().sort_values("g").reset_index(drop=True)
+        assert out["n_x"].tolist() == [1, 2, 0]
+        assert out["n_y"].tolist() == [1, 0, 0]
+        assert out["n_z"].tolist() == [0, 1, 0]
+        assert out["sum_v_x"].tolist() == [1, 7, 0]
+        assert out["sum_v_z"].tolist() == [0, 5, 0]
+        assert out["g"].tolist() == ["a", "b", "c"]  # 'c' kept (all cells 0)
+
+    def test_pivot_discovers_values(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.pivot import pivot_counts
+
+        df = pd.DataFrame({"g": [1, 1, 2], "p": ["m", "n", "m"]})
+        out = pivot_counts(ray.data.from_pandas(df), "g", "p").to_pandas()
+        assert sorted(c for c in out.columns if c != "g") == ["n_m", "n_n"]
