@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": T.q_embedding_clusters,  # nearest-centroid assignment (SemDeDup-style bucketing; integer-exact, fixture-SQL-oracled)
         "kmeans_embeddings": T.q_kmeans_embeddings,    # ITERATIVE k-means training, 2 unrolled rounds, bit-exact oracle
         "source_lang_pivot": T.q_source_lang_pivot,    # long→wide PIVOT (wide per-block partials + TREE combine)
+        "doc_pagerank": T.q_doc_pagerank,              # ITERATIVE rank-join PageRank, integer grid, bit-exact oracle
         "lang_source_rollup": T.q_lang_source_rollup,  # single-pass GROUP BY ROLLUP (per-level in-map partials, one exchange)
         "frequent_bigrams": T.q_frequent_bigrams,  # EXACT heavy hitters (candidate bound + recount, two streaming passes)
         "lang_source_cube": T.q_lang_source_cube,  # single-pass GROUP BY CUBE (all key subsets, one exchange)
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update({
         "kmeans_embeddings": T.kmeans_embeddings_sql(),
         "source_lang_pivot": T.source_lang_pivot_sql(),
+        "doc_pagerank": T.doc_pagerank_sql(),
         "bbox_select": G.q_bbox_select_sql(),
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,
         "knn": G.q_knn_sql(),

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "hot_user_events_join",    # skew fragment-and-replicate join (round 3b)
     "kmeans_embeddings",       # iterative k-means training, 2 rounds (round 3b)
     "source_lang_pivot",       # long→wide pivot, wide partials (round 3b)
+    "doc_pagerank",            # iterative rank-join PageRank (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

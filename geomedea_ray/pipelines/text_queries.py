@@ -1188,3 +1188,61 @@ def source_lang_pivot_sql() -> str:
 
     return pivot_counts_sql("documents", "source", "lang", PIVOT_LANGS,
                             sum_col="n_chars")
+
+
+# ---------------------------------------------------------- pagerank
+
+#: deterministic synthetic citation graph over doc_id 0..N-1 —
+#: every doc links (3i+1)%N; every third doc also links (7i+2)%N
+#: (degree 1 or 2, so the floor-division contribution path is real)
+PR_ITERS = 2
+
+
+def q_doc_pagerank(sf_dir: str):
+    """Distributed PageRank (stages/graph.pagerank_exact) over the
+    synthetic doc citation graph — 2 rank-join rounds, integer grid,
+    every assignment bit-matched by the unrolled-CTE oracle."""
+    from geomedea_ray.stages.graph import pagerank_exact
+
+    ds = tables.read(sf_dir, "documents", columns=["doc_id"])
+    n = ds.count()  # parquet metadata — no scan
+
+    def _edges(df):
+        i = df["doc_id"].to_numpy(np.int64)
+        src = np.concatenate([i, i[i % 3 == 0]])
+        dst = np.concatenate([(3 * i + 1) % n, (7 * i[i % 3 == 0] + 2) % n])
+        import pandas as pd
+
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    edges = ds.map_batches(_edges, batch_format="pandas")
+    return pagerank_exact(edges, ds, node_col="doc_id", iters=PR_ITERS)
+
+
+def doc_pagerank_sql() -> str:
+    """Unrolled mirror of q_doc_pagerank: same graph, same integer
+    floor arithmetic, PR_ITERS rounds."""
+    parts = ["""
+WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+edges AS (
+  SELECT node AS src, (3 * node + 1) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (7 * node + 2) % (SELECT n FROM nn) FROM nodes WHERE node % 3 = 0
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(PR_ITERS):
+        parts.append(f""",
+s{i} AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+  FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r{i + 1} AS (
+  SELECT nodes.node,
+         CAST(150000000 + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS rank
+  FROM nodes LEFT JOIN s{i} s ON nodes.node = s.node
+)""")
+    parts.append(f"\nSELECT node, rank FROM r{PR_ITERS}")
+    return "".join(parts)

@@ -227,3 +227,84 @@ def connected_components(pairs, a_col: str, b_col: str,
                             zero_copy_batch=True)
             .repartition(min(num_shards, 8))
             .groupby("_shard").map_groups(_dedup, batch_format="pandas"))
+
+
+def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
+                   node_col: str = "node", iters: int = 2,
+                   scale: int = 10**9, d_num: int = 17, d_den: int = 20):
+    """Distributed PageRank with BIT-EXACT integer semantics (the
+    iterative-JOIN class, alongside kmeans_train_exact's
+    iterative-aggregate): ranks live on the ``scale`` integer grid,
+    every division is an explicit floor (``//``), so an unrolled-CTE
+    SQL oracle reproduces each round to the bit — no float damping
+    drift between engines.
+
+    Per round (classic rank-join shape, Pregel/GraphX semantics):
+    - ``contrib = rank // out_degree`` joined edge⋈rank on src
+      (stages/joins.hash_join — adaptive: broadcast when the rank
+      table is dimension-sized, co-shuffle at graph scale);
+    - contributions grouped by dst (partial sums per block before the
+      exchange, Ray aggregate machinery);
+    - ``new_rank = base + (d_num * sum) // d_den`` with
+      ``base = (d_den-d_num) * scale // d_den`` — nodes with no
+      in-edges get ``base`` via a zero-row union, NOT a left join.
+    Out-degrees are attached to the edge table ONCE up front.
+
+    Exactness bound: int64 throughout on the broadcast plan; on the
+    co-shuffle plan rank/sum may transit as float64 (union schema
+    unification), exact while values < 2^53 — total mass N×scale
+    bounds any sum, so assert-guarded.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from geomedea_ray.stages.joins import hash_join
+
+    assert 0 < d_num < d_den
+    base = (d_den - d_num) * scale // d_den
+
+    # repartition before every groupby here: the exchanges carry
+    # kilobyte-per-block partial streams, and the sort machinery's
+    # cost is per-block, not per-row (CLAUDE.md round-3 rule)
+    deg = (edges.repartition(8)
+           .groupby(src_col).aggregate(Count(alias_name="deg")))
+    # materialize ONCE: every iteration streams edges_d again, and a
+    # lazy chain would re-run the degree exchange + join per round
+    edges_d = hash_join(edges, deg, src_col, src_col, ["deg"]).materialize()
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[node_col].astype(np.int64),
+                             "rank": np.int64(scale)})
+
+    ranks = nodes.map_batches(_init, batch_format="pandas")
+
+    def _zero(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[node_col].astype(np.int64),
+                             "c": np.int64(0)})
+
+    for _ in range(iters):
+        joined = hash_join(edges_d, ranks, src_col, "node", ["rank"])
+
+        def _contrib(df: pd.DataFrame) -> pd.DataFrame:
+            r = df["rank"].to_numpy(np.float64)
+            assert (np.abs(r) < 2**53).all(), "rank exceeds exact-float range"
+            return pd.DataFrame({
+                "node": df[dst_col].astype(np.int64),
+                "c": r.astype(np.int64) // df["deg"].to_numpy(np.float64).astype(np.int64),
+            })
+
+        contribs = joined.map_batches(_contrib, batch_format="pandas")
+        zeros = nodes.map_batches(_zero, batch_format="pandas")
+        sums = (contribs.union(zeros).repartition(8)
+                .groupby("node").aggregate(Sum("c", alias_name="s")))
+
+        def _update(df: pd.DataFrame) -> pd.DataFrame:
+            s = df["s"].to_numpy(np.float64)
+            assert (np.abs(s) < 2**53).all(), "sum exceeds exact-float range"
+            return pd.DataFrame({
+                "node": df["node"].astype(np.int64),
+                "rank": np.int64(base) + (np.int64(d_num) * s.astype(np.int64)) // np.int64(d_den),
+            })
+
+        ranks = sums.map_batches(_update, batch_format="pandas")
+
+    return ranks

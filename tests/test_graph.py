@@ -91,3 +91,43 @@ def test_both_paths_agree(ray_session):
 def test_id_range_guard(ray_session):
     with pytest.raises(Exception):  # ValueError surfaced through Ray
         _run([(1, 1 << 33)])
+
+
+class TestPageRankExact:
+    def test_matches_scalar_reference(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.graph import pagerank_exact
+
+        edges = pd.DataFrame({"src": [0, 1, 2, 2, 3], "dst": [1, 2, 0, 1, 0]})
+        nodes = pd.DataFrame({"node": [0, 1, 2, 3]})
+        out = (pagerank_exact(ray.data.from_pandas(edges).repartition(2),
+                              ray.data.from_pandas(nodes), iters=3)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+
+        # independent scalar reference: same integer semantics
+        scale, base = 10**9, 3 * 10**9 // 20
+        deg = edges.groupby("src").size().to_dict()
+        rank = {v: scale for v in nodes["node"]}
+        for _ in range(3):
+            s = {v: 0 for v in nodes["node"]}
+            for _, e in edges.iterrows():
+                s[e["dst"]] += rank[e["src"]] // deg[e["src"]]
+            rank = {v: base + (17 * s[v]) // 20 for v in nodes["node"]}
+        assert out["rank"].tolist() == [rank[v] for v in out["node"]]
+        # sink-free graph conserves mass only approximately under
+        # floor; sanity: ranks positive and not uniform
+        assert (out["rank"] > 0).all() and out["rank"].nunique() > 1
+
+    def test_no_inedge_node_gets_base(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.graph import pagerank_exact
+
+        edges = pd.DataFrame({"src": [9], "dst": [1]})
+        nodes = pd.DataFrame({"node": [1, 9]})
+        out = (pagerank_exact(ray.data.from_pandas(edges),
+                              ray.data.from_pandas(nodes), iters=1)
+               .to_pandas().set_index("node")["rank"])
+        assert out[9] == 3 * 10**9 // 20      # no in-edges → base
+        assert out[1] == 3 * 10**9 // 20 + (17 * 10**9) // 20
