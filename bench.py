@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "kmeans_embeddings",       # iterative k-means training, 2 rounds (round 3b)
     "source_lang_pivot",       # long→wide pivot, wide partials (round 3b)
     "doc_pagerank",            # iterative rank-join PageRank (round 3b)
+    "order_customer_bbox_join",  # PBSM rect×rect spatial join (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

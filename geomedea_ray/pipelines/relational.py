@@ -1064,3 +1064,69 @@ d AS (SELECT DISTINCT cohort AS cohort_k, cohort * 7 + 3 AS weight FROM e)
 SELECT e.event_id, e.cohort, e.value_c, d.weight
 FROM e JOIN d ON e.cohort = d.cohort_k
 """
+
+
+def order_customer_bbox_join(sf_dir: str):
+    """Distributed rect×rect spatial join (stages/rect_join — PBSM
+    grid partitioning, reference-point dedup): orders and customers
+    are scattered deterministically onto a 1000×1000 plane (modular
+    arithmetic the oracle reproduces) and boxed ±3 / ±5; every
+    intersecting pair comes back exactly once from ONE co-shuffle —
+    no distinct pass, no all-pairs scan."""
+    from geomedea_ray.stages.rect_join import bbox_intersect_join
+
+    ords = tables.read(sf_dir, "orders", columns=["o_orderkey"])
+    cust = tables.read(sf_dir, "customer", columns=["c_custkey"])
+
+    def _orect(df):
+        k = df["o_orderkey"].to_numpy(np.int64)
+        x = (k % 1000).astype(np.float64)
+        y = ((k // 7) % 1000).astype(np.float64)
+        import pandas as pd
+
+        return pd.DataFrame({"o_orderkey": k, "ax0": x - 3, "ay0": y - 3,
+                             "ax1": x + 3, "ay1": y + 3})
+
+    def _crect(df):
+        k = df["c_custkey"].to_numpy(np.int64)
+        x = ((k * 7) % 1000).astype(np.float64)
+        y = ((k * 13) % 1000).astype(np.float64)
+        import pandas as pd
+
+        return pd.DataFrame({"c_custkey": k, "bx0": x - 5, "by0": y - 5,
+                             "bx1": x + 5, "by1": y + 5})
+
+    out = bbox_intersect_join(
+        ords.map_batches(_orect, batch_format="pandas"),
+        cust.map_batches(_crect, batch_format="pandas"),
+        ("ax0", "ay0", "ax1", "ay1"), ("bx0", "by0", "bx1", "by1"),
+        ["o_orderkey"], ["c_custkey"], cell=16.0,
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "c_custkey": t["c_custkey"].cast(pa.int64()),
+        })
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+ORDER_CUSTOMER_BBOX_JOIN_SQL = """
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(o_orderkey % 1000 AS DOUBLE) AS x,
+         CAST((o_orderkey // 7) % 1000 AS DOUBLE) AS y
+  FROM orders
+),
+b AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 7) % 1000 AS DOUBLE) AS x,
+         CAST((c_custkey * 13) % 1000 AS DOUBLE) AS y
+  FROM customer
+)
+SELECT a.o_orderkey, b.c_custkey
+FROM a, b
+WHERE a.x - 3 <= b.x + 5 AND b.x - 5 <= a.x + 3
+  AND a.y - 3 <= b.y + 5 AND b.y - 5 <= a.y + 3
+"""

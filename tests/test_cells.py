@@ -1,6 +1,7 @@
 """Cell compaction (stages/cells.py) vs a brute-force set oracle."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from geomedea_ray.stages.cells import (
@@ -210,3 +211,54 @@ class TestTilePyramidDeepZoom:
             assert (got[["tile_x", "tile_y", "n"]].to_numpy()
                     == exp[["tile_x", "tile_y", "n"]].to_numpy()).all(), f"zoom {z}"
             assert np.allclose(got["sum_v"], exp["sum_v"])
+
+
+class TestBboxIntersectJoin:
+    def test_matches_bruteforce_with_dedup(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.rect_join import bbox_intersect_join
+
+        rng = np.random.default_rng(9)
+        na, nb = 120, 40
+        ax = rng.uniform(-50, 50, na); ay = rng.uniform(-50, 50, na)
+        aw = rng.uniform(0.5, 12, na); ah = rng.uniform(0.5, 12, na)
+        bx = rng.uniform(-50, 50, nb); by = rng.uniform(-50, 50, nb)
+        bw = rng.uniform(0.5, 12, nb); bh = rng.uniform(0.5, 12, nb)
+        a = pd.DataFrame({"a_id": np.arange(na), "ax0": ax, "ay0": ay,
+                          "ax1": ax + aw, "ay1": ay + ah})
+        b = pd.DataFrame({"b_id": np.arange(nb), "bx0": bx, "by0": by,
+                          "bx1": bx + bw, "by1": by + bh})
+        out = bbox_intersect_join(
+            ray.data.from_pandas(a).repartition(3),
+            ray.data.from_pandas(b).repartition(2),
+            ("ax0", "ay0", "ax1", "ay1"), ("bx0", "by0", "bx1", "by1"),
+            ["a_id"], ["b_id"], cell=8.0, num_shards=5,
+        ).to_pandas()
+        got = set(zip(out["a_id"], out["b_id"]))
+        assert len(got) == len(out), "reference-point dedup failed"
+        want = {
+            (i, j)
+            for i in range(na) for j in range(nb)
+            if a["ax0"][i] <= b["bx1"][j] and b["bx0"][j] <= a["ax1"][i]
+            and a["ay0"][i] <= b["by1"][j] and b["by0"][j] <= a["ay1"][i]
+        }
+        assert got == want and len(want) > 50
+
+    def test_touching_edges_and_spanning_rects(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.rect_join import bbox_intersect_join
+
+        # rects meet exactly on an edge at a cell boundary; the big A
+        # rect spans 4x4 cells — still exactly one reported pair each
+        a = pd.DataFrame({"a_id": [1], "x0": [-16.0], "y0": [-16.0],
+                          "x1": [16.0], "y1": [16.0]})
+        b = pd.DataFrame({"b_id": [7, 8], "u0": [16.0, 30.0], "v0": [0.0, 0.0],
+                          "u1": [20.0, 31.0], "v1": [4.0, 1.0]})
+        out = bbox_intersect_join(
+            ray.data.from_pandas(a), ray.data.from_pandas(b),
+            ("x0", "y0", "x1", "y1"), ("u0", "v0", "u1", "v1"),
+            ["a_id"], ["b_id"], cell=10.0,
+        ).to_pandas()
+        assert sorted(zip(out["a_id"], out["b_id"])) == [(1, 7)]
