@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "source_lang_pivot",       # long→wide pivot, wide partials (round 3b)
     "doc_pagerank",            # iterative rank-join PageRank (round 3b)
     "order_customer_bbox_join",  # PBSM rect×rect spatial join (round 3b)
+    "user_funnel",             # ordered-sequence funnel match (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

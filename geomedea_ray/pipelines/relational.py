@@ -1130,3 +1130,30 @@ FROM a, b
 WHERE a.x - 3 <= b.x + 5 AND b.x - 5 <= a.x + 3
   AND a.y - 3 <= b.y + 5 AND b.y - 5 <= a.y + 3
 """
+
+
+#: ordered funnel steps over the events log
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def user_funnel(sf_dir: str):
+    """Funnel / ordered-sequence match (stages/funnel.funnel_match):
+    how far each user got through view→click→purchase with
+    earliest-greedy semantics — one user-hash co-shuffle, per-shard
+    vectorized step resolution; nested-MIN SQL oracle."""
+    from geomedea_ray.stages.funnel import funnel_match
+
+    ds = tables.read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    out = funnel_match(ds, "user_id", "ts", "event_type", FUNNEL_STEPS)
+
+    def _fin(df):
+        return df.rename(columns={"u": "user_id"})
+
+    return out.map_batches(_fin, batch_format="pandas")
+
+
+def user_funnel_sql() -> str:
+    from geomedea_ray.stages.funnel import funnel_match_sql
+
+    inner = funnel_match_sql("events", "user_id", "ts", "event_type", FUNNEL_STEPS)
+    return f"SELECT u AS user_id, stage, t_view, t_click, t_purchase FROM ({inner})"

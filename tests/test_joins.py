@@ -558,3 +558,35 @@ class TestBandedPrefixSum:
         assert set(np.unique(bins)) == set(range(int(bins.max()) + 1))
         # exclusive prefix: first doc starts at bin 0 offset 0
         assert bins[0] == 0 and out["bin_offset"].iloc[0] == 0
+
+
+class TestFunnelMatch:
+    def test_ordered_semantics(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.funnel import funnel_match
+
+        ev = pd.DataFrame({
+            "u": [1, 1, 1,           # full funnel in order
+                  2, 2,              # B before A: stage stops at 1
+                  3, 3, 3, 3,        # A, B, A, C — greedy: A@0,B@1,C@3
+                  4],                # only B: user absent (no step-0)
+            "t": pd.to_datetime([
+                "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20",
+                "2024-01-01 01:10", "2024-01-01 01:20",
+                "2024-01-01 02:00", "2024-01-01 02:10", "2024-01-01 02:20", "2024-01-01 02:30",
+                "2024-01-01 03:00",
+            ]),
+            "k": ["A", "B", "C",
+                  "B", "A",
+                  "A", "B", "A", "C",
+                  "B"],
+        })
+        out = (funnel_match(ray.data.from_pandas(ev).repartition(3),
+                            "u", "t", "k", ["A", "B", "C"], num_shards=3)
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        assert out["u"].tolist() == [1, 2, 3]
+        assert out["stage"].tolist() == [3, 1, 3]
+        us = lambda s: int(pd.Timestamp(s).value // 1000)
+        assert out["t_C"].tolist() == [us("2024-01-01 00:20"), -1,
+                                       us("2024-01-01 02:30")]
