@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "doc_pagerank",            # iterative rank-join PageRank (round 3b)
     "order_customer_bbox_join",  # PBSM rect×rect spatial join (round 3b)
     "user_funnel",             # ordered-sequence funnel match (round 3b)
+    "orders_profile",          # one-pass data-quality profile (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

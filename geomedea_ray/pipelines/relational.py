@@ -1157,3 +1157,29 @@ def user_funnel_sql() -> str:
 
     inner = funnel_match_sql("events", "user_id", "ts", "event_type", FUNNEL_STEPS)
     return f"SELECT u AS user_id, stage, t_view, t_click, t_purchase FROM ({inner})"
+
+
+def orders_profile(sf_dir: str):
+    """One-pass data-quality profile of orders (stages/profile):
+    per-column counts / nulls / min / max / exact domain cardinality,
+    kilobyte partials + TREE combine — the expectations gate a 100 TB
+    ingest runs before anything trains on it."""
+    from geomedea_ray.stages.profile import profile_table
+
+    ds = tables.read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"],
+    )
+    return profile_table(
+        ds, num_cols=["o_orderkey", "o_totalprice"],
+        cat_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+def orders_profile_sql() -> str:
+    from geomedea_ray.stages.profile import profile_table_sql
+
+    return profile_table_sql(
+        "orders", num_cols=["o_orderkey", "o_totalprice"],
+        cat_cols=["o_orderstatus", "o_orderpriority"],
+    )

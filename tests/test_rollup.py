@@ -109,3 +109,22 @@ class TestPivot:
         df = pd.DataFrame({"g": [1, 1, 2], "p": ["m", "n", "m"]})
         out = pivot_counts(ray.data.from_pandas(df), "g", "p").to_pandas()
         assert sorted(c for c in out.columns if c != "g") == ["n_m", "n_n"]
+
+
+class TestProfile:
+    def test_profile_with_nulls(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.profile import profile_table
+
+        df = pd.DataFrame({
+            "x": [1.5, None, 3.0, -2.0],
+            "c": ["a", "b", None, "a"],
+        })
+        out = (profile_table(ray.data.from_pandas(df).repartition(2),
+                             ["x"], ["c"])
+               .to_pandas().set_index(["column", "metric"])["value"])
+        assert out[("x", "count")] == 4 and out[("x", "nulls")] == 1
+        assert out[("x", "min")] == -2.0 and out[("x", "max")] == 3.0
+        assert out[("c", "count")] == 4 and out[("c", "nulls")] == 1
+        assert out[("c", "distinct")] == 2
