@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_customer_bbox_join": R.order_customer_bbox_join,  # PBSM rect×rect spatial join (grid cells + reference-point dedup)
         "user_funnel": R.user_funnel,                       # ordered-sequence funnel match (earliest-greedy, one user co-shuffle)
         "orders_profile": R.orders_profile,                 # one-pass data-quality profile (nulls/min/max/domain cardinality)
+        "customer_last_urgent_order": R.customer_last_urgent_order,  # LEFT OUTER shuffle hash join (sentinel-filled unmatched rows)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
         "user_cumulative_spend": R.user_cumulative_spend,   # running-total window (prefix scan)
@@ -319,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "order_customer_bbox_join": R.ORDER_CUSTOMER_BBOX_JOIN_SQL,
         "user_funnel": R.user_funnel_sql(),
         "orders_profile": R.orders_profile_sql(),
+        "customer_last_urgent_order": R.CUSTOMER_LAST_URGENT_ORDER_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "user_cumulative_spend": R.USER_CUMULATIVE_SPEND_SQL,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "order_customer_bbox_join",  # PBSM rect×rect spatial join (round 3b)
     "user_funnel",             # ordered-sequence funnel match (round 3b)
     "orders_profile",          # one-pass data-quality profile (round 3b)
+    "customer_last_urgent_order",  # LEFT OUTER shuffle hash join (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

@@ -1183,3 +1183,49 @@ def orders_profile_sql() -> str:
         "orders", num_cols=["o_orderkey", "o_totalprice"],
         cat_cols=["o_orderstatus", "o_orderpriority"],
     )
+
+
+def customer_last_urgent_order(sf_dir: str):
+    """LEFT OUTER shuffle hash join (stages/joins.hash_join
+    how='left'): every customer keeps their row whether or not an
+    urgent order exists; unmatched payloads surface as a -1 sentinel
+    on BOTH sides so the hash compare is null-free.
+    broadcast_bytes=0 pins the distributed left-merge path."""
+    from ray.data.aggregate import Max
+
+    from geomedea_ray.stages.joins import hash_join
+
+    urgent = (
+        tables.read(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_orderpriority"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"],
+                                        pa.scalar("1-URGENT")))
+                       .select(["o_custkey", "o_orderkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Max("o_orderkey", alias_name="last_urgent"))
+    )
+    cust = tables.read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = hash_join(cust, urgent, "c_custkey", "o_custkey",
+                    ["last_urgent"], broadcast_bytes=0, how="left")
+
+    def _fin(df):
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype(np.int64),
+            "c_mktsegment": df["c_mktsegment"],
+            "last_urgent": df["last_urgent"].fillna(-1).astype(np.int64),
+        })
+
+    return out.map_batches(_fin, batch_format="pandas")
+
+
+CUSTOMER_LAST_URGENT_ORDER_SQL = """
+WITH u AS (
+  SELECT o_custkey, MAX(o_orderkey) AS last_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+)
+SELECT c_custkey, c_mktsegment,
+       CAST(COALESCE(u.last_urgent, -1) AS BIGINT) AS last_urgent
+FROM customer LEFT JOIN u ON c_custkey = u.o_custkey
+"""

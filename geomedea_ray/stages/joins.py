@@ -185,8 +185,12 @@ def hash_join(
     bloom: bool = False,
     skew_den: int | None = None,
     skew_hot_keys=None,
+    how: str = "inner",
 ):
-    """Large×large INNER equi-join — ADAPTIVE between two plans, the
+    """Large×large equi-join (``how``: "inner" or "left" — LEFT keeps
+    unmatched probe rows with null right payloads; ``bloom`` is
+    inner-only, since dropping never-joining probe rows would LOSE
+    them under left semantics) — ADAPTIVE between two plans, the
     AQE pattern (Spark SQL's runtime broadcast-join demotion, public
     design): the right side is materialized first and its MEASURED
     size picks the plan. No reference counterpart — the reference has
@@ -242,6 +246,8 @@ def hash_join(
 
     from geomedea_ray.util import get_once
 
+    assert how in ("inner", "left")
+    assert not (bloom and how == "left"), "bloom pruning is inner-only"
     rcols_b = [c for c in right_cols if c != right_on]
     if broadcast_bytes > 0:
         right_mat = right_ds.materialize()
@@ -258,11 +264,12 @@ def hash_join(
                 r = get_once(ref)
                 df = df.rename(columns={left_on: "_key"})
                 if len(r) == 0:  # typed empty, skip dtype-mismatched merge
-                    out = df.iloc[0:0].copy()
+                    out = df.iloc[0:0].copy() if how == "inner" else df.copy()
                     for c in rcols_b:
-                        out[c] = pd.Series([], dtype=object)
+                        out[c] = (pd.Series([], dtype=object) if len(out) == 0
+                                  else np.nan)
                 else:
-                    out = df.merge(r, on="_key", how="inner")
+                    out = df.merge(r, on="_key", how=how)
                 return out.rename(columns={"_key": left_on})
 
             return left_ds.map_batches(_bmerge, batch_format="pandas")
@@ -349,13 +356,15 @@ def hash_join(
         if not set(rcols) <= set(df.columns):
             # an entirely-empty right dataset contributes no blocks, so
             # its columns never entered the unified schema: inner join
-            # result is empty (typed object for the absent payloads)
-            out = l[lcols].iloc[0:0].copy()
+            # result is empty (typed object for the absent payloads);
+            # LEFT keeps every probe row with null payloads
+            out = l[lcols].copy() if how == "left" else l[lcols].iloc[0:0].copy()
             for c in rcols:
-                out[c] = pd.Series([], dtype=object)
+                out[c] = (np.nan if len(out)
+                          else pd.Series([], dtype=object))
             return out.rename(columns={"_key": left_on})
         r = df[df["_side"] == 1][["_key"] + rcols]
-        out = l[lcols].merge(r, on="_key", how="inner")
+        out = l[lcols].merge(r, on="_key", how=how)
         return out.rename(columns={"_key": left_on})
 
     return both.groupby("_shard").map_groups(_merge, batch_format="pandas")

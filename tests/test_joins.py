@@ -590,3 +590,37 @@ class TestFunnelMatch:
         us = lambda s: int(pd.Timestamp(s).value // 1000)
         assert out["t_C"].tolist() == [us("2024-01-01 00:20"), -1,
                                        us("2024-01-01 02:30")]
+
+
+class TestLeftJoin:
+    def _join(self, left, right, **kw):
+        from geomedea_ray.stages.joins import hash_join
+
+        return hash_join(_ds(left), _ds(right), **kw).to_pandas()
+
+    @JOIN_PLANS
+    def test_left_keeps_unmatched(self, ray_session, bb):
+        left = pa.table({"k": [1, 2, 3], "lv": [10, 20, 30]})
+        right = pa.table({"rk": [1, 1], "rv": ["a", "b"]})
+        out = self._join(left, right, left_on="k", right_on="rk",
+                         right_cols=["rv"], how="left", **bb)
+        out = out.sort_values(["lv", "rv"], na_position="last")
+        assert out["lv"].tolist() == [10, 10, 20, 30]
+        assert out["rv"].tolist()[:2] == ["a", "b"]
+        assert out["rv"].isna().tolist() == [False, False, True, True]
+
+    @JOIN_PLANS
+    def test_left_empty_right(self, ray_session, bb):
+        left = pa.table({"k": [5], "lv": [1]})
+        empty = pa.table({"rk": pa.array([], pa.int64()),
+                          "rv": pa.array([], pa.string())})
+        out = self._join(left, empty, left_on="k", right_on="rk",
+                         right_cols=["rv"], how="left", **bb)
+        assert len(out) == 1 and out["rv"].isna().all()
+
+    def test_bloom_left_rejected(self, ray_session):
+        left = pa.table({"k": [1], "lv": [1]})
+        right = pa.table({"rk": [1], "rv": [2]})
+        with pytest.raises(AssertionError):
+            self._join(left, right, left_on="k", right_on="rk",
+                       right_cols=["rv"], how="left", bloom=True)
