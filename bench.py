@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "user_funnel",             # ordered-sequence funnel match (round 3b)
     "orders_profile",          # one-pass data-quality profile (round 3b)
     "customer_last_urgent_order",  # LEFT OUTER shuffle hash join (round 3b)
+    "lineitem_unpivot",        # wide→long UNPIVOT, zero exchange (round 3b)
+    "price_moments",           # exact integer parallel moments (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

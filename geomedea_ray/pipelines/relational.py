@@ -1229,3 +1229,81 @@ SELECT c_custkey, c_mktsegment,
        CAST(COALESCE(u.last_urgent, -1) AS BIGINT) AS last_urgent
 FROM customer LEFT JOIN u ON c_custkey = u.o_custkey
 """
+
+
+def lineitem_unpivot(sf_dir: str):
+    """Wide→long UNPIVOT (stages/pivot.unpivot): each lineitem row
+    explodes into one (measure, value) row per numeric column —
+    stateless per-block melt, zero exchange. Values pass through
+    untouched so the float hash matches the UNION-ALL oracle
+    bit-for-bit."""
+    from geomedea_ray.stages.pivot import unpivot
+
+    ds = tables.read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+    )
+
+    def _ids(b: pa.Table) -> pa.Table:
+        return b.set_column(1, "l_linenumber", b["l_linenumber"].cast(pa.int64()))
+
+    return unpivot(
+        ds.map_batches(_ids, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        var_name="measure", value_name="value",
+    )
+
+
+def lineitem_unpivot_sql() -> str:
+    from geomedea_ray.stages.pivot import unpivot_sql
+
+    inner = unpivot_sql(
+        "(SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+        "l_quantity, l_discount, l_tax FROM lineitem)",
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        var_name="measure", value_name="value",
+    )
+    return inner
+
+
+def price_moments(sf_dir: str):
+    """Parallel moments (the Chan/Welford class, done the shuffle-free
+    way): per return flag the EXACT integer zeroth/first/second
+    moments of the floor-dollar price — per-block partials, TREE
+    combine; variance/stddev derive downstream without ever shipping
+    row-level data. Dollars (not cents) keep Σx² < 2^63 at any sf;
+    FLOOR, not ROUND (numpy rounds half-even, DuckDB half-away)."""
+    ds = tables.read(sf_dir, "lineitem",
+                     columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(df):
+        x = np.floor(df["l_extendedprice"].to_numpy(np.float64)).astype(np.int64)
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"], "x": x, "x2": x * x})
+        out = g.groupby("l_returnflag", as_index=False).agg(
+            n=("x", "size"), sum_x=("x", "sum"), sum_x2=("x2", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def _combine(df):
+        return df.groupby("l_returnflag", as_index=False)[["n", "sum_x", "sum_x2"]].sum()
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .repartition(8)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+    )
+
+
+PRICE_MOMENTS_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_x,
+       CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_x2
+FROM lineitem
+GROUP BY l_returnflag
+"""

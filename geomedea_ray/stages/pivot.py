@@ -101,3 +101,28 @@ def pivot_counts_sql(
         ]
     cols = ",\n       ".join(parts)
     return f"SELECT {index_col}, {cols} FROM {source} GROUP BY {index_col}"
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "variable", value_name: str = "value"):
+    """Wide → long (UNPIVOT): each row explodes into one row per
+    value column. Stateless per-block ``pd.melt`` — embarrassingly
+    parallel, no exchange at all; output is |value_cols|× the rows.
+    Value columns must share a common (numeric) dtype, same contract
+    as SQL UNPIVOT."""
+    def _melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=id_cols, value_vars=value_cols,
+                      var_name=var_name, value_name=value_name)
+        return out
+
+    return ds.map_batches(_melt, batch_format="pandas")
+
+
+def unpivot_sql(source: str, id_cols: list[str], value_cols: list[str],
+                var_name: str = "variable", value_name: str = "value") -> str:
+    ids = ", ".join(id_cols)
+    selects = [
+        f"SELECT {ids}, '{c}' AS {var_name}, {c} AS {value_name} FROM {source}"
+        for c in value_cols
+    ]
+    return "\nUNION ALL\n".join(selects)
