@@ -380,3 +380,71 @@ def quantile_select(ds, by: str, val_col: str, levels=DEFAULT_LEVELS,
         rows.append(row)
     cols = [by, n_name] + [_level_col(q) for q in levels]
     return pd.DataFrame(rows)[cols]
+
+
+# ------------------------------------------------- count-min sketch
+
+def cms_build(ds, col: str, width: int = 2048, depth: int = 4):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over ``col`` —
+    the mergeable point-frequency sketch for when exact heavy_hitters'
+    candidate pass is too wide (e.g. per-key counts consumed by a
+    downstream scorer rather than a threshold filter).
+
+    Per block: one (depth, width) int64 counter matrix (vectorized
+    np.add.at over double-hashed rows); matrices SUM-combine (TREE),
+    so the exchange carries depth×width×8 bytes per block regardless
+    of row count. Estimate = min over rows; guaranteed to
+    OVERESTIMATE by at most ceil(e/width · N) with prob 1-exp(-depth)
+    and never underestimate."""
+    import pandas as pd
+
+    from geomedea_ray.stages.bloom import _key_hash, _splitmix64
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.zeros((depth, width), np.int64)
+        if len(df):
+            h1 = _key_hash(df[col])
+            h2 = _splitmix64(h1) | np.uint64(1)
+            for d in range(depth):
+                idx = ((h1 + np.uint64(d) * h2) % np.uint64(width)).astype(np.int64)
+                np.add.at(m[d], idx, 1)
+        return pd.DataFrame({"m": [m.tobytes()]})
+
+    def _comb(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(depth * width, np.int64)
+        for b in df["m"]:
+            acc += np.frombuffer(b, np.int64)
+        return pd.DataFrame({"m": [acc.tobytes()]})
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .repartition(8)
+        .map_batches(_comb, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(_comb, batch_format="pandas", batch_size=None)
+        .take(1)
+    )
+    return CountMinSketch(
+        np.frombuffer(rows[0]["m"], np.int64).reshape(depth, width).copy())
+
+
+class CountMinSketch:
+    __slots__ = ("m",)
+
+    def __init__(self, m: np.ndarray):
+        self.m = m
+
+    def estimate(self, values) -> np.ndarray:
+        """Vectorized point estimates (int64[n])."""
+        import pandas as pd
+
+        from geomedea_ray.stages.bloom import _key_hash, _splitmix64
+
+        depth, width = self.m.shape
+        h1 = _key_hash(pd.Series(values))
+        h2 = _splitmix64(h1) | np.uint64(1)
+        est = np.full(len(h1), np.iinfo(np.int64).max)
+        for d in range(depth):
+            idx = ((h1 + np.uint64(d) * h2) % np.uint64(width)).astype(np.int64)
+            est = np.minimum(est, self.m[d, idx])
+        return est

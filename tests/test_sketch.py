@@ -149,3 +149,27 @@ class TestQuantileSelect:
         df = pd.DataFrame({"g": ["a"] * 10, "v": [1.0] * 5 + [float("nan")] * 5})
         out = quantile_select(ray.data.from_pandas(df), "g", "v", levels=(0.5,))
         assert int(out["n"].iloc[0]) == 5 and out["p50"].iloc[0] == 1.0
+
+
+class TestCountMin:
+    def test_never_underestimates_and_bound(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.sketch import cms_build
+
+        rng = np.random.default_rng(13)
+        # zipf-ish: value v appears ~20000/(v+1) times
+        vals = np.repeat(np.arange(200), (20000 / (np.arange(200) + 1)).astype(int))
+        rng.shuffle(vals)
+        ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+        cms = cms_build(ds, "v", width=2048, depth=4)
+        import pandas as pd
+
+        truth = pd.Series(vals).value_counts()
+        q = truth.index.to_numpy()[:50]
+        est = cms.estimate(q)
+        true = truth.to_numpy()[:50]
+        assert (est >= true).all()  # CMS never underestimates
+        # standard bound: overshoot ≤ e/width · N (whp); allow 3 misses
+        bound = np.ceil(np.e / 2048 * len(vals))
+        assert ((est - true) <= bound).sum() >= 47
