@@ -1203,6 +1203,7 @@ def customer_last_urgent_order(sf_dir: str):
                                         pa.scalar("1-URGENT")))
                        .select(["o_custkey", "o_orderkey"]),
             batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)  # kilobyte partials: shuffle machinery is per-block
         .groupby("o_custkey")
         .aggregate(Max("o_orderkey", alias_name="last_urgent"))
     )
