@@ -9,6 +9,7 @@ convert example).
     python -m geomedea_ray export  <dataset_dir> <out.geojson>
     python -m geomedea_ray bbox    <dataset_dir> MINLNG MINLAT MAXLNG MAXLAT [--stats]
     python -m geomedea_ray decode  <parquet_dir> <out_dir>   # resumable; re-run to resume
+    python -m geomedea_ray explain <query> <sf_dir>          # ds.stats() for a gate query
 
 This entry point OWNS a Ray session (guarded init; the library never
 calls ray.init)."""
@@ -144,6 +145,34 @@ def cmd_decode(parquet_dir: str, out_dir: str) -> int:
     return 0
 
 
+def cmd_explain(query: str, sf_dir: str) -> int:
+    """Run one registered gate query and print Ray Data's execution
+    stats (`ds.stats()`) — the per-stage wall/cpu/heap/row breakdown
+    used for every perf audit in BASELINE.md. EXPLAIN-for-Ray-Data."""
+    _ensure_ray()
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entry
+
+    queries = entry.queries()
+    if query not in queries:
+        import difflib
+
+        near = difflib.get_close_matches(query, queries, n=5)
+        print(f"unknown query '{query}'; close: {near}")
+        print(f"({len(queries)} registered — see SURVEY.md §8)")
+        return 2
+    res = queries[query](sf_dir)
+    if hasattr(res, "stats"):
+        res = res.materialize()  # stats belong to the executed plan
+        print(res.stats())
+        print(f"rows: {res.count()}")
+    else:  # driver-side result (pandas)
+        print(f"driver-side result: {len(res)} rows (no distributed stats)")
+    return 0
+
+
 COMMANDS = {
     "info": (cmd_info, 1),
     "inspect": (cmd_inspect, 1),
@@ -151,6 +180,7 @@ COMMANDS = {
     "export": (cmd_export, 2),
     "bbox": (cmd_bbox, 5),
     "decode": (cmd_decode, 2),
+    "explain": (cmd_explain, 2),
 }
 
 
