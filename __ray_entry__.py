@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": T.q_label_centroids,   # vector aggregate over embeddings
         "embedding_clusters": T.q_embedding_clusters,  # nearest-centroid assignment (SemDeDup-style bucketing; integer-exact, fixture-SQL-oracled)
         "kmeans_embeddings": T.q_kmeans_embeddings,    # ITERATIVE k-means training, 2 unrolled rounds, bit-exact oracle
+        "dedup_keep_best": T.q_dedup_keep_best,        # quality-aware near-dup dedup (keep the BEST copy per component)
         "source_lang_pivot": T.q_source_lang_pivot,    # long→wide PIVOT (wide per-block partials + TREE combine)
         "doc_pagerank": T.q_doc_pagerank,              # ITERATIVE rank-join PageRank, integer grid, bit-exact oracle
         "lang_source_rollup": T.q_lang_source_rollup,  # single-pass GROUP BY ROLLUP (per-level in-map partials, one exchange)
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         lambda: {"simhash_verified": T.simhash_verified_sql(sf_dir)},
         lambda: {"doc_components": T.doc_components_sql(sf_dir)},
         lambda: {"dedup_neardup": T.dedup_neardup_sql(sf_dir)},
+        lambda: {"dedup_keep_best": T.dedup_keep_best_sql(sf_dir)},
         lambda: {"embedding_clusters": T.embedding_clusters_sql(sf_dir)},
         lambda: {"pii_redact": C.pii_redact_sql(sf_dir)},
         lambda: {"decontaminate": C.decontaminate_sql(sf_dir)},

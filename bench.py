@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "customer_last_urgent_order",  # LEFT OUTER shuffle hash join (round 3b)
     "lineitem_unpivot",        # wide→long UNPIVOT, zero exchange (round 3b)
     "price_moments",           # exact integer parallel moments (round 3b)
+    "dedup_keep_best",         # quality-aware near-dup dedup (round 3b)
 ]
 
 #: Q=500 kNN workload (seeded)

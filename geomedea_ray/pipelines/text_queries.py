@@ -1246,3 +1246,58 @@ r{i + 1} AS (
 )""")
     parts.append(f"\nSELECT node, rank FROM r{PR_ITERS}")
     return "".join(parts)
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup dedup: like dedup_neardup, but the kept
+    representative per duplicate component is the HIGHEST-QUALITY
+    member (longest n_chars, doc_id tiebreak) — the keep-policy real
+    curation pipelines want (keep the best copy, not the first).
+    Component membership is pair-bounded (dimension-sized), so the
+    member⋈quality resolve happens driver-side on kilobytes; the
+    corpus itself streams through ONE broadcast anti-filter."""
+    import pandas as pd
+
+    from geomedea_ray.stages.joins import semi_anti_filter
+
+    comp = q_doc_components(sf_dir).to_pandas()
+    docs = tables.read(sf_dir, "documents",
+                       columns=["doc_id", "lang", "source", "n_chars"])
+    member_q = (
+        semi_anti_filter(docs, "doc_id",
+                         comp["doc_id"].to_numpy(np.int64), anti=False)
+        .to_pandas()[["doc_id", "n_chars"]]
+    )
+    m = comp.merge(member_q, on="doc_id")
+    m = m.sort_values(["component", "n_chars", "doc_id"],
+                      ascending=[True, False, True])
+    best = m.groupby("component", as_index=False).first()["doc_id"]
+    drops = m.loc[~m["doc_id"].isin(set(best)), "doc_id"].to_numpy(np.int64)
+    return semi_anti_filter(docs, "doc_id", drops, anti=True)
+
+
+def dedup_keep_best_sql(sf_dir: str) -> str:
+    path = simhash_fixture_path(sf_dir)
+    return f"""
+WITH RECURSIVE
+s AS (SELECT doc_id, simhash FROM read_parquet('{path}')),
+e AS (SELECT a.doc_id AS u, b.doc_id AS v
+      FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}),
+walk(node, comp) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.v, walk.comp FROM walk JOIN e ON e.u = walk.node
+),
+labels AS (SELECT node, MIN(comp) AS component FROM walk GROUP BY node),
+q AS (SELECT l.node, l.component, d.n_chars
+      FROM labels l JOIN documents d ON d.doc_id = l.node),
+best AS (
+  SELECT node FROM (
+    SELECT node, ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, node ASC) AS rn
+    FROM q) WHERE rn = 1
+)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM q WHERE node NOT IN (SELECT node FROM best))
+"""
