@@ -229,6 +229,14 @@ def connected_components(pairs, a_col: str, b_col: str,
             .groupby("_shard").map_groups(_dedup, batch_format="pandas"))
 
 
+#: below this node count the per-key domain is kilobytes and the TREE
+#: combine (per-block pandas partials + fan-in) beats the groupby
+#: sort-exchange ~3x (same rule as tiles.tile_aggregate; measured
+#: 13.3 → 3.4 s at sf0.1); above it, Ray's hash/sort groupby scales
+#: with the domain. Module-level so tests can force either branch.
+TREE_MAX_NODES = 200_000
+
+
 def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
                    node_col: str = "node", iters: int = 2,
                    scale: int = 10**9, d_num: int = 17, d_den: int = 20):
@@ -265,12 +273,6 @@ def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
 
     assert 0 < d_num < d_den
     base = (d_den - d_num) * scale // d_den
-
-    #: below this node count the per-key domain is kilobytes and the
-    #: TREE combine (per-block pandas partials + fan-in) beats the
-    #: groupby sort-exchange ~3x (same rule as tiles.tile_aggregate);
-    #: above it, Ray's hash/sort groupby scales with the domain
-    TREE_MAX_NODES = 200_000
 
     def _grouped_sum(ds, key, val, alias, small_domain, agg="sum"):
         if not small_domain:

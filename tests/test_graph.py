@@ -131,3 +131,25 @@ class TestPageRankExact:
                .to_pandas().set_index("node")["rank"])
         assert out[9] == 3 * 10**9 // 20      # no in-edges → base
         assert out[1] == 3 * 10**9 // 20 + (17 * 10**9) // 20
+
+
+def test_pagerank_groupby_branch_matches_tree(ray_session, monkeypatch):
+    # force the large-domain (Ray groupby) branch and assert it gives
+    # the identical ranks the TREE branch gives on the same graph
+    import ray.data
+
+    from geomedea_ray.stages import graph as G
+
+    edges = pd.DataFrame({"src": [0, 1, 2, 2, 3, 4],
+                          "dst": [1, 2, 0, 1, 0, 2]})
+    nodes = pd.DataFrame({"node": [0, 1, 2, 3, 4]})
+
+    def run():
+        return (G.pagerank_exact(ray.data.from_pandas(edges).repartition(2),
+                                 ray.data.from_pandas(nodes), iters=2)
+                .to_pandas().sort_values("node")["rank"].tolist())
+
+    tree = run()
+    monkeypatch.setattr(G, "TREE_MAX_NODES", 0)
+    grouped = run()
+    assert tree == grouped
