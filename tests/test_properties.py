@@ -146,3 +146,44 @@ class TestCodecs:
         ph = codecs.average_phash_batch(stack)
         assert ph[0] == codecs.average_phash(img)
         assert ph[1] == codecs.average_phash(q)
+
+
+class TestBloomProperties:
+    @given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                    min_size=1, max_size=200, unique=True))
+    @settings(max_examples=50, deadline=None)
+    def test_no_false_negatives_ints(self, keys):
+        import pandas as pd
+
+        from geomedea_ray.stages.bloom import bloom_from_series
+
+        s = pd.Series(np.array(keys, np.int64))
+        bf = bloom_from_series(s)
+        assert bf.contains(s).all()
+
+    @given(st.lists(st.text(min_size=0, max_size=40), min_size=1,
+                    max_size=100, unique=True))
+    @settings(max_examples=50, deadline=None)
+    def test_no_false_negatives_strings(self, keys):
+        import pandas as pd
+
+        from geomedea_ray.stages.bloom import bloom_from_series
+
+        s = pd.Series(keys, dtype="object")
+        bf = bloom_from_series(s)
+        assert bf.contains(s).all()
+
+    @given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                    max_size=300, unique=True))
+    @settings(max_examples=30, deadline=None)
+    def test_int_width_invariance(self, keys):
+        # the SAME key value must test positive regardless of the
+        # integer width the probe side stores it at
+        import pandas as pd
+
+        from geomedea_ray.stages.bloom import bloom_from_series
+
+        bf = bloom_from_series(pd.Series(np.array(keys, np.int64)))
+        assert bf.contains(pd.Series(np.array(keys, np.int32))).all()
+        assert bf.contains(pd.Series(np.array(keys, np.uint16) if max(keys) < 2**16
+                                     else np.array(keys, np.int64))).all()
