@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": R.orders_profile,                 # one-pass data-quality profile (nulls/min/max/domain cardinality)
         "customer_last_urgent_order": R.customer_last_urgent_order,  # LEFT OUTER shuffle hash join (sentinel-filled unmatched rows)
         "lineitem_unpivot": R.lineitem_unpivot,             # wide→long UNPIVOT (stateless per-block melt, zero exchange)
+        "user_hourly_dense": R.user_hourly_dense,           # gap-filled resample: every user × every hour, explicit zeros
         "price_moments": R.price_moments,                   # exact integer parallel moments (variance without a shuffle)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_profile": R.orders_profile_sql(),
         "customer_last_urgent_order": R.CUSTOMER_LAST_URGENT_ORDER_SQL,
         "lineitem_unpivot": R.lineitem_unpivot_sql(),
+        "user_hourly_dense": R.user_hourly_dense_sql(),
         "price_moments": R.PRICE_MOMENTS_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,

@@ -1308,3 +1308,27 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def user_hourly_dense(sf_dir: str):
+    """Gap-filled hourly activity matrix (stages/resample.
+    densify_counts): every user × every hour of the event range with
+    explicit zero rows — the resample-and-fill step before any
+    windowed/retention model; one min/max pass + one key co-shuffle,
+    in-shard vectorized reindex densify."""
+    from geomedea_ray.stages.resample import densify_counts
+
+    ds = tables.read(sf_dir, "events", columns=["user_id", "ts"])
+    out = densify_counts(ds, "user_id", "ts")
+
+    def _fin(df):
+        return df.rename(columns={"k": "user_id", "b": "hour_bucket"})
+
+    return out.map_batches(_fin, batch_format="pandas")
+
+
+def user_hourly_dense_sql() -> str:
+    from geomedea_ray.stages.resample import densify_counts_sql
+
+    inner = densify_counts_sql("events", "user_id", "ts")
+    return f"SELECT k AS user_id, b AS hour_bucket, n FROM ({inner})"

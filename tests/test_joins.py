@@ -624,3 +624,27 @@ class TestLeftJoin:
         with pytest.raises(AssertionError):
             self._join(left, right, left_on="k", right_on="rk",
                        right_cols=["rv"], how="left", bloom=True)
+
+
+class TestDensify:
+    def test_gap_fill_and_bucket_edges(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.resample import densify_counts
+
+        ev = pd.DataFrame({
+            "u": [1, 1, 2],
+            "t": pd.to_datetime(["2024-01-01 00:30",   # bucket lo
+                                 "2024-01-01 03:59",   # bucket lo+3
+                                 "2024-01-01 01:00"]),  # exact boundary
+        })
+        out = (densify_counts(ray.data.from_pandas(ev).repartition(2),
+                              "u", "t", num_shards=2)
+               .to_pandas().sort_values(["k", "b"]).reset_index(drop=True))
+        # global range = 4 buckets; 2 users → 8 dense rows
+        assert len(out) == 8
+        assert out.groupby("k")["b"].count().tolist() == [4, 4]
+        u1 = out[out["k"] == 1]["n"].tolist()
+        u2 = out[out["k"] == 2]["n"].tolist()
+        assert u1 == [1, 0, 0, 1]
+        assert u2 == [0, 1, 0, 0]  # boundary event lands in bucket lo+1
