@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "price_moments",           # exact integer parallel moments (round 3b)
     "dedup_keep_best",         # quality-aware near-dup dedup (round 3b)
     "user_hourly_dense",       # gap-filled resample, user×hour zeros (round 3b)
+    "user_retention",          # weekly cohort-retention triangle (round 3b)
     "hilbert_scan",            # Hilbert-desc select_all head (core R1 path)
     "jsonl_docs_agg",          # sharded JSONL source round-trip + aggregate
     "user_spend_movsum",       # ROWS-window moving sum (banded prefix scan)

@@ -1332,3 +1332,19 @@ def user_hourly_dense_sql() -> str:
 
     inner = densify_counts_sql("events", "user_id", "ts")
     return f"SELECT k AS user_id, b AS hour_bucket, n FROM ({inner})"
+
+
+def user_retention(sf_dir: str):
+    """Weekly cohort-retention triangle over the event log
+    (stages/resample.cohort_retention): users bucketed by first-active
+    week, counted once per week-offset they return in."""
+    from geomedea_ray.stages.resample import cohort_retention
+
+    ds = tables.read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
+def user_retention_sql() -> str:
+    from geomedea_ray.stages.resample import cohort_retention_sql
+
+    return cohort_retention_sql("events", "user_id", "ts")

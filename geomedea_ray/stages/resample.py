@@ -84,3 +84,67 @@ SELECT u.k, buckets.b, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
 FROM u CROSS JOIN buckets
 LEFT JOIN c ON c.k = u.k AND c.b = buckets.b
 """
+
+
+US_PER_WEEK = 604_800_000_000
+
+
+def cohort_retention(
+    ds,
+    key_col: str,
+    ts_col: str,
+    bucket_us: int = US_PER_WEEK,
+    num_shards: int | None = None,
+):
+    """Cohort retention triangle: users grouped by their FIRST active
+    bucket (the cohort), counted once per (cohort, offset) they were
+    active in — the activation/retention matrix every growth dashboard
+    draws. ONE key co-shuffle; each shard resolves its users fully
+    vectorized (groupby-min for the cohort, drop_duplicates for the
+    active set); the (cohort × offset) count domain is weeks², so the
+    final combine is a TREE over kilobyte partials."""
+    num_shards = _resolve_shards(ds, num_shards)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = (df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+             // np.int64(bucket_us))
+        return pd.DataFrame({"k": df[key_col].to_numpy(), "b": b,
+                             "_shard": _shard_of(df[key_col], num_shards)})
+
+    def _per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["k", "b"])
+        first = df.groupby("k")["b"].transform("min")
+        out = pd.DataFrame({"cohort": first, "off": df["b"] - first})
+        return (out.groupby(["cohort", "off"], as_index=False).size()
+                .rename(columns={"size": "n_users"}))
+
+    def _combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["cohort", "off"], as_index=False)["n_users"].sum()
+
+    part = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_per_user, batch_format="pandas")
+    )
+    out = (
+        part.repartition(1)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+    )
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_users"] = df["n_users"].astype(np.int64)
+        return df
+
+    return out.map_batches(_fin, batch_format="pandas")
+
+
+def cohort_retention_sql(source: str, key_col: str, ts_col: str,
+                         bucket_us: int = US_PER_WEEK) -> str:
+    return f"""
+WITH e AS (SELECT {key_col} AS k, epoch_us({ts_col}) // {bucket_us} AS b FROM {source}),
+f AS (SELECT k, MIN(b) AS fw FROM e GROUP BY k),
+a AS (SELECT DISTINCT e.k, f.fw AS cohort, e.b - f.fw AS off
+      FROM e JOIN f ON e.k = f.k)
+SELECT cohort, off, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, off
+"""

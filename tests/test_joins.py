@@ -648,3 +648,27 @@ class TestDensify:
         u2 = out[out["k"] == 2]["n"].tolist()
         assert u1 == [1, 0, 0, 1]
         assert u2 == [0, 1, 0, 0]  # boundary event lands in bucket lo+1
+
+
+class TestCohortRetention:
+    def test_multi_cohort_triangle(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.resample import cohort_retention
+
+        wk = 7 * 24 * 3600 * 1_000_000
+        base = pd.Timestamp("2024-01-04").value // 1000  # µs
+        def ts(week): return pd.Timestamp((base + week * wk) * 1000)
+        ev = pd.DataFrame({
+            "u": [1, 1, 1,   2, 2,   3],
+            "t": [ts(0), ts(0), ts(2),   # u1: cohort 0, active 0 & 2 (dup wk0 once)
+                  ts(1), ts(2),          # u2: cohort 1, active 1 & 2
+                  ts(2)],                # u3: cohort 2
+        })
+        out = (cohort_retention(ray.data.from_pandas(ev).repartition(2),
+                                "u", "t", num_shards=2)
+               .to_pandas())
+        c0 = out["cohort"].min()
+        got = {(int(r["cohort"] - c0), int(r["off"])): int(r["n_users"])
+               for _, r in out.iterrows()}
+        assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1, (2, 0): 1}
