@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": R.lineitem_unpivot,             # wide→long UNPIVOT (stateless per-block melt, zero exchange)
         "user_hourly_dense": R.user_hourly_dense,           # gap-filled resample: every user × every hour, explicit zeros
         "user_retention": R.user_retention,                 # weekly cohort-retention triangle (first-active bucket cohorts)
+        "orders_scd2": R.orders_scd2,                       # SCD Type-2 history: validity intervals via per-key shift
         "price_moments": R.price_moments,                   # exact integer parallel moments (variance without a shuffle)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_unpivot": R.lineitem_unpivot_sql(),
         "user_hourly_dense": R.user_hourly_dense_sql(),
         "user_retention": R.user_retention_sql(),
+        "orders_scd2": R.ORDERS_SCD2_SQL,
         "price_moments": R.PRICE_MOMENTS_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,

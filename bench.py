@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",         # quality-aware near-dup dedup (round 3b)
     "user_hourly_dense",       # gap-filled resample, user×hour zeros (round 3b)
     "user_retention",          # weekly cohort-retention triangle (round 3b)
+    "orders_scd2",             # SCD Type-2 validity intervals (round 3b)
     "hilbert_scan",            # Hilbert-desc select_all head (core R1 path)
     "jsonl_docs_agg",          # sharded JSONL source round-trip + aggregate
     "user_spend_movsum",       # ROWS-window moving sum (banded prefix scan)

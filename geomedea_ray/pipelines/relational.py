@@ -892,31 +892,32 @@ def orders_upsert(sf_dir: str):
 
     ds = tables.read(sf_dir, "orders",
                      columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
-
-    def _with_changes(batch: pa.Table) -> pa.Table:
-        import pyarrow as pa_
-
-        key = batch["o_orderkey"].to_numpy()
-        cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
-        chg = key % 10 == 0
-        out_key = np.concatenate([key, key[chg]])
-        out_ver = np.concatenate(
-            [np.zeros(len(key), np.int64), np.ones(int(chg.sum()), np.int64)]
-        )
-        status = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
-        out_status = np.concatenate([status, np.full(int(chg.sum()), "U", object)])
-        out_cents = np.concatenate([cents, cents[chg] + 1000])
-        return pa_.table(
-            {
-                "o_orderkey": pa_.array(out_key, pa_.int64()),
-                "version": pa_.array(out_ver, pa_.int64()),
-                "o_orderstatus": pa_.array(out_status, pa_.string()),
-                "totalprice_cents": pa_.array(out_cents, pa_.int64()),
-            }
-        )
-
-    both = ds.map_batches(_with_changes, batch_format="pyarrow", zero_copy_batch=True)
+    both = ds.map_batches(_orders_with_changes, batch_format="pyarrow",
+                          zero_copy_batch=True)
     return upsert_latest(both, "o_orderkey", "version")
+
+
+def _orders_with_changes(batch: pa.Table) -> pa.Table:
+    import pyarrow as pa_
+
+    key = batch["o_orderkey"].to_numpy()
+    cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+    chg = key % 10 == 0
+    out_key = np.concatenate([key, key[chg]])
+    out_ver = np.concatenate(
+        [np.zeros(len(key), np.int64), np.ones(int(chg.sum()), np.int64)]
+    )
+    status = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+    out_status = np.concatenate([status, np.full(int(chg.sum()), "U", object)])
+    out_cents = np.concatenate([cents, cents[chg] + 1000])
+    return pa_.table(
+        {
+            "o_orderkey": pa_.array(out_key, pa_.int64()),
+            "version": pa_.array(out_ver, pa_.int64()),
+            "o_orderstatus": pa_.array(out_status, pa_.string()),
+            "totalprice_cents": pa_.array(out_cents, pa_.int64()),
+        }
+    )
 
 
 ORDERS_UPSERT_SQL = """
@@ -1348,3 +1349,35 @@ def user_retention_sql() -> str:
     from geomedea_ray.stages.resample import cohort_retention_sql
 
     return cohort_retention_sql("events", "user_id", "ts")
+
+
+def orders_scd2(sf_dir: str):
+    """SCD Type-2 dimension history (stages/joins.scd2_intervals) over
+    the same base+change stream orders_upsert merges: instead of
+    keeping only the newest version, EVERY version becomes a validity
+    interval (valid_to = next version, -1 + is_current flag on the
+    open one) — LEAD-window oracle hash-verified."""
+    from geomedea_ray.stages.joins import scd2_intervals
+
+    ds = tables.read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    both = ds.map_batches(_orders_with_changes, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return scd2_intervals(both, "o_orderkey", "version")
+
+
+ORDERS_SCD2_SQL = """
+WITH all_rows AS (
+  SELECT o_orderkey, 0 AS version, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 1, 'U',
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderkey, version, o_orderstatus, totalprice_cents,
+       CAST(COALESCE(LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version), -1) AS BIGINT) AS valid_to,
+       CAST(CASE WHEN LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM all_rows
+"""
