@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_hourly_dense": R.user_hourly_dense,           # gap-filled resample: every user × every hour, explicit zeros
         "user_retention": R.user_retention,                 # weekly cohort-retention triangle (first-active bucket cohorts)
         "orders_scd2": R.orders_scd2,                       # SCD Type-2 history: validity intervals via per-key shift
+        "hopping_distinct_users": R.hopping_distinct_users, # exact distinct per hopping window (window-colocated shuffle)
         "price_moments": R.price_moments,                   # exact integer parallel moments (variance without a shuffle)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "user_hourly_dense": R.user_hourly_dense_sql(),
         "user_retention": R.user_retention_sql(),
         "orders_scd2": R.ORDERS_SCD2_SQL,
+        "hopping_distinct_users": R.HOPPING_DISTINCT_USERS_SQL,
         "price_moments": R.PRICE_MOMENTS_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,

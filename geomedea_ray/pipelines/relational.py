@@ -1381,3 +1381,53 @@ SELECT o_orderkey, version, o_orderstatus, totalprice_cents,
        CAST(CASE WHEN LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
 FROM all_rows
 """
+
+
+def hopping_distinct_users(sf_dir: str, hop_min: int = 30, k: int = 2):
+    """EXACT distinct users per hopping window — distinct is NOT
+    algebraic, so unlike events_hopping's partial counts this
+    co-shuffles the exploded (window, user) pairs ONCE on the window
+    hash: every window lands whole in one shard, where a vectorized
+    drop_duplicates + size finishes — counts leave the shard final,
+    no second combine."""
+    from geomedea_ray.stages.joins import _shard_of
+
+    hop_ns = hop_min * 60 * 1_000_000_000
+    ev = tables.read(sf_dir, "events", columns=["ts", "user_id"])
+    shards = 8
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        ws0 = (t // hop_ns) * hop_ns
+        u = df["user_id"].to_numpy(np.int64)
+        g = pd.concat(
+            [pd.DataFrame({"window_start": ws0 - i * hop_ns, "user_id": u})
+             for i in range(k)], ignore_index=True,
+        ).drop_duplicates()
+        g["_shard"] = _shard_of(g["window_start"], shards)
+        return g
+
+    def _count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["window_start", "user_id"])
+        out = (d.groupby("window_start", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return (
+        ev.map_batches(_pairs, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_count, batch_format="pandas")
+    )
+
+
+HOPPING_DISTINCT_USERS_SQL = """
+WITH h AS (
+  SELECT (epoch_ns(ts) // 1800000000000) * 1800000000000
+           - i.i * 1800000000000 AS window_start,
+         user_id
+  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS i) i
+)
+SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM h GROUP BY window_start
+"""
