@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": T.q_embedding_clusters,  # nearest-centroid assignment (SemDeDup-style bucketing; integer-exact, fixture-SQL-oracled)
         "kmeans_embeddings": T.q_kmeans_embeddings,    # ITERATIVE k-means training, 2 unrolled rounds, bit-exact oracle
         "dedup_keep_best": T.q_dedup_keep_best,        # quality-aware near-dup dedup (keep the BEST copy per component)
+        "cluster_balanced_sample": T.q_cluster_balanced_sample,  # fixed per-cluster quota subsample (SemDeDup-style balance)
         "source_lang_pivot": T.q_source_lang_pivot,    # long→wide PIVOT (wide per-block partials + TREE combine)
         "doc_pagerank": T.q_doc_pagerank,              # ITERATIVE rank-join PageRank, integer grid, bit-exact oracle
         "lang_source_rollup": T.q_lang_source_rollup,  # single-pass GROUP BY ROLLUP (per-level in-map partials, one exchange)
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         lambda: {"dedup_neardup": T.dedup_neardup_sql(sf_dir)},
         lambda: {"dedup_keep_best": T.dedup_keep_best_sql(sf_dir)},
         lambda: {"embedding_clusters": T.embedding_clusters_sql(sf_dir)},
+        lambda: {"cluster_balanced_sample": T.cluster_balanced_sample_sql(sf_dir)},
         lambda: {"pii_redact": C.pii_redact_sql(sf_dir)},
         lambda: {"decontaminate": C.decontaminate_sql(sf_dir)},
     ):

@@ -1301,3 +1301,65 @@ best AS (
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT node FROM q WHERE node NOT IN (SELECT node FROM best))
 """
+
+
+#: per-cluster quota for the balanced subsample
+CLUSTER_SAMPLE_K = 20
+
+
+def q_cluster_balanced_sample(sf_dir: str):
+    """Cluster-balanced subsampling (the step after SemDeDup-style
+    bucketing: cap every embedding cluster at a fixed quota so dense
+    regions can't dominate the training mix). Composition of two
+    existing distributed ops — assign_clusters (broadcast centroids,
+    integer-exact argmax) feeding top_k_per_group (sharded windowed
+    ROW_NUMBER, deterministic siphash order so the 'random' quota pick
+    is rerun-stable AND SQL-mirrorable via the planted hash)."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.stages.ann import assign_clusters
+    from geomedea_ray.stages.joins import top_k_per_group
+
+    t = pq.read_table(centroid_fixture_path(sf_dir))
+    k = int(t["cluster_id"].to_numpy().max()) + 1
+    cq = np.zeros((k, 64), np.int64)
+    cq[t["cluster_id"].to_numpy(), t["pos"].to_numpy()] = t["cq"].to_numpy()
+    ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned = assign_clusters(ds, cq)
+
+    def _order(df):
+        import pandas as pd
+
+        # deterministic pseudo-random order: Knuth multiplicative hash
+        # of the id (SQL mirror recomputes the identical expression)
+        h = (df["vec_id"].to_numpy(np.int64) * 2654435761) % (2**31)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64),
+            "cluster_id": df["cluster_id"].astype(np.int64),
+            "h": h.astype(np.int64),
+        })
+
+    ordered = assigned.map_batches(_order, batch_format="pandas")
+    out = top_k_per_group(ordered, "cluster_id", "h", CLUSTER_SAMPLE_K,
+                          tiebreak="vec_id", descending=False)
+
+    def _fin(df):
+        return df[["vec_id", "cluster_id", "rank"]]
+
+    return out.map_batches(_fin, batch_format="pandas")
+
+
+def cluster_balanced_sample_sql(sf_dir: str) -> str:
+    inner = embedding_clusters_sql(sf_dir)
+    return f"""
+WITH a AS ({inner}),
+r AS (
+  SELECT vec_id, cluster_id,
+         (vec_id * 2654435761) % 2147483648 AS h,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) AS rank
+  FROM a
+)
+SELECT vec_id, cluster_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {CLUSTER_SAMPLE_K}
+"""
