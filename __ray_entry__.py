@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- spatial operators (reference parity; SURVEY §2.2/2.3) ---
         "bbox_select": G.q_bbox_select,           # R2 select_bbox
+        "bbox_select_morton": G.q_bbox_select_morton,  # same slice over the Z-ORDERED layout (curve A/B; identical rows)
         "spatial_count": G.q_spatial_count,       # header count (S2)
         "knn": G.q_knn,                           # §7.2 step 7 (full scan)
         "knn_indexed": G.q_knn_indexed,           # §7.2 step 7 (packed-index path)
@@ -297,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_pivot": T.source_lang_pivot_sql(),
         "doc_pagerank": T.doc_pagerank_sql(),
         "bbox_select": G.q_bbox_select_sql(),
+        "bbox_select_morton": G.q_bbox_select_sql(),
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,
         "knn": G.q_knn_sql(),
         "knn_indexed": G.q_knn_sql(),

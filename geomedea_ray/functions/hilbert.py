@@ -133,3 +133,38 @@ def cell_range(cell_id: int, res: int) -> tuple[int, int]:
     lo = cell_id << shift
     hi = (cell_id + 1) << shift
     return lo, hi
+
+
+def morton_u32(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Plain bit-interleave (Z-order / Morton) of two 16-bit coords —
+    the layout A/B baseline against the Hilbert curve: one magic-bits
+    spread per axis, no rotation, cheaper to compute but with the
+    well-known locality seams at power-of-two boundaries (a Z jump
+    crosses the whole domain; Hilbert never does). Same [0, 65535]^2
+    domain and uint32 key space as hilbert_u32, so every downstream
+    consumer (sort, manifest ranges, cell ids) is key-compatible."""
+    i0 = np.asarray(x, dtype=np.uint32)
+    i1 = np.asarray(y, dtype=np.uint32)
+    for mask, shift in _MASKS:
+        i0 = (i0 | (i0 << shift)) & mask
+        i1 = (i1 | (i1 << shift)) & mask
+    return (i1 << _U1) | i0
+
+
+def scaled_morton(
+    lng_i32: np.ndarray,
+    lat_i32: np.ndarray,
+    extent: tuple[int, int, int, int],
+) -> np.ndarray:
+    """Morton index with the SAME u64 extent scaling as scaled_hilbert
+    (only the final interleave differs), so layout comparisons isolate
+    the curve itself."""
+    min_lng, min_lat, max_lng, max_lat = (int(v) for v in extent)
+    w = np.uint64(np.uint32(max_lng - min_lng)) or np.uint64(1)
+    h = np.uint64(np.uint32(max_lat - min_lat)) or np.uint64(1)
+    hm = np.uint64(65535)
+    dx = (np.asarray(lng_i32, dtype=np.int64) - min_lng).astype(np.uint64)
+    dy = (np.asarray(lat_i32, dtype=np.int64) - min_lat).astype(np.uint64)
+    x = (dx * hm // w).astype(np.uint32)
+    y = (dy * hm // h).astype(np.uint32)
+    return morton_u32(x, y)

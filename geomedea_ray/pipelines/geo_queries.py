@@ -685,3 +685,43 @@ def q_tile_counts_mercator_sql() -> str:
        COUNT(*) AS n
 FROM pts GROUP BY 1, 2"""
     )
+
+
+def spatial_dataset_morton(sf_dir: str) -> str:
+    """Z-ordered twin of spatial_dataset (spatial_write curve='morton')
+    — same rows, same packed indexes, different storage curve; the
+    BASELINE.md layout A/B's second arm."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.cache import cached_spatial_dataset
+
+    expected = pq.ParquetFile(tables.path(sf_dir, "lineitem")).metadata.num_rows
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return cached_spatial_dataset(
+        os.path.join(CACHE_ROOT, f"linepoints_morton_{tag}"),
+        lambda tmp: spatial_write(linepoints_ds(sf_dir), tmp, tiebreak="pid",
+                                  curve="morton"),
+        expected_rows=expected,
+    )
+
+
+def q_bbox_select_morton(sf_dir: str):
+    """bbox_select against the Z-ORDERED store: the read path (bounds
+    prune + packed-index probe) is curve-agnostic, so the result set
+    must be identical to the Hilbert layout's — same SQL oracle. What
+    differs is I/O: the Morton layout touches more row groups at the
+    same selectivity (the Z seam), measured in BASELINE.md."""
+    import pyarrow.compute as pc
+
+    d = spatial_dataset_morton(sf_dir)
+    a, b, c, e = BBOX_RECT
+    ds = Q.bbox_slice(d, BBOX_RECT, columns=["pid", "lng", "lat"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(pc.greater_equal(t["lng"], a), pc.less_equal(t["lng"], c)),
+                pc.and_(pc.greater_equal(t["lat"], b), pc.less_equal(t["lat"], e)),
+            )
+        ),
+        batch_format="pyarrow",
+    )

@@ -179,6 +179,7 @@ def spatial_write(
     properties: dict | None = None,
     compression: str | None = "zstd",
     row_group_size: int = ROW_GROUP_SIZE,
+    curve: str = "hilbert",
 ) -> Manifest:
     """Run the full write pipeline; returns the saved Manifest.
 
@@ -186,6 +187,12 @@ def spatial_write(
     Hilbert keys (the reference's sort is stable by insertion order —
     writer/mod.rs:77-82; Ray's shuffle sort is not, so reproducible
     output needs an explicit key — SURVEY §7.5).
+
+    ``curve``: 'hilbert' (default, reference-bit-compatible) or
+    'morton' (Z-order) — the stored layout's space-filling curve; the
+    read path (bbox prune + packed index probe) is bounds-based and
+    curve-agnostic, so the same queries run against either layout
+    (the BASELINE.md A/B).
     """
     os.makedirs(dataset_dir, exist_ok=True)
     schema = ds.schema()
@@ -215,8 +222,8 @@ def spatial_write(
         man.save(dataset_dir)
         return man
     ds = ds.map_batches(
-        hilbert_batch, fn_kwargs={"extent": extent}, batch_format="pyarrow",
-        zero_copy_batch=True,
+        hilbert_batch, fn_kwargs={"extent": extent, "curve": curve},
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     if tiebreak is None:
         ds = ds.sort("hilbert", descending=True)

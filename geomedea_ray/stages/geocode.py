@@ -54,9 +54,18 @@ def quantize_batch(batch: pa.Table, lng_col: str = "lng", lat_col: str = "lat") 
     )
 
 
-def hilbert_batch(batch: pa.Table, extent: tuple[int, int, int, int]) -> pa.Table:
-    """+ ``hilbert`` uint32 within the global extent (W3)."""
-    h = scaled_hilbert(batch["lng_i"].to_numpy(), batch["lat_i"].to_numpy(), extent)
+def hilbert_batch(batch: pa.Table, extent: tuple[int, int, int, int],
+                  curve: str = "hilbert") -> pa.Table:
+    """+ ``hilbert`` uint32 within the global extent (W3). The column
+    name stays ``hilbert`` for every curve — manifests, readers and
+    cell math are key-compatible; ``curve='morton'`` swaps in the
+    Z-order interleave for layout A/B experiments (BASELINE.md)."""
+    if curve == "morton":
+        from geomedea_ray.functions.hilbert import scaled_morton
+
+        h = scaled_morton(batch["lng_i"].to_numpy(), batch["lat_i"].to_numpy(), extent)
+    else:
+        h = scaled_hilbert(batch["lng_i"].to_numpy(), batch["lat_i"].to_numpy(), extent)
     return batch.append_column("hilbert", pa.array(h, pa.uint32()))
 
 

@@ -506,3 +506,31 @@ class TestAppendKeyExtent:
         got = hilbert_range_scan(d, lo, hi).count()
         full = select_all(d, columns=["hilbert"]).to_pandas()["hilbert"]
         assert got == int(((full >= lo) & (full < hi)).sum())
+
+
+def test_morton_layout_same_rows_worse_locality(ray_session, tmp_path):
+    # the Z-ordered twin must return the IDENTICAL bbox result set;
+    # its locality (partition bbox overlap for a fixed rect) is the
+    # layout difference, measured in BASELINE.md
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geomedea_ray.pipelines import queries as Q
+    from geomedea_ray.pipelines.spatial_write import spatial_write
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    t = pa.table({
+        "pid": pa.array(np.arange(n), pa.int64()),
+        "lng": pa.array(rng.uniform(-170, 170, n)),
+        "lat": pa.array(rng.uniform(-80, 80, n)),
+    })
+    rect = (-30.0, -20.0, 40.0, 35.0)
+    pids = {}
+    for curve in ("hilbert", "morton"):
+        d = str(tmp_path / curve)
+        spatial_write(ray.data.from_arrow(t), d, tiebreak="pid", curve=curve)
+        out = Q.bbox_slice(d, rect, columns=["pid"]).to_pandas()
+        pids[curve] = set(out["pid"])
+    assert pids["hilbert"] == pids["morton"] and len(pids["hilbert"]) > 100
