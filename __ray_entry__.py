@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": R.user_retention,                 # weekly cohort-retention triangle (first-active bucket cohorts)
         "orders_scd2": R.orders_scd2,                       # SCD Type-2 history: validity intervals via per-key shift
         "hopping_distinct_users": R.hopping_distinct_users, # exact distinct per hopping window (window-colocated shuffle)
+        "revenue_by_status_ivm": R.revenue_by_status_ivm,   # incremental view maintenance: delta-merged aggregate vs full-recompute oracle
         "price_moments": R.price_moments,                   # exact integer parallel moments (variance without a shuffle)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "user_retention": R.user_retention_sql(),
         "orders_scd2": R.ORDERS_SCD2_SQL,
         "hopping_distinct_users": R.HOPPING_DISTINCT_USERS_SQL,
+        "revenue_by_status_ivm": R.REVENUE_BY_STATUS_IVM_SQL,
         "price_moments": R.PRICE_MOMENTS_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "hopping_distinct_users",  # exact distinct per hopping window (round 3b)
     "cluster_balanced_sample", # per-cluster quota subsample (round 3b)
     "bbox_select_morton",      # Z-order layout A/B: same rows, worse I/O (round 3b)
+    "revenue_by_status_ivm",   # incremental view maintenance (round 3b)
     "hilbert_scan",            # Hilbert-desc select_all head (core R1 path)
     "jsonl_docs_agg",          # sharded JSONL source round-trip + aggregate
     "user_spend_movsum",       # ROWS-window moving sum (banded prefix scan)

@@ -1431,3 +1431,84 @@ WITH h AS (
 SELECT window_start, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM h GROUP BY window_start
 """
+
+
+def revenue_by_status_ivm(sf_dir: str):
+    """INCREMENTAL VIEW MAINTENANCE: the per-status revenue aggregate
+    is updated from the CDC change stream ALGEBRAICALLY — one map pass
+    emits a retraction (-1, -old_cents) and an insertion (+1,
+    +new_cents) per changed key, kilobyte delta partials TREE-combine,
+    and the base aggregate absorbs the delta on the driver. Never
+    recomputes the base. The oracle DOES the full recompute over the
+    newest-wins merged table — an independent derivation, so a
+    hash-match proves the maintenance algebra, not just the plumbing."""
+    ds = tables.read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def _base_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "o_orderstatus": b["o_orderstatus"].to_numpy(zero_copy_only=False),
+            "cents": _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False),
+        })
+        out = df.groupby("o_orderstatus", as_index=False).agg(
+            n=("cents", "size"), revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _delta_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        key = b["o_orderkey"].to_numpy()
+        chg = key % 10 == 0
+        status = b["o_orderstatus"].to_numpy(zero_copy_only=False)[chg]
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)[chg]
+        df = pd.DataFrame({
+            "o_orderstatus": np.concatenate([status, np.full(len(cents), "U", object)]),
+            "n": np.concatenate([np.full(len(cents), -1, np.int64),
+                                 np.ones(len(cents), np.int64)]),
+            "revenue_cents": np.concatenate([-cents, cents + 1000]),
+        })
+        out = df.groupby("o_orderstatus", as_index=False)[["n", "revenue_cents"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _combine(df):
+        return df.groupby("o_orderstatus", as_index=False)[["n", "revenue_cents"]].sum()
+
+    def _tree(stream):
+        return (stream.repartition(4)
+                .map_batches(_combine, batch_format="pandas", batch_size=None)
+                .repartition(1)
+                .map_batches(_combine, batch_format="pandas", batch_size=None)
+                .to_pandas())
+
+    base = _tree(ds.map_batches(_base_partial, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    delta = _tree(ds.map_batches(_delta_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    merged = (pd.concat([base, delta], ignore_index=True)
+              .groupby("o_orderstatus", as_index=False)[["n", "revenue_cents"]]
+              .sum())
+    merged = merged[merged["n"] > 0].sort_values("o_orderstatus").reset_index(drop=True)
+    merged["n"] = merged["n"].astype(np.int64)
+    merged["revenue_cents"] = merged["revenue_cents"].astype(np.int64)
+    return merged
+
+
+REVENUE_BY_STATUS_IVM_SQL = """
+WITH all_rows AS (
+  SELECT o_orderkey, 0 AS version, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 1, 'U',
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000
+  FROM orders WHERE o_orderkey % 10 = 0),
+latest AS (
+  SELECT o_orderstatus, totalprice_cents FROM all_rows
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(totalprice_cents) AS BIGINT) AS revenue_cents
+FROM latest GROUP BY o_orderstatus
+"""
