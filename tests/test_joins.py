@@ -672,3 +672,22 @@ class TestCohortRetention:
         got = {(int(r["cohort"] - c0), int(r["off"])): int(r["n_users"])
                for _, r in out.iterrows()}
         assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1, (2, 0): 1}
+
+
+class TestScd2Intervals:
+    def test_versions_and_current_flags(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.joins import scd2_intervals
+
+        log = pd.DataFrame({
+            "k": [1, 1, 1, 2],
+            "ver": [0, 2, 5, 0],
+            "v": ["a", "b", "c", "x"],
+        })
+        out = (scd2_intervals(ray.data.from_pandas(log).repartition(2),
+                              "k", "ver", num_shards=2)
+               .to_pandas().sort_values(["k", "ver"]).reset_index(drop=True))
+        assert out["valid_to"].tolist() == [2, 5, -1, -1]
+        assert out["is_current"].tolist() == [0, 0, 1, 1]
+        assert out["v"].tolist() == ["a", "b", "c", "x"]
