@@ -311,6 +311,16 @@ def _write_sorted_store(ds_bucketed, out_dir: str, meta_base: dict,
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    # the orphan sweep below deletes every .parquet not in THIS build's
+    # manifest — safe only on a fresh dir (cached_table always hands us
+    # one); refuse a live/shared store dir outright rather than delete
+    # files a previous generation's store.json still references
+    pre = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    if pre:
+        raise RuntimeError(
+            f"_write_sorted_store needs an empty target dir; {out_dir} "
+            f"already holds {len(pre)} parquet file(s) — build into a "
+            "fresh dir and publish by rename (sources/cache pattern)")
     ds = ds_bucketed.sort("lsh_bucket")
 
     def _write(batch: pa.Table) -> pa.Table:

@@ -340,7 +340,8 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(h, pa.int64()))
 
 
-def hamming_band_pairs(ds, hash_col: str, id_col: str, max_hamming: int = 8,
+def hamming_band_pairs(ds, hash_col: str, id_col: str,
+                       max_hamming: int | None = None,
                        num_tables: int = 4, num_shards: int | None = None,
                        max_bucket: int | None = DEFAULT_MAX_BUCKET):
     """Near-dup pairs over ANY 64-bit hash column (SimHash, perceptual
@@ -350,8 +351,22 @@ def hamming_band_pairs(ds, hash_col: str, id_col: str, max_hamming: int = 8,
     num_tables - 1`` makes the candidate set complete and the output
     the exact ≤-max_hamming pair set. Wider bands (fewer tables) trade
     that completeness for fewer exploded rows. Exact Hamming is always
-    verified per candidate. Output: (id_a, id_b, hamming)."""
+    verified per candidate. ``max_hamming`` defaults to
+    ``num_tables - 1`` (the completeness bound); passing a larger
+    value is allowed but makes the pair set explicitly probabilistic
+    (a warning is emitted). Output: (id_a, id_b, hamming)."""
     assert 64 % num_tables == 0, "num_tables must divide 64"
+    if max_hamming is None:
+        max_hamming = num_tables - 1
+    elif max_hamming > num_tables - 1:
+        import warnings
+
+        warnings.warn(
+            f"hamming_band_pairs: max_hamming={max_hamming} exceeds the "
+            f"pigeonhole completeness bound num_tables-1={num_tables - 1}; "
+            "the pair set is probabilistic (banding may miss pairs)",
+            stacklevel=2,
+        )
     band_bits = 64 // num_tables
     band_mask = np.uint64((1 << band_bits) - 1)
     num_shards = _resolve_shards(ds, num_shards)
@@ -398,7 +413,8 @@ def hamming_band_pairs(ds, hash_col: str, id_col: str, max_hamming: int = 8,
     return _dedup_pairs(pairs, num_shards)
 
 
-def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8,
+def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int | None = None,
                   num_tables: int = 4, num_shards: int | None = None,
                   max_bucket: int | None = DEFAULT_MAX_BUCKET):
     """Near-dup pairs by SimHash over a text column: compute the

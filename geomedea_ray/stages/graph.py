@@ -163,7 +163,11 @@ def connected_components(pairs, a_col: str, b_col: str,
                          num_shards: int | None = None,
                          driver_finish_bytes: int = DRIVER_FINISH_BYTES):
     """(node, component) for every node in ``pairs`` — component id =
-    the minimum node id of the connected component. See module
+    the minimum node id of the connected component. Self-pairs
+    (a == b) are ignored: a node appearing ONLY in self-pairs carries
+    no connectivity information and is absent from the output (pair
+    generators upstream emit strictly a < b, so this never triggers in
+    the dedup pipelines). See module
     docstring for the algorithm and scale contract; edge sets under
     ``driver_finish_bytes`` (post-canonicalization, measured on the
     materialized set — not guessed) finish with one driver-side

@@ -872,11 +872,13 @@ def interval_aggregate_broadcast(ds, starts: np.ndarray, ends: np.ndarray,
         cols = {"interval_id": pa.array(nz, pa.int64()),
                 "n": pa.array(n[nz], pa.int64())}
         if value_col is not None:
+            # integer accumulation (np.add.at), not float bincount
+            # weights: a per-interval partial above 2^53 would silently
+            # lose exactness through the float64 path
             v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            sums = np.bincount(ids, weights=v[rep].astype(np.float64),
-                               minlength=n_iv)
-            cols[f"sum_{value_col}"] = pa.array(
-                np.rint(sums[nz]).astype(np.int64), pa.int64())
+            sums = np.zeros(n_iv, np.int64)
+            np.add.at(sums, ids, v[rep])
+            cols[f"sum_{value_col}"] = pa.array(sums[nz], pa.int64())
         return pa.table(cols)
 
     agg = {"n": "sum"}

@@ -177,7 +177,7 @@ def heavy_hitters(ds, col: str, num: int = 1, den: int = 100):
     bounded by m values per block — the only thing collected.
 
     Pass 2 (recount): per-block exact counts of the broadcast
-    candidates (plus a sentinel '' row carrying the block row count),
+    candidates (plus a None-keyed row carrying the block row count),
     combined by a two-level TREE (repartition + pandas grouped sum —
     each partial block holds <= |candidates|+1 rows, so the final
     single-task input is fan x candidates rows regardless of dataset
@@ -203,14 +203,17 @@ def heavy_hitters(ds, col: str, num: int = 1, den: int = 100):
     ref = ray.put(cand_set)
 
     def _recount(df: pd.DataFrame) -> pd.DataFrame:
+        # block row count rides as a None-keyed row (groupby with
+        # dropna=False keeps it); a genuine '' value in col is a legal
+        # candidate and must NOT merge with the count sentinel
         cs = get_once(ref)
         vc = df[col][df[col].isin(cs)].value_counts()
         return pd.DataFrame(
-            {col: list(vc.index) + [""], "n": list(vc.to_numpy()) + [len(df)]}
+            {col: list(vc.index) + [None], "n": list(vc.to_numpy()) + [len(df)]}
         )
 
     def _combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(col, as_index=False)["n"].sum()
+        return df.groupby(col, as_index=False, dropna=False)["n"].sum()
 
     combined = (
         ds.map_batches(_recount, batch_format="pandas")
@@ -220,8 +223,9 @@ def heavy_hitters(ds, col: str, num: int = 1, den: int = 100):
         .map_batches(_combine, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
-    total = int(combined.loc[combined[col] == "", "n"].iloc[0])
-    out = combined[(combined[col] != "") & (den * combined["n"] >= num * total)]
+    total = int(combined.loc[combined[col].isna(), "n"].iloc[0])
+    out = combined[combined[col].notna()
+                   & (den * combined["n"] >= num * total)]
     out = out.sort_values(col).reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out
