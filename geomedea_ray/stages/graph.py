@@ -35,6 +35,7 @@ import pandas as pd
 import pyarrow as pa
 
 from geomedea_ray.stages.dedup import _resolve_shards, _runs
+from geomedea_ray.util import auto_shards, coalesce_width, size_hint
 
 #: O(log n) bound in practice means single digits; a cycle here would
 #: mean a bug, not a hard graph — fail loudly rather than loop.
@@ -77,10 +78,16 @@ def _star_shard(df: pd.DataFrame, large: bool) -> pd.DataFrame:
     })
 
 
-def _star_round(edges, num_shards: int, large: bool):
+def _star_round(edges, num_shards: int, large: bool,
+                edge_bytes: int | None = None):
     """Map: symmetrize + shard by hash(u). Reduce: vectorized star
     pass per shard. Node ids must fit uint32 (edge packing); lift to
-    two-column unique if a corpus ever exceeds 4B docs."""
+    two-column unique if a corpus ever exceeds 4B docs.
+
+    ``edge_bytes`` is the MEASURED size of the (materialized) edge set
+    — the pre-exchange coalesce width derives from it, so a pair
+    stream that outgrows the kilobyte-partial regime gets more blocks
+    instead of |E|/8-row ones (round-3 verdict fix)."""
 
     def _sym(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -96,8 +103,11 @@ def _star_round(edges, num_shards: int, large: bool):
 
     sym = edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True)
     # kilobyte-partial coalesce before the exchange (round-3 rule:
-    # groupby sort cost is per-block) — the pair stream is small
-    sym = sym.repartition(min(num_shards, 8))
+    # groupby sort cost is per-block); width grows with the MEASURED
+    # edge bytes (×2 for symmetrization) so blocks stay bounded
+    width = min(num_shards,
+                coalesce_width(2 * edge_bytes if edge_bytes else None))
+    sym = sym.repartition(width)
     return sym.groupby("_shard").map_groups(
         lambda df: _star_shard(df, large), batch_format="pandas"
     )
@@ -193,8 +203,13 @@ def connected_components(pairs, a_col: str, b_col: str,
         return ray.data.from_pandas(_driver_cc(edges))
     prev = _edge_checksum(edges)
     for _ in range(MAX_ROUNDS):
-        edges = _star_round(edges, num_shards, large=True).materialize()
-        edges = _star_round(edges, num_shards, large=False).materialize()
+        # edges is materialized each half-round, so size_bytes() is a
+        # metadata lookup — the coalesce width tracks the real set
+        eb = edges.size_bytes()
+        edges = _star_round(edges, num_shards, large=True,
+                            edge_bytes=eb).materialize()
+        edges = _star_round(edges, num_shards, large=False,
+                            edge_bytes=edges.size_bytes()).materialize()
         cur = _edge_checksum(edges)
         if cur == prev:
             break
@@ -229,7 +244,8 @@ def connected_components(pairs, a_col: str, b_col: str,
 
     return (out.map_batches(_shard_col, batch_format="pyarrow",
                             zero_copy_batch=True)
-            .repartition(min(num_shards, 8))
+            .repartition(min(num_shards,
+                             coalesce_width(2 * edges.size_bytes())))
             .groupby("_shard").map_groups(_dedup, batch_format="pandas"))
 
 
@@ -278,10 +294,8 @@ def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
     assert 0 < d_num < d_den
     base = (d_den - d_num) * scale // d_den
 
-    def _grouped_sum(ds, key, val, alias, small_domain, agg="sum"):
-        if not small_domain:
-            agg_cls = Sum(val, alias_name=alias) if agg == "sum" else Count(alias_name=alias)
-            return ds.repartition(8).groupby(key).aggregate(agg_cls)
+    def _grouped_sum(ds, key, val, alias, small_domain, agg="sum",
+                     wide_bytes=None):
 
         def _partial(df: pd.DataFrame) -> pd.DataFrame:
             if agg == "sum":
@@ -291,6 +305,18 @@ def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
 
         def _comb(df: pd.DataFrame) -> pd.DataFrame:
             return df.groupby(key, as_index=False)[alias].sum()
+
+        if not small_domain:
+            # large domain: per-block PARTIAL sums before the exchange
+            # (map-side combine — the dedup_exact pattern), then a
+            # bytes-derived-width coalesce feeding Ray's hash/sort
+            # groupby; a constant repartition(8) here materialized
+            # |E|/8-row blocks (round-3 verdict fix). wide_bytes is the
+            # caller's MEASURED upstream size (edges_d is materialized).
+            width = auto_shards(wide_bytes)
+            return (ds.map_batches(_partial, batch_format="pandas")
+                    .repartition(min(width, coalesce_width(wide_bytes)))
+                    .groupby(key).aggregate(Sum(alias, alias_name=alias)))
 
         return (ds.map_batches(_partial, batch_format="pandas")
                 .repartition(8)
@@ -308,8 +334,12 @@ def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
 
     # out-degree, attached to every edge once; materialize so the
     # per-round streams reuse the blocks instead of re-running this
-    deg = _grouped_sum(edges, src_col, None, "deg", small, agg="count")
+    deg = _grouped_sum(edges, src_col, None, "deg", small, agg="count",
+                       wide_bytes=size_hint(edges))
     edges_d = hash_join(edges, deg, src_col, src_col, ["deg"]).materialize()
+    # measured size of the per-round contribution stream (one row per
+    # edge) — sizes the wide-branch exchange width below
+    edges_bytes = edges_d.size_bytes()
 
     for _ in range(iters):
         joined = hash_join(edges_d, ranks, src_col, "node", ["rank"])
@@ -323,7 +353,8 @@ def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
             })
 
         contribs = joined.map_batches(_contrib, batch_format="pandas")
-        sums = _grouped_sum(contribs, "node", "c", "s", small)
+        sums = _grouped_sum(contribs, "node", "c", "s", small,
+                            wide_bytes=edges_bytes)
         rejoined = hash_join(node_list.select_columns(["node"]), sums,
                              "node", "node", ["s"], how="left")
 

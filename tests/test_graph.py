@@ -153,3 +153,15 @@ def test_pagerank_groupby_branch_matches_tree(ray_session, monkeypatch):
     monkeypatch.setattr(G, "TREE_MAX_NODES", 0)
     grouped = run()
     assert tree == grouped
+
+
+def test_coalesce_width_grows_with_bytes(ray_session):
+    # round-3 verdict: the pre-exchange coalesce width must scale with
+    # the measured edge-set size, not sit at a constant 8
+    from geomedea_ray.util import COALESCE_TARGET_BYTES, coalesce_width
+
+    small = coalesce_width(1 << 20)            # 1 MB of partials
+    big = coalesce_width(256 * COALESCE_TARGET_BYTES)
+    assert small <= 16                          # kilobyte regime stays tight
+    assert big >= 256                           # one block per ~32 MB
+    assert coalesce_width(None) == small        # unknown size = cpu floor
