@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     registry = {
         # --- spatial operators (reference parity; SURVEY §2.2/2.3) ---
         "bbox_select": G.q_bbox_select,           # R2 select_bbox
+        "bbox_select_http": G.q_bbox_select_http, # same slice over REAL http:// ranged GETs (S3/R3/R4)
         "bbox_select_morton": G.q_bbox_select_morton,  # same slice over the Z-ORDERED layout (curve A/B; identical rows)
         "spatial_count": G.q_spatial_count,       # header count (S2)
         "knn": G.q_knn,                           # §7.2 step 7 (full scan)
@@ -273,7 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation (driver-unchecked in r3)
         "pii_redact", "decontaminate", "pack_sequences", "doc_repetition",
         # spatial core (reference parity — keep in every window)
-        "bbox_select", "spatial_count", "knn", "knn_indexed", "pip_join",
+        "bbox_select", "bbox_select_http", "spatial_count", "knn",
+        "knn_indexed", "pip_join",
         "tile_counts", "tile_pyramid_deep", "hilbert_scan", "props_select",
         "cell_compact", "fgb_points_select", "geojson_roundtrip",
         "tile_counts_hot",
@@ -334,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_pivot": T.source_lang_pivot_sql(),
         "doc_pagerank": T.doc_pagerank_sql(),
         "bbox_select": G.q_bbox_select_sql(),
+        "bbox_select_http": G.q_bbox_select_sql(),
         "bbox_select_morton": G.q_bbox_select_sql(),
         "spatial_count": G.Q_SPATIAL_COUNT_SQL,
         "knn": G.q_knn_sql(),

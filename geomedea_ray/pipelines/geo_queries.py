@@ -88,6 +88,31 @@ def spatial_dataset(sf_dir: str) -> str:
 
 # ------------------------------------------------------------ queries
 
+def q_bbox_select_http(sf_dir: str):
+    """The SAME select_bbox slice, but read over real HTTP range
+    requests: the cached dataset is served by a process-lifetime
+    localhost range server (state/http_store) and every index sidecar
+    fetch + row-group read in the probe tasks is a ranged GET — the
+    reference's remote read path (http_reader.rs:29-187) with actual
+    sockets. Shares q_bbox_select's SQL oracle (identical rows)."""
+    import pyarrow.compute as pc
+
+    from geomedea_ray.state.http_store import serve_dir
+
+    base_url = serve_dir(spatial_dataset(sf_dir))
+    a, b, c, e = BBOX_RECT
+    ds = Q.bbox_slice(base_url, BBOX_RECT, columns=["pid", "lng", "lat"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(pc.greater_equal(t["lng"], a), pc.less_equal(t["lng"], c)),
+                pc.and_(pc.greater_equal(t["lat"], b), pc.less_equal(t["lat"], e)),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_bbox_select(sf_dir: str):
     """select_bbox via manifest prune + packed-index probe, then the
     float-rect refinement that the SQL BETWEEN oracle mirrors (the

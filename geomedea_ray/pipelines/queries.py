@@ -25,14 +25,36 @@ def select_all(dataset_dir: str, columns: list[str] | None = None):
     """Full scan in stored (descending-Hilbert) order (R1 — reference:
     geomedea/src/reader.rs:313-326). Files are passed in manifest
     order; with ``preserve_order`` execution the stream reproduces the
-    reference's total order."""
+    reference's total order.
+
+    ``dataset_dir`` may be an ``http(s)://`` root (the reference's
+    remote select_all — http_reader.rs:89-119): each Ray task then
+    streams its partition over real ranged GETs."""
     import ray.data
 
     man = Manifest.load(dataset_dir)
-    paths = [os.path.join(dataset_dir, p.path) for p in man.partitions]
-    if not paths:
+    if not man.partitions:
         return ray.data.from_items([])
+    if _is_url(dataset_dir):
+        from geomedea_ray.state.http_store import join_path, open_parquet
+
+        def _fetch(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                pf = open_parquet(join_path(dataset_dir, row["path"]),
+                                  size=row["byte_size"] or None)
+                out.append(pf.read(columns=columns))
+            return pa.concat_tables(out)
+
+        return _parts_dataset(dataset_dir, man.partitions).map_batches(
+            _fetch, batch_format="pyarrow", batch_size=1
+        )
+    paths = [os.path.join(dataset_dir, p.path) for p in man.partitions]
     return ray.data.read_parquet(paths, columns=columns)
+
+
+def _is_url(path: str) -> bool:
+    return path.startswith("http://") or path.startswith("https://")
 
 
 class _PartitionProbe:
@@ -52,12 +74,16 @@ class _PartitionProbe:
     def _tree(self, index_path: str) -> PackedRTree:
         t = self._index_cache.get(index_path)
         if t is None:
-            t = PackedRTree.load(os.path.join(self.dataset_dir, index_path))
+            from geomedea_ray.state.http_store import fetch_bytes, join_path
+
+            t = PackedRTree.from_bytes(
+                fetch_bytes(join_path(self.dataset_dir, index_path)))
             self._index_cache[index_path] = t
         return t
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from geomedea_ray.state.accounting import read_positions
+        from geomedea_ray.state.http_store import join_path, open_parquet
 
         out: list[pa.Table] = []
         q = Bounds(*self.query["bounds"])
@@ -68,23 +94,27 @@ class _PartitionProbe:
                 continue
             # page-seek read (R5): only the row groups holding matched
             # positions leave storage — the reference's ranged page
-            # fetches (http_reader.rs:121-187), not a full-file read
-            out.append(read_positions(
-                os.path.join(self.dataset_dir, row["path"]), pos, self.columns
-            ))
+            # fetches (http_reader.rs:121-187), not a full-file read;
+            # over an http:// root these are REAL ranged GETs
+            pf = open_parquet(join_path(self.dataset_dir, row["path"]),
+                              size=row.get("byte_size") or None)
+            out.append(read_positions(None, pos, self.columns, pf=pf))
         if not out:
             # empty result with the right schema
-            any_path = os.path.join(self.dataset_dir, batch["path"][0].as_py())
-            return pq.read_schema(any_path).empty_table() if self.columns is None else (
-                pq.read_table(any_path, columns=self.columns).slice(0, 0)
-            )
+            any_path = join_path(self.dataset_dir, batch["path"][0].as_py())
+            pf = open_parquet(any_path, size=batch["byte_size"][0].as_py() or None)
+            return (pf.schema_arrow.empty_table() if self.columns is None
+                    else pf.read(columns=self.columns).slice(0, 0))
         return pa.concat_tables(out)
 
 
 def _parts_dataset(dataset_dir: str, parts: list[PartitionMeta]):
     import ray.data
 
-    items = [{"path": p.path, "index_path": p.index_path} for p in parts]
+    items = [
+        {"path": p.path, "index_path": p.index_path, "byte_size": p.byte_size}
+        for p in parts
+    ]
     return ray.data.from_items(items)
 
 
@@ -108,9 +138,15 @@ def bbox_slice(
     man = Manifest.load(dataset_dir)
     parts = man.prune_bbox(q)
     if not parts:
-        schema = pq.read_schema(
-            os.path.join(dataset_dir, man.partitions[0].path)
-        ) if man.partitions else pa.schema([])
+        if man.partitions:
+            from geomedea_ray.state.http_store import join_path, open_parquet
+
+            schema = open_parquet(
+                join_path(dataset_dir, man.partitions[0].path),
+                size=man.partitions[0].byte_size or None,
+            ).schema_arrow
+        else:
+            schema = pa.schema([])
         return ray.data.from_arrow(schema.empty_table())
     from geomedea_ray.util import cached_instance
 
@@ -146,13 +182,47 @@ def hilbert_range_scan(
     import ray.data
 
     man = Manifest.load(dataset_dir)
-    paths = [
-        os.path.join(dataset_dir, p.path)
-        for p in man.partitions
+    parts = [
+        p for p in man.partitions
         if p.hilbert_max >= lo and p.hilbert_min < hi
     ]
-    if not paths:
+    if not parts:
         return ray.data.from_items([])
+    if _is_url(dataset_dir):
+        # remote path: explicit row-group prune on the hilbert column's
+        # stats, then an exact filter — same pushdown, ranged GETs
+        from geomedea_ray.state.http_store import join_path, open_parquet
+
+        def _scan(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                pf = open_parquet(join_path(dataset_dir, row["path"]),
+                                  size=row["byte_size"] or None)
+                hidx = pf.schema_arrow.get_field_index("hilbert")
+                sel = [
+                    g for g in range(pf.metadata.num_row_groups)
+                    if (st := pf.metadata.row_group(g).column(hidx).statistics)
+                    is None or (st.max >= lo and st.min < hi)
+                ]
+                if not sel:
+                    continue
+                t = pf.read_row_groups(sel, columns=columns or None)
+                h = t["hilbert"] if "hilbert" in t.column_names else (
+                    pf.read_row_groups(sel, columns=["hilbert"])["hilbert"])
+                mask = pc.and_(pc.greater_equal(h, pa.scalar(lo, pa.uint32())),
+                               pc.less(h, pa.scalar(min(hi, 2**32 - 1), pa.uint32())))
+                out.append(t.filter(mask))
+            if not out:
+                pf = open_parquet(join_path(dataset_dir, batch["path"][0].as_py()),
+                                  size=batch["byte_size"][0].as_py() or None)
+                base = pf.schema_arrow.empty_table()
+                return base.select(columns) if columns else base
+            return pa.concat_tables(out)
+
+        return _parts_dataset(dataset_dir, parts).map_batches(
+            _scan, batch_format="pyarrow", batch_size=1
+        )
+    paths = [os.path.join(dataset_dir, p.path) for p in parts]
     flt = (pc.field("hilbert") >= pa.scalar(lo, pa.uint32())) & (
         pc.field("hilbert") < pa.scalar(min(hi, 2**32 - 1), pa.uint32())
     )

@@ -69,8 +69,16 @@ class Manifest:
 
     @classmethod
     def load(cls, dataset_dir: str) -> "Manifest":
-        with open(os.path.join(dataset_dir, MANIFEST_NAME)) as f:
-            d = json.load(f)
+        """``dataset_dir`` may be a local dir or an ``http(s)://`` root
+        (the reference's remote-dataset entry point — the header fetch
+        of http_reader.rs:29-55 becomes one manifest GET)."""
+        if dataset_dir.startswith("http://") or dataset_dir.startswith("https://"):
+            from geomedea_ray.state.http_store import fetch_bytes, join_path
+
+            d = json.loads(fetch_bytes(join_path(dataset_dir, MANIFEST_NAME)))
+        else:
+            with open(os.path.join(dataset_dir, MANIFEST_NAME)) as f:
+                d = json.load(f)
         parts = [
             PartitionMeta(**{**pm, "bounds": tuple(pm["bounds"])}) for pm in d["partitions"]
         ]

@@ -138,9 +138,28 @@ def counting_parquet_file(path: str, stats: RangedReadStats,
     )
 
 
+def _open_any(path_or_url: str, stats: RangedReadStats, latency_s: float,
+              bandwidth_bps: float | None, size: int | None = None):
+    """CountingFile for local paths, HttpRangeFile (real sockets) for
+    http:// — both log into the same stats ledger, so the simulated and
+    real ladders are directly comparable. Over HTTP, latency comes from
+    the server/network, not injection."""
+    if path_or_url.startswith("http://") or path_or_url.startswith("https://"):
+        from geomedea_ray.state.http_store import HttpRangeFile
+
+        return HttpRangeFile(path_or_url, stats, size=size)
+    return CountingFile(path_or_url, stats, latency_s, bandwidth_bps)
+
+
+def _join(base: str, rel: str) -> str:
+    if base.startswith("http://") or base.startswith("https://"):
+        return base.rstrip("/") + "/" + rel.replace(os.sep, "/")
+    return os.path.join(base, rel)
+
+
 def _read_file(path: str, stats: RangedReadStats, latency_s: float,
-               bandwidth_bps: float | None) -> bytes:
-    f = CountingFile(path, stats, latency_s, bandwidth_bps)
+               bandwidth_bps: float | None, size: int | None = None) -> bytes:
+    f = _open_any(path, stats, latency_s, bandwidth_bps, size=size)
     try:
         return f.read()
     finally:
@@ -167,14 +186,15 @@ def measured_bbox_read(
     for p in man.prune_bbox(q):
         # index sidecar: one full-file ranged fetch (tiny; the
         # reference streams levels — byte count is identical)
-        idx_path = os.path.join(dataset_dir, p.index_path)
+        idx_path = _join(dataset_dir, p.index_path)
         tree = PackedRTree.from_bytes(_read_file(
             idx_path, stats, latency_s, bandwidth_bps))
         pos = tree.query_bbox(q)
         if len(pos) == 0:
             continue
-        pf = counting_parquet_file(os.path.join(dataset_dir, p.path),
-                                   stats, latency_s, bandwidth_bps)
+        pf = pq.ParquetFile(pa.PythonFile(_open_any(
+            _join(dataset_dir, p.path), stats, latency_s, bandwidth_bps,
+            size=p.byte_size or None)))
         cum, _ = row_group_layout(pf)
         pos = np.sort(np.asarray(pos, np.int64))
         rg_of = positions_to_row_groups(cum, pos)
@@ -209,8 +229,9 @@ def measured_full_scan(
     t0 = time.monotonic()
     chunks = []
     for p in man.partitions:
-        pf = counting_parquet_file(os.path.join(dataset_dir, p.path),
-                                   stats, latency_s, bandwidth_bps)
+        pf = pq.ParquetFile(pa.PythonFile(_open_any(
+            _join(dataset_dir, p.path), stats, latency_s, bandwidth_bps,
+            size=p.byte_size or None)))
         chunks.append(pf.read(columns=columns))
     elapsed = time.monotonic() - t0
     out = pa.concat_tables(chunks)
