@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_join": G.q_nn_join,                   # nearest-neighbor join (broadcast left)
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (eq scheme, SQL-oracled)
+        "tile_counts_hot": G.q_tile_counts_hot,   # SKEW: 80%-one-cell planted, salted_group_apply path
         "tile_pyramid": G.q_tile_pyramid,         # pyramid rollup (per-level SQL oracle)
         "tile_pyramid_deep": G.q_tile_pyramid_deep,  # z=12 distributed rollup (same oracle family)
         "pip_join_sharded": G.q_pip_join_sharded, # shuffle-fallback PIP (same oracle)
@@ -344,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "nn_join": G.q_nn_join_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
+        "tile_counts_hot": G.q_tile_counts_hot_sql(),
         "tile_pyramid": G.q_tile_pyramid_sql(),
         "tile_pyramid_deep": G.q_tile_pyramid_deep_sql(),
         "hilbert_scan": H.linepoints_hilbert_sql(),

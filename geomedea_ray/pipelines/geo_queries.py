@@ -221,6 +221,111 @@ FROM pts GROUP BY 1, 2"""
     )
 
 
+def hotpoints_batch(batch: pa.Table) -> pa.Table:
+    """Planted-skew point set: ~80% of rows land in ONE zoom-6 tile
+    (tile_x=32, tile_y=31), the rest spread world-wide — the
+    "skewed hot cells" case the north star names. Deterministic
+    integer-modular coordinates on the .01-degree grid, SQL-mirrored
+    exactly (see TILE_COUNTS_HOT_SQL)."""
+    ok = batch["l_orderkey"].to_numpy()
+    ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+    pid = ok * 8 + ln
+    hot = (pid % 10) < 8
+    # hot coords: lng in [0, 4.99] ⊂ tile_x 32; lat in [.01, 2.49] ⊂ tile_y 31
+    lng = np.where(hot, (pid * 31 % 500) / 100.0,
+                   (pid * 7919 % 36000) / 100.0 - 180.0)
+    lat = np.where(hot, ((pid * 37 % 249) + 1) / 100.0,
+                   (pid * 104729 % 17000) / 100.0 - 85.0)
+    return pa.table(
+        {
+            "pid": pa.array(pid, pa.int64()),
+            "lng": pa.array(lng, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+        }
+    )
+
+
+def hotpoints_ds(sf_dir: str):
+    return tables.read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]).map_batches(
+        hotpoints_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def tile_counts_hot(ds, salt_factor: int = 16):
+    """Per-tile count + pid checksum over a HOT-KEY distribution via
+    salted_group_apply (stages/cells.py): phase 1 groups on
+    (tile, salt) so the 80%-tile's rows spread over ``salt_factor``
+    reducers; phase 2 merges the tiny partials. The un-salted
+    comparison path is a plain groupby().map_groups — measured against
+    this in BASELINE.md (§ skew)."""
+    from geomedea_ray.stages.cells import salted_group_apply
+
+    n = float(1 << TILE_ZOOM)
+
+    def _tile(batch: pa.Table) -> pa.Table:
+        lng = batch["lng"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        tx = np.floor((lng + 180.0) / 360.0 * n).astype(np.int64)
+        ty = np.floor((90.0 - lat) / 180.0 * n).astype(np.int64)
+        return pa.table(
+            {
+                "pid": batch["pid"],
+                "tile_id": pa.array(tx * (1 << TILE_ZOOM) + ty, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(_tile, batch_format="pyarrow", zero_copy_batch=True)
+    out = salted_group_apply(
+        keyed,
+        "tile_id",
+        partial_fn=lambda g: {"n": np.int64(len(g)),
+                              "pid_sum": g["pid"].to_numpy().sum()},
+        combine_fn=lambda g: {"n": g["n"].to_numpy().sum(),
+                              "pid_sum": g["pid_sum"].to_numpy().sum()},
+        salt_factor=salt_factor,
+        id_col="pid",
+    )
+
+    def _split(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "tile_x": (df["tile_id"] // (1 << TILE_ZOOM)).astype("int64"),
+                "tile_y": (df["tile_id"] % (1 << TILE_ZOOM)).astype("int64"),
+                "n": df["n"].astype("int64"),
+                "pid_sum": df["pid_sum"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(_split, batch_format="pandas")
+
+
+def q_tile_counts_hot(sf_dir: str):
+    return tile_counts_hot(hotpoints_ds(sf_dir))
+
+
+def q_tile_counts_hot_sql() -> str:
+    n = float(1 << TILE_ZOOM)
+    return f"""WITH pts AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 10 < 8
+              THEN ((l_orderkey * 8 + l_linenumber) * 31 % 500) / 100.0
+              ELSE ((l_orderkey * 8 + l_linenumber) * 7919 % 36000) / 100.0 - 180.0
+         END AS lng,
+         CASE WHEN (l_orderkey * 8 + l_linenumber) % 10 < 8
+              THEN (((l_orderkey * 8 + l_linenumber) * 37 % 249) + 1) / 100.0
+              ELSE ((l_orderkey * 8 + l_linenumber) * 104729 % 17000) / 100.0 - 85.0
+         END AS lat
+  FROM lineitem
+)
+SELECT CAST(FLOOR((lng + 180.0) / 360.0 * {n!r}) AS BIGINT) AS tile_x,
+       CAST(FLOOR((90.0 - lat) / 180.0 * {n!r}) AS BIGINT) AS tile_y,
+       COUNT(*) AS n,
+       CAST(SUM(pid) AS BIGINT) AS pid_sum
+FROM pts GROUP BY 1, 2"""
+
+
 def q_pip_join_sharded(sf_dir: str):
     """Same join as q_pip_join through the SHUFFLE fallback
     (stages/pip.pip_join_sharded — both sides co-sharded by tile, for

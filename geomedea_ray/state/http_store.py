@@ -60,6 +60,10 @@ class _RangeHandler(http.server.BaseHTTPRequestHandler):
     """GET/HEAD with single-span byte-range support over a root dir."""
 
     protocol_version = "HTTP/1.1"  # keep-alive: connection reuse like S3
+    # small header+body writes on a keep-alive socket otherwise hit the
+    # Nagle × delayed-ACK stall: ~40 ms PER RANGED GET (measured 38.6
+    # ms/request before this; ~1 ms after)
+    disable_nagle_algorithm = True
     root = "."
     latency_s = 0.0
 
@@ -186,6 +190,17 @@ def serve_dir(root: str) -> str:
 # --------------------------------------------------------------------
 
 
+class _NoDelayHTTPConnection(http.client.HTTPConnection):
+    """Request writes are tiny; without TCP_NODELAY each ranged GET can
+    stall a full delayed-ACK interval."""
+
+    def connect(self) -> None:
+        super().connect()
+        import socket
+
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+
 class HttpRangeFile:
     """Read-only random-access file over HTTP range requests
     (reference http_reader.rs:29-55). ``pa.PythonFile``-compatible:
@@ -201,7 +216,7 @@ class HttpRangeFile:
         self._url = url
         self._path = u.path
         self._stats = stats
-        self._conn = http.client.HTTPConnection(
+        self._conn = _NoDelayHTTPConnection(
             u.hostname, u.port or 80, timeout=timeout)
         self._pos = 0
         self._closed = False
