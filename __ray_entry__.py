@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_select": G.q_props_select,            # F5 typed props: bbox + property filter
         "props_nested": G.q_props_nested,            # F5 nested Vec/Map props as Arrow list/map cols
         "csv_points_select": G.q_csv_points_select,  # CSV+WKT ingest bridge, same oracle
+        "fgb_points_select": G.q_fgb_points_select,  # FlatGeobuf ingest bridge, same oracle
         "cell_compact": G.q_cell_compact,            # H3-compact analogue (SQL-oracled)
         # --- relational surface (SURVEY §2.5 gap ops) ---
         "q1_pricing": R.q1_pricing_summary,
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "props_select": G.q_props_select_sql(),
         "props_nested": G.q_props_nested_sql(),
         "csv_points_select": G.q_props_select_sql(),
+        "fgb_points_select": G.q_props_select_sql(),
         "q1_pricing": R.Q1_SQL,
         "top_orders": R.TOP_ORDERS_SQL,
         "revenue_by_nation": R.REVENUE_BY_NATION_SQL,

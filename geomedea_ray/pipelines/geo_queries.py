@@ -710,6 +710,96 @@ def q_csv_points_select(sf_dir: str):
     return ds.map_batches(_filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _docs_fgb_dataset(sf_dir: str) -> str:
+    """Same doc-point feature set, ingested through the FlatGeobuf
+    bridge (sources/fgb.py) — a THIRD ingestion path whose result must
+    be identical to GeoJSON/CSV. The fixture .fgb is written by our own
+    spec-level writer (magic + flatbuffer header + size-prefixed
+    feature stream), so the differential covers write AND read of the
+    wire format; cached per sf."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.cache import cached_spatial_dataset
+    from geomedea_ray.sources.fgb import (read_fgb_features, read_fgb_header,
+                                          write_fgb)
+    from geomedea_ray.sources.tables import doc_lnglat
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(CACHE_ROOT, f"docfgb_{tag}")
+    expected = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+
+    def _write_src(tmp_path: str) -> None:
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang", "source", "n_chars"])
+        lng, lat = doc_lnglat(t["doc_id"].to_numpy())
+        feats = [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point",
+                             "coordinates": [float(lng[i]), float(lat[i])]},
+                "properties": {
+                    "doc_id": int(t["doc_id"][i].as_py()),
+                    "lang": t["lang"][i].as_py(),
+                    "source": t["source"][i].as_py(),
+                    "n_chars": int(t["n_chars"][i].as_py()),
+                },
+            }
+            for i in range(t.num_rows)
+        ]
+        write_fgb(tmp_path, feats)
+
+    # counted-validation cache (round-3 rule: never trust a bare
+    # marker): the FGB header's features_count IS the count check —
+    # re-validated on every reuse, atomic tmp+rename publish.
+    src = os.path.join(CACHE_ROOT, f"docfgb_{tag}.fgb")
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    ok = False
+    if os.path.exists(src):
+        try:
+            ok = read_fgb_header(src)[2] == expected
+        except Exception:
+            ok = False
+        if not ok:
+            os.unlink(src)
+    if not ok:
+        tmp_src = src + f".tmp-{uuid.uuid4().hex[:8]}"
+        _write_src(tmp_src)
+        if read_fgb_header(tmp_src)[2] != expected:
+            raise RuntimeError(f"fgb fixture build produced wrong count "
+                               f"at {tmp_src}")
+        os.replace(tmp_src, src)
+
+    def _build(tmp_out: str) -> None:
+        spatial_write(read_fgb_features(src), tmp_out, tiebreak="fid")
+
+    return cached_spatial_dataset(out, _build, expected_rows=expected)
+
+
+def q_fgb_points_select(sf_dir: str):
+    """Identical query to q_props_select but over the FlatGeobuf-
+    ingested dataset — shares its SQL oracle (differential check that
+    the FGB bridge agrees with the GeoJSON and CSV bridges; reference
+    README.md:30-43 positions FGB as its primary convert target)."""
+    import pyarrow.compute as pc
+
+    d = _docs_fgb_dataset(sf_dir)
+    ds = Q.bbox_slice(d, BBOX_RECT,
+                      columns=["p_doc_id", "p_lang", "p_n_chars"])
+
+    def _filt(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["p_lang"], "en"),
+                       pc.greater_equal(t["p_n_chars"], PROPS_MIN_CHARS))
+        t = t.filter(keep)
+        return pa.table({"doc_id": t["p_doc_id"], "lang": t["p_lang"],
+                         "n_chars": t["p_n_chars"]})
+
+    return ds.map_batches(_filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_hilbert_scan(sf_dir: str, limit: int = 1000):
     """Stored-order scan head (R1): the first ``limit`` rows of the
     descending-Hilbert stored order — now HASH-VERIFIED: the oracle
