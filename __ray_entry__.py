@@ -157,7 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_sharded": G.q_pip_join_sharded, # shuffle-fallback PIP (same oracle)
         "tile_counts_mercator": G.q_tile_counts_mercator,  # production scheme (SQL-oracled)
         "hilbert_scan": G.q_hilbert_scan,         # R1 select_all head (SQL-mirrored hilbert)
-        "geojson_roundtrip": G.q_geojson_roundtrip,  # S4/S5 bridge (rows-only)
+        "geojson_roundtrip": G.q_geojson_roundtrip,  # S4/S5 bridge (digest-oracled since r4)
         "props_select": G.q_props_select,            # F5 typed props: bbox + property filter
         "props_nested": G.q_props_nested,            # F5 nested Vec/Map props as Arrow list/map cols
         "csv_points_select": G.q_csv_points_select,  # CSV+WKT ingest bridge, same oracle
@@ -357,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "props_nested": G.q_props_nested_sql(),
         "csv_points_select": G.q_props_select_sql(),
         "fgb_points_select": G.q_props_select_sql(),
+        "geojson_roundtrip": G.q_geojson_roundtrip_sql(),
         "q1_pricing": R.Q1_SQL,
         "top_orders": R.TOP_ORDERS_SQL,
         "revenue_by_nation": R.REVENUE_BY_NATION_SQL,
