@@ -7,7 +7,7 @@ convert example).
     python -m geomedea_ray inspect <dataset_dir>
     python -m geomedea_ray convert <in.geojson> <dataset_dir>
     python -m geomedea_ray export  <dataset_dir> <out.geojson>
-    python -m geomedea_ray bbox    <dataset_dir> MINLNG MINLAT MAXLNG MAXLAT [--stats]
+    python -m geomedea_ray bbox    <dataset_dir> MINLNG MINLAT MAXLNG MAXLAT [--stats] [--geojson=OUT]
     python -m geomedea_ray decode  <parquet_dir> <out_dir>   # resumable; re-run to resume
     python -m geomedea_ray explain <query> <sf_dir>          # ds.stats() for a gate query
 
@@ -20,11 +20,16 @@ import os
 import sys
 
 
+_RAY_OWNED = False  # did THIS process's CLI init the session?
+
+
 def _ensure_ray():
+    global _RAY_OWNED
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        _RAY_OWNED = True
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -102,14 +107,37 @@ def cmd_bbox(dataset_dir: str, *rect: str) -> int:
     """select_bbox row count (R2; bbox-intersects semantics). Append
     --stats for exact I/O accounting (bytes / row groups / ranged
     requests touched vs full scan — the reference's bytes-fetched
-    report, state/accounting.py)."""
+    report, state/accounting.py). Append --geojson=OUT (`-` = stdout)
+    to emit the selected features as ONE GeoJSON FeatureCollection —
+    the serving shape of the reference's wasm `select_bbox`
+    (geomedea-wasm/src/lib.rs:31-106 streams a FeatureCollection to
+    the browser); with an http:// dataset root this IS that layer:
+    ranged GETs against a remote store, features out."""
     want_stats = "--stats" in rect
-    rect = tuple(x for x in rect if x != "--stats")
+    geojson_out = next((a.split("=", 1)[1] for a in rect
+                        if a.startswith("--geojson=")), None)
+    rect = tuple(x for x in rect if not x.startswith("--"))
     _ensure_ray()
     from geomedea_ray.pipelines.queries import bbox_slice
 
     r = tuple(float(x) for x in rect)
-    n = bbox_slice(dataset_dir, r).count()
+    sel = bbox_slice(dataset_dir, r)
+    if geojson_out is not None:
+        from geomedea_ray.sources.geojson import write_geojson
+
+        if geojson_out == "-":
+            import tempfile
+
+            with tempfile.NamedTemporaryFile("r", suffix=".geojson") as tf:
+                n = write_geojson(sel, tf.name)
+                sys.stdout.write(open(tf.name).read() + "\n")
+        else:
+            n = write_geojson(sel, geojson_out)
+        print(f"select_bbox{r} -> {n} features "
+              f"({geojson_out if geojson_out != '-' else 'stdout'})",
+              file=sys.stderr)
+        return 0
+    n = sel.count()
     print(f"select_bbox{r} -> {n} rows")
     if want_stats:
         import json as _json
@@ -191,9 +219,9 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     fn, nargs = COMMANDS[argv[0]]
     flags = [a for a in argv[1:] if a.startswith("--")]
-    known = {"bbox": {"--stats"}}.get(argv[0], set())
-    if any(f not in known for f in flags):
-        bad = [f for f in flags if f not in known]
+    known = {"bbox": {"--stats", "--geojson"}}.get(argv[0], set())
+    if any(f.split("=", 1)[0] not in known for f in flags):
+        bad = [f for f in flags if f.split("=", 1)[0] not in known]
         print(f"error: '{argv[0]}' does not accept {' '.join(bad)}\n")
         print(__doc__.strip())
         return 2
@@ -205,7 +233,9 @@ def main(argv: list[str] | None = None) -> int:
     rc = fn(*argv[1:])
     import ray
 
-    if ray.is_initialized():
+    # only tear down a session the CLI itself created — an in-process
+    # caller (pytest drives main() under the session fixture) keeps its
+    if _RAY_OWNED and ray.is_initialized():
         ray.shutdown()
     return rc
 

@@ -357,7 +357,19 @@ def load_geojson_features(path: str) -> list[dict]:
 
 
 def feature_to_geojson(row: dict) -> dict:
-    """One columnar feature row → GeoJSON Feature dict (S5 export)."""
+    """One columnar feature row → GeoJSON Feature dict (S5 export).
+
+    A point-only store (spatial_write over bare lng/lat columns — no
+    parsed-GeoJSON geometry block) exports each row as a Point whose
+    properties are every non-internal column."""
+    if "geom_type" not in row:
+        internal = {"lng", "lat", "lng_i", "lat_i", "hilbert"}
+        return {
+            "type": "Feature",
+            "geometry": {"type": "Point",
+                         "coordinates": [row["lng"], row["lat"]]},
+            "properties": {k: v for k, v in row.items() if k not in internal},
+        }
     t = row["geom_type"]
     if t == "Null":
         geom = None
@@ -382,7 +394,9 @@ def to_geojson_batch(batch: pa.Table) -> pa.Table:
     """Export stage: feature table → one GeoJSON Feature string per row
     (compose into a FeatureCollection or NDJSON at the sink)."""
     out = [json.dumps(feature_to_geojson(r), sort_keys=True) for r in batch.to_pylist()]
-    return pa.table({"fid": batch["fid"], "json": pa.array(out, pa.string())})
+    fid = (batch["fid"] if "fid" in batch.column_names
+           else pa.array(np.zeros(batch.num_rows, np.int64)))
+    return pa.table({"fid": fid, "json": pa.array(out, pa.string())})
 
 
 #: write_geojson refuses above this (single-file GeoJSON is inherently
