@@ -1,0 +1,571 @@
+"""Versioned table layer with Lance-table semantics (SURVEY §2 "Lance
+table" row; BASELINE.json's input_hint names "Lance tables of
+image + caption pairs").
+
+The ``pylance`` package is NOT installed in this sandbox, so the
+PHYSICAL file encoding substitutes Parquet — documented loudly, and
+kept behind this layer so a real Lance backend can slot in — while
+the LOGICAL model matches what Lance's public format spec provides
+(versioned manifests over immutable fragments, per-fragment deletion
+files, schema evolution by column-aligned auxiliary files, time
+travel, O(probed-row-groups) ``take``):
+
+    root/
+      data/frag-<uuid>.parquet          immutable fragment data
+      deletes/frag-<id>-<uuid>.parquet  deletion vector (``pos`` int64,
+                                        ascending) — the FULL merged
+                                        set as of the referencing
+                                        version (old versions keep
+                                        pointing at their own files)
+      extras/frag-<id>-<uuid>.parquet   schema-evolution columns,
+                                        row-aligned with the
+                                        fragment's PHYSICAL rows
+      _versions/v<N>.json               manifest: fragment list, schema,
+                                        parent version, operation
+      _latest.json                      advisory pointer (readers fall
+                                        back to scanning _versions/)
+
+Commit protocol (Lance's optimistic-concurrency contract): a manifest
+is staged to a tmp file and published with ``os.link`` — atomic
+create-if-absent, so two writers racing to commit version N produce
+exactly one winner; the loser raises :class:`CommitConflict` and can
+re-derive against the new head. A retried Ray write task can leave an
+orphan fragment file in ``data/``; orphans are never referenced by any
+manifest (descriptors come only from the task attempt whose output
+block was consumed) and are swept by :meth:`VersionedTable.cleanup`.
+
+Scale notes (100 TB): fragment data never moves through the driver —
+append/delete/add_columns run one Ray task per fragment and ship only
+kilobyte descriptor rows back; ``read()`` streams one fragment per
+task with column projection pushed into the Parquet read; ``take()``
+reads only the row groups containing the probed positions. The only
+driver-side state is the manifest (O(#fragments) descriptors — the
+same contract as Lance's own manifest).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as _uuid
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first — re-derive and retry."""
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class VersionedTable:
+    """Handle to a versioned table rooted at ``root``."""
+
+    DATA = "data"
+    DELETES = "deletes"
+    EXTRAS = "extras"
+    VERSIONS = "_versions"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # ------------------------------------------------------------------
+    # creation / manifests
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(cls, root: str) -> "VersionedTable":
+        """Initialise an empty table (version 0, no fragments)."""
+        for sub in (cls.DATA, cls.DELETES, cls.EXTRAS, cls.VERSIONS):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+        t = cls(root)
+        t._commit({"version": 0, "parent": None, "operation": "create",
+                   "columns": {}, "fragments": []}, expect_version=0)
+        return t
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.root, self.VERSIONS, f"v{v:08d}.json")
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(os.path.join(self.root, self.VERSIONS)):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        # advisory pointer first, authoritative directory scan fallback
+        try:
+            with open(os.path.join(self.root, "_latest.json")) as f:
+                v = int(json.load(f)["version"])
+            if os.path.exists(self._version_path(v)):
+                vs = self.versions()
+                return vs[-1] if vs and vs[-1] > v else v
+        except (OSError, ValueError, KeyError):
+            pass
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no versions under {self.root}")
+        return vs[-1]
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.latest_version() if version is None else version
+        with open(self._version_path(v)) as f:
+            return json.load(f)
+
+    def _commit(self, man: dict, expect_version: int | None = None) -> int:
+        """Publish ``man`` as the next version via atomic link-if-absent."""
+        v = man["version"]
+        if expect_version is not None and v != expect_version:
+            raise CommitConflict(
+                f"derived against version {expect_version}, head moved to {v}")
+        tmp = self._version_path(v) + f".stage-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        try:
+            os.link(tmp, self._version_path(v))
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {v} already committed at {self.root}") from None
+        finally:
+            os.unlink(tmp)
+        _atomic_write_json(os.path.join(self.root, "_latest.json"),
+                           {"version": v})
+        return v
+
+    # ------------------------------------------------------------------
+    # schema
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _cols_of(tbl_schema: pa.Schema) -> dict[str, str]:
+        return {n: str(tbl_schema.field(n).type) for n in tbl_schema.names}
+
+    def schema_columns(self, version: int | None = None) -> dict[str, str]:
+        return dict(self.manifest(version)["columns"])
+
+    # ------------------------------------------------------------------
+    # writes (each = one new version)
+    # ------------------------------------------------------------------
+
+    def _next_fragment_id(self, man: dict) -> int:
+        return 1 + max((f["id"] for f in man["fragments"]), default=-1)
+
+    def append_table(self, tbl: pa.Table) -> int:
+        """Driver-side single-fragment append (small batches / tests)."""
+        man = self.manifest()
+        name = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(tbl, os.path.join(self.root, self.DATA, name))
+        return self._append_descriptors(
+            man, [{"path": f"{self.DATA}/{name}", "rows": tbl.num_rows}],
+            self._cols_of(tbl.schema))
+
+    def append_files(self, paths: list[str],
+                     fn: Callable[[pa.Table], pa.Table] | None = None) -> int:
+        """Distributed order-stable append: ONE fragment per input
+        Parquet file, fragment order == ``paths`` order, row order
+        preserved within each file (``fn``, when given, transforms each
+        file's table row-stably — e.g. a filter). This is the Lance
+        "import files" path: data is copied by Ray tasks, never through
+        the driver; only (path, rows) descriptors come back."""
+        import ray.data
+
+        man = self.manifest()
+        root, data, deletes = self.root, self.DATA, self.DELETES
+
+        def _one(batch: pa.Table) -> pa.Table:
+            outs = {"ord": [], "path": [], "rows": []}
+            for row in batch.to_pylist():
+                t = pq.read_table(row["src"])
+                if fn is not None:
+                    t = fn(t)
+                name = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
+                pq.write_table(t, os.path.join(root, data, name))
+                outs["ord"].append(row["ord"])
+                outs["path"].append(f"{data}/{name}")
+                outs["rows"].append(t.num_rows)
+            return pa.table({"ord": pa.array(outs["ord"], pa.int64()),
+                             "path": pa.array(outs["path"], pa.string()),
+                             "rows": pa.array(outs["rows"], pa.int64())})
+
+        items = [{"ord": i, "src": p} for i, p in enumerate(paths)]
+        descs = (ray.data.from_items(items, override_num_blocks=len(items))
+                 .map_batches(_one, batch_format="pyarrow")
+                 .take_all())  # one kilobyte row per fragment — bounded
+        descs.sort(key=lambda d: d["ord"])
+        first = pq.ParquetFile(os.path.join(self.root, descs[0]["path"]))
+        return self._append_descriptors(
+            man, [{"path": d["path"], "rows": d["rows"]} for d in descs],
+            self._cols_of(first.schema_arrow))
+
+    def append_dataset(self, ds) -> int:
+        """Distributed append of a Ray Dataset: each block becomes a
+        fragment (unordered — Lance appends are unordered too)."""
+        root, data = self.root, self.DATA
+        man = self.manifest()
+
+        def _write(batch: pa.Table) -> pa.Table:
+            name = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
+            pq.write_table(batch, os.path.join(root, data, name))
+            return pa.table({"path": pa.array([f"{data}/{name}"]),
+                             "rows": pa.array([batch.num_rows], pa.int64())})
+
+        descs = ds.map_batches(_write, batch_format="pyarrow",
+                               batch_size=None).take_all()
+        schema = pq.ParquetFile(
+            os.path.join(root, descs[0]["path"])).schema_arrow
+        return self._append_descriptors(
+            man, [{"path": d["path"], "rows": d["rows"]} for d in descs],
+            self._cols_of(schema))
+
+    def _append_descriptors(self, man: dict, descs: list[dict],
+                            cols: dict[str, str]) -> int:
+        if man["columns"] and {k: v for k, v in man["columns"].items()
+                               if k in cols} != cols:
+            raise ValueError(
+                f"append schema {cols} incompatible with table schema "
+                f"{man['columns']}")
+        nid = self._next_fragment_id(man)
+        frags = list(man["fragments"]) + [
+            {"id": nid + i, "path": d["path"], "rows": int(d["rows"]),
+             "deletion": None, "dead": 0, "extras": []}
+            for i, d in enumerate(descs)
+        ]
+        return self._commit({
+            "version": man["version"] + 1, "parent": man["version"],
+            "operation": "append",
+            "columns": man["columns"] or cols, "fragments": frags,
+        }, expect_version=man["version"] + 1)
+
+    def delete(self, predicate: Callable[[pa.Table], np.ndarray],
+               columns: list[str]) -> int:
+        """Delete rows where ``predicate`` (a vectorized fn over the
+        listed columns, returning a bool mask) holds. One Ray task per
+        fragment reads ONLY ``columns``, merges matching positions into
+        the fragment's existing deletion vector, and writes a NEW
+        deletion file — old versions keep their own (time travel)."""
+        import ray.data
+
+        man = self.manifest()
+        root, deletes = self.root, self.DELETES
+
+        def _one(batch: pa.Table) -> pa.Table:
+            out = {"id": [], "deletion": [], "dead": []}
+            for row in batch.to_pylist():
+                t = pq.read_table(os.path.join(root, row["path"]),
+                                  columns=columns)
+                mask = np.asarray(predicate(t), bool)
+                pos = np.flatnonzero(mask).astype(np.int64)
+                if row["deletion"]:
+                    old = pq.read_table(
+                        os.path.join(root, row["deletion"]))["pos"].to_numpy()
+                    pos = np.union1d(pos, old)
+                if len(pos) == 0:
+                    out["id"].append(row["id"])
+                    out["deletion"].append(None)
+                    out["dead"].append(0)
+                    continue
+                name = f"frag-{row['id']}-{_uuid.uuid4().hex[:10]}.parquet"
+                pq.write_table(pa.table({"pos": pa.array(pos, pa.int64())}),
+                               os.path.join(root, deletes, name))
+                out["id"].append(row["id"])
+                out["deletion"].append(f"{deletes}/{name}")
+                out["dead"].append(len(pos))
+            return pa.table({"id": pa.array(out["id"], pa.int64()),
+                             "deletion": pa.array(out["deletion"], pa.string()),
+                             "dead": pa.array(out["dead"], pa.int64())})
+
+        items = [{"id": f["id"], "path": f["path"], "deletion": f["deletion"]}
+                 for f in man["fragments"]]
+        descs = (ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+                 .map_batches(_one, batch_format="pyarrow")
+                 .take_all())
+        by_id = {d["id"]: d for d in descs}
+        frags = [dict(f, deletion=by_id[f["id"]]["deletion"],
+                      dead=int(by_id[f["id"]]["dead"]))
+                 for f in man["fragments"]]
+        return self._commit({
+            "version": man["version"] + 1, "parent": man["version"],
+            "operation": "delete",
+            "columns": man["columns"], "fragments": frags,
+        }, expect_version=man["version"] + 1)
+
+    def add_columns(self, fn: Callable[[pa.Table], pa.Table],
+                    input_columns: list[str]) -> int:
+        """Schema evolution: one Ray task per fragment reads ONLY
+        ``input_columns``, computes the new column(s) for every
+        PHYSICAL row (deleted rows included — alignment stays trivial
+        and time-travel reads of older deletion states still merge),
+        and writes a row-aligned extras file. No existing file is
+        rewritten — Lance's add-column semantics."""
+        import ray.data
+
+        man = self.manifest()
+        root, extras = self.root, self.EXTRAS
+
+        def _one(batch: pa.Table) -> pa.Table:
+            out = {"id": [], "path": [], "cols": []}
+            for row in batch.to_pylist():
+                t = pq.read_table(os.path.join(root, row["path"]),
+                                  columns=input_columns)
+                add = fn(t)
+                if add.num_rows != t.num_rows:
+                    raise ValueError(
+                        f"add_columns fn returned {add.num_rows} rows for a "
+                        f"{t.num_rows}-row fragment — must be row-aligned")
+                name = f"frag-{row['id']}-{_uuid.uuid4().hex[:10]}.parquet"
+                pq.write_table(add, os.path.join(root, extras, name))
+                out["id"].append(row["id"])
+                out["path"].append(f"{extras}/{name}")
+                out["cols"].append(json.dumps(add.column_names))
+            return pa.table({"id": pa.array(out["id"], pa.int64()),
+                             "path": pa.array(out["path"], pa.string()),
+                             "cols": pa.array(out["cols"], pa.string())})
+
+        items = [{"id": f["id"], "path": f["path"]} for f in man["fragments"]]
+        descs = (ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+                 .map_batches(_one, batch_format="pyarrow")
+                 .take_all())
+        by_id = {d["id"]: d for d in descs}
+        new_cols: dict[str, str] = {}
+        frags = []
+        for f in man["fragments"]:
+            d = by_id[f["id"]]
+            cols = json.loads(d["cols"])
+            pf = pq.ParquetFile(os.path.join(root, d["path"]))
+            for c in cols:
+                new_cols[c] = str(pf.schema_arrow.field(c).type)
+            frags.append(dict(
+                f, extras=list(f["extras"]) + [{"path": d["path"],
+                                                "columns": cols}]))
+        dup = set(new_cols) & set(man["columns"])
+        if dup:
+            raise ValueError(f"add_columns would shadow existing {sorted(dup)}")
+        return self._commit({
+            "version": man["version"] + 1, "parent": man["version"],
+            "operation": "add_columns",
+            "columns": {**man["columns"], **new_cols}, "fragments": frags,
+        }, expect_version=man["version"] + 1)
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+
+    def count(self, version: int | None = None) -> int:
+        """Live row count — manifest metadata only, no I/O."""
+        return sum(f["rows"] - f["dead"]
+                   for f in self.manifest(version)["fragments"])
+
+    @staticmethod
+    def _route_columns(man: dict, frag: dict,
+                       columns: list[str] | None) -> tuple[list[str] | None,
+                                                           list[tuple[str, list[str]]]]:
+        """Split a projection into (base columns, [(extras path, cols)])."""
+        extra_of: dict[str, str] = {}
+        for ex in frag["extras"]:
+            for c in ex["columns"]:
+                extra_of[c] = ex["path"]
+        if columns is None:
+            base = [c for c in man["columns"] if c not in extra_of]
+            want_extra = [c for c in man["columns"] if c in extra_of]
+        else:
+            missing = [c for c in columns if c not in man["columns"]]
+            if missing:
+                raise KeyError(f"unknown column(s) {missing}; "
+                               f"table has {sorted(man['columns'])}")
+            base = [c for c in columns if c not in extra_of]
+            want_extra = [c for c in columns if c in extra_of]
+        by_file: dict[str, list[str]] = {}
+        for c in want_extra:
+            by_file.setdefault(extra_of[c], []).append(c)
+        return base, sorted(by_file.items())
+
+    def read(self, version: int | None = None,
+             columns: list[str] | None = None):
+        """The table at ``version`` as a streaming Ray Dataset — one
+        task per fragment; projection pushed into the Parquet reads;
+        deletion vectors applied with one vectorized ``take`` per
+        fragment. Output column order follows ``columns``."""
+        import ray.data
+
+        man = self.manifest(version)
+        root = self.root
+        out_order = list(columns) if columns is not None else list(man["columns"])
+
+        if not out_order:
+            raise ValueError("empty projection")
+        unknown = [c for c in out_order if c not in man["columns"]]
+        if unknown:
+            raise KeyError(f"unknown column(s) {unknown}; "
+                           f"table has {sorted(man['columns'])}")
+
+        def _load(batch: pa.Table) -> pa.Table:
+            outs = []
+            for row in batch.to_pylist():
+                frag = json.loads(row["frag"])
+                base, extra_files = self._route_columns(man, frag, columns)
+                arrays: dict[str, pa.ChunkedArray] = {}
+                if base:
+                    bt = pq.read_table(os.path.join(root, frag["path"]),
+                                       columns=base)
+                    arrays.update({c: bt[c] for c in base})
+                for path, cols in extra_files:
+                    ex = pq.read_table(os.path.join(root, path), columns=cols)
+                    arrays.update({c: ex[c] for c in cols})
+                t = pa.table({c: arrays[c] for c in out_order})
+                if frag["deletion"]:
+                    dead = pq.read_table(
+                        os.path.join(root, frag["deletion"]))["pos"].to_numpy()
+                    live = np.setdiff1d(
+                        np.arange(frag["rows"], dtype=np.int64), dead,
+                        assume_unique=True)
+                    t = t.take(pa.array(live))
+                outs.append(t)
+            if not outs:
+                return _empty_projection(man, out_order)
+            return pa.concat_tables(outs)
+
+        frags = man["fragments"]
+        if not frags:
+            return ray.data.from_arrow(_empty_projection(man, out_order))
+        items = [{"frag": json.dumps(f)} for f in frags]
+        return (ray.data.from_items(items, override_num_blocks=len(items))
+                .map_batches(_load, batch_format="pyarrow"))
+
+    def take(self, offsets: list[int] | np.ndarray,
+             version: int | None = None,
+             columns: list[str] | None = None) -> pa.Table:
+        """Point lookups by LIVE row offset (fragment order) — Lance's
+        ``take``. Reads only the row groups containing the probed
+        physical positions (state/accounting.read_positions); extras
+        files are probed the same way. Driver-side and k-bounded by
+        construction. Output rows follow ``offsets`` order; an ``off``
+        column records each row's offset."""
+        man = self.manifest(version)
+        root = self.root
+        req = np.asarray(offsets, np.int64)
+        frags = man["fragments"]
+        live = np.array([f["rows"] - f["dead"] for f in frags], np.int64)
+        cum = np.concatenate([[0], np.cumsum(live)])
+        if len(req) and (req.min() < 0 or req.max() >= cum[-1]):
+            raise IndexError(f"offset out of range [0, {cum[-1]})")
+        frag_of = np.searchsorted(cum, req, side="right") - 1
+        out_order = list(columns) if columns is not None else list(man["columns"])
+        if not out_order:
+            raise ValueError("empty projection")
+        pieces = []
+        for fi in np.unique(frag_of):
+            frag = frags[fi]
+            local = np.sort(req[frag_of == fi] - cum[fi])
+            if frag["deletion"]:
+                dead = pq.read_table(
+                    os.path.join(root, frag["deletion"]))["pos"].to_numpy()
+                phys_live = np.setdiff1d(
+                    np.arange(frag["rows"], dtype=np.int64), dead,
+                    assume_unique=True)
+                phys = phys_live[local]
+            else:
+                phys = local
+            from geomedea_ray.state.accounting import read_positions
+
+            base, extra_files = self._route_columns(man, frag, columns)
+            arrays: dict[str, pa.ChunkedArray] = {}
+            if base:
+                bt = read_positions(os.path.join(root, frag["path"]), phys,
+                                    columns=base)
+                arrays.update({c: bt[c] for c in base})
+            for path, cols in extra_files:
+                ex = read_positions(os.path.join(root, path), phys,
+                                    columns=cols)
+                arrays.update({c: ex[c] for c in cols})
+            t = pa.table({c: arrays[c] for c in out_order})
+            t = t.append_column("off", pa.array(local + cum[fi], pa.int64()))
+            pieces.append(t)
+        if not pieces:
+            e = _empty_projection(man, out_order)
+            return e.append_column("off", pa.array([], pa.int64()))
+        out = pa.concat_tables(pieces)
+        # restore the caller's offset order (k-bounded dict — duplicate
+        # offsets map to the same row)
+        pos_in_out = {int(o): i for i, o in enumerate(out["off"].to_pylist())}
+        return out.take(pa.array([pos_in_out[int(o)] for o in req],
+                                 pa.int64()))
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+
+    def cleanup(self) -> list[str]:
+        """Delete data/deletes/extras files referenced by NO manifest
+        (orphans from retried write tasks). Returns removed paths."""
+        referenced: set[str] = set()
+        for v in self.versions():
+            for f in self.manifest(v)["fragments"]:
+                referenced.add(f["path"])
+                if f["deletion"]:
+                    referenced.add(f["deletion"])
+                for ex in f["extras"]:
+                    referenced.add(ex["path"])
+        removed = []
+        for sub in (self.DATA, self.DELETES, self.EXTRAS):
+            d = os.path.join(self.root, sub)
+            for name in os.listdir(d):
+                rel = f"{sub}/{name}"
+                if rel not in referenced:
+                    os.unlink(os.path.join(d, name))
+                    removed.append(rel)
+        return removed
+
+    def validate(self) -> bool:
+        """Footer-level integrity of the LATEST version (cache gate):
+        every fragment/deletion/extras file exists with the row count
+        the manifest records."""
+        try:
+            man = self.manifest()
+        except (OSError, ValueError, KeyError):
+            return False
+        for f in man["fragments"]:
+            try:
+                if pq.ParquetFile(os.path.join(
+                        self.root, f["path"])).metadata.num_rows != f["rows"]:
+                    return False
+                if f["deletion"] and pq.ParquetFile(os.path.join(
+                        self.root, f["deletion"])).metadata.num_rows != f["dead"]:
+                    return False
+                for ex in f["extras"]:
+                    if pq.ParquetFile(os.path.join(
+                            self.root, ex["path"])).metadata.num_rows != f["rows"]:
+                        return False
+            except (OSError, pa.lib.ArrowInvalid):
+                return False
+        return True
+
+
+def _empty_projection(man: dict, out_order: list[str]) -> pa.Table:
+    arrs = {c: pa.array([], _parse_type(man["columns"][c])) for c in out_order}
+    return pa.table(arrs) if arrs else pa.table({})
+
+
+_TYPE_MAP = {
+    "string": pa.string(), "large_string": pa.large_string(),
+    "binary": pa.binary(), "large_binary": pa.large_binary(),
+    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+    "int64": pa.int64(), "uint8": pa.uint8(), "uint16": pa.uint16(),
+    "uint32": pa.uint32(), "uint64": pa.uint64(),
+    "float": pa.float32(), "double": pa.float64(), "bool": pa.bool_(),
+}
+
+
+def _parse_type(s: str) -> pa.DataType:
+    t = _TYPE_MAP.get(s)
+    if t is None:
+        raise ValueError(f"unsupported column type in manifest: {s!r}")
+    return t

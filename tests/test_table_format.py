@@ -1,0 +1,206 @@
+"""VersionedTable (Lance-semantics layer, sources/table_format.py).
+
+Covers: create/append/delete/add_columns version chain, time travel,
+deletion-vector merge across successive deletes, schema-evolution
+extras with projection routing, offset `take` (row-group-pruned) with
+deletions + extras, optimistic-commit conflicts, orphan cleanup,
+footer validation.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geomedea_ray.sources.table_format import CommitConflict, VersionedTable
+
+
+def _tbl(lo, hi):
+    ids = np.arange(lo, hi, dtype=np.int64)
+    return pa.table({
+        "k": pa.array(ids),
+        "name": pa.array([f"row-{i}" for i in ids], pa.string()),
+    })
+
+
+@pytest.fixture()
+def table(ray_session, tmp_path):
+    t = VersionedTable.create(str(tmp_path / "vt"))
+    t.append_table(_tbl(0, 100))       # v1: one fragment
+    t.append_table(_tbl(100, 250))     # v2: second fragment
+    return t
+
+
+class TestVersionChain:
+    def test_versions_and_counts(self, table):
+        assert table.versions() == [0, 1, 2]
+        assert table.count(0) == 0
+        assert table.count(1) == 100
+        assert table.count() == 250
+
+    def test_read_latest(self, table):
+        got = table.read().to_pandas()
+        assert sorted(got["k"]) == list(range(250))
+        assert set(got.columns) == {"k", "name"}
+
+    def test_read_projection_order(self, table):
+        got = table.read(columns=["name", "k"]).schema().names
+        assert got == ["name", "k"]
+
+    def test_time_travel_read(self, table):
+        assert table.read(version=1).count() == 100
+        assert table.read(version=2).count() == 250
+
+    def test_unknown_column_raises(self, table):
+        with pytest.raises(KeyError):
+            table.read(columns=["nope"]).count()
+
+
+class TestDelete:
+    def test_delete_and_time_travel(self, table):
+        v = table.delete(lambda t: (t["k"].to_numpy() & 1) == 0, columns=["k"])
+        assert v == 3
+        assert table.count() == 125
+        got = table.read().to_pandas()
+        assert (got["k"] % 2 == 1).all() and len(got) == 125
+        # old version unaffected
+        assert table.read(version=2).count() == 250
+
+    def test_second_delete_merges_vectors(self, table):
+        table.delete(lambda t: (t["k"].to_numpy() & 1) == 0, columns=["k"])
+        table.delete(lambda t: t["k"].to_numpy() < 50, columns=["k"])
+        got = table.read().to_pandas()
+        assert got["k"].min() >= 51
+        assert (got["k"] % 2 == 1).all()
+        assert len(got) == 100  # odds in [51, 249]
+        # v3 still shows only the first delete
+        assert table.read(version=3).count() == 125
+
+    def test_delete_nothing_keeps_null_vector(self, table):
+        table.delete(lambda t: t["k"].to_numpy() < 0, columns=["k"])
+        man = table.manifest()
+        assert all(f["deletion"] is None for f in man["fragments"])
+        assert table.count() == 250
+
+
+class TestAddColumns:
+    def test_extras_roundtrip(self, table):
+        table.add_columns(
+            lambda t: pa.table({"k2": pa.array(t["k"].to_numpy() * 2)}),
+            input_columns=["k"])
+        got = table.read(columns=["k", "k2"]).to_pandas()
+        assert (got["k2"] == got["k"] * 2).all()
+        assert table.schema_columns()["k2"] == "int64"
+
+    def test_extras_only_projection(self, table):
+        table.add_columns(
+            lambda t: pa.table({"k2": pa.array(t["k"].to_numpy() * 2)}),
+            input_columns=["k"])
+        got = table.read(columns=["k2"]).to_pandas()
+        assert sorted(got["k2"]) == [2 * i for i in range(250)]
+
+    def test_extras_computed_before_delete_still_align(self, table):
+        # extras are physical-row-aligned: delete AFTER add_columns must
+        # filter both consistently
+        table.add_columns(
+            lambda t: pa.table({"k2": pa.array(t["k"].to_numpy() * 2)}),
+            input_columns=["k"])
+        table.delete(lambda t: (t["k"].to_numpy() & 1) == 0, columns=["k"])
+        got = table.read(columns=["k", "k2"]).to_pandas()
+        assert (got["k2"] == got["k"] * 2).all() and len(got) == 125
+
+    def test_shadowing_rejected(self, table):
+        with pytest.raises(ValueError):
+            table.add_columns(lambda t: pa.table({"k": t["k"]}),
+                              input_columns=["k"])
+
+
+class TestTake:
+    def test_take_plain(self, table):
+        got = table.take([249, 0, 100], columns=["k"])
+        assert got["k"].to_pylist() == [249, 0, 100]
+        assert got["off"].to_pylist() == [249, 0, 100]
+
+    def test_take_after_delete_uses_live_offsets(self, table):
+        table.delete(lambda t: (t["k"].to_numpy() & 1) == 0, columns=["k"])
+        # live rows are the odds in fragment order: offset i -> k = 2i+1
+        got = table.take([0, 1, 124], columns=["k"])
+        assert got["k"].to_pylist() == [1, 3, 249]
+
+    def test_take_with_extras(self, table):
+        table.add_columns(
+            lambda t: pa.table({"k2": pa.array(t["k"].to_numpy() * 2)}),
+            input_columns=["k"])
+        got = table.take([7, 200], columns=["k", "k2"])
+        assert got["k2"].to_pylist() == [14, 400]
+
+    def test_take_out_of_range(self, table):
+        with pytest.raises(IndexError):
+            table.take([250])
+
+    def test_take_duplicates(self, table):
+        got = table.take([5, 5, 3], columns=["k"])
+        assert got["k"].to_pylist() == [5, 5, 3]
+
+
+class TestCommitProtocol:
+    def test_conflict_one_winner(self, table):
+        man = table.manifest()
+        # two writers derive the same next version; second commit fails
+        m1 = dict(man, version=man["version"] + 1, parent=man["version"],
+                  operation="append")
+        m2 = dict(man, version=man["version"] + 1, parent=man["version"],
+                  operation="delete")
+        table._commit(m1)
+        with pytest.raises(CommitConflict):
+            table._commit(m2)
+
+    def test_append_schema_mismatch_rejected(self, table):
+        with pytest.raises(ValueError):
+            table.append_table(pa.table({"z": pa.array([1.0])}))
+
+
+class TestMaintenance:
+    def test_cleanup_removes_only_orphans(self, table):
+        orphan = os.path.join(table.root, "data", "frag-orphan.parquet")
+        pq.write_table(_tbl(0, 1), orphan)
+        removed = table.cleanup()
+        assert removed == ["data/frag-orphan.parquet"]
+        assert table.read().count() == 250
+
+    def test_validate_catches_truncation(self, table):
+        assert table.validate()
+        frag = table.manifest()["fragments"][0]
+        pq.write_table(_tbl(0, 3), os.path.join(table.root, frag["path"]))
+        assert not table.validate()
+
+
+class TestDistributedWrites:
+    def test_append_dataset_blocks_become_fragments(self, ray_session, tmp_path):
+        import ray.data
+
+        t = VersionedTable.create(str(tmp_path / "vt2"))
+        ds = ray.data.from_arrow(_tbl(0, 1000)).repartition(4)
+        t.append_dataset(ds)
+        assert len(t.manifest()["fragments"]) == 4
+        assert t.count() == 1000
+        assert sorted(t.read(columns=["k"]).to_pandas()["k"]) == list(range(1000))
+
+    def test_append_files_order_stable(self, ray_session, tmp_path):
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"src-{i}.parquet")
+            pq.write_table(_tbl(i * 10, i * 10 + 10), p)
+            paths.append(p)
+        t = VersionedTable.create(str(tmp_path / "vt3"))
+        t.append_files(paths)
+        # fragment order follows the path list; take(0) is src-0 row 0
+        assert t.take([0, 10, 20], columns=["k"])["k"].to_pylist() == [0, 10, 20]
+        # transform variant: filter is row-stable
+        t2 = VersionedTable.create(str(tmp_path / "vt4"))
+        t2.append_files(paths, fn=lambda tb: tb.filter(
+            pa.compute.equal(pa.compute.bit_wise_and(tb["k"], 1), 0)))
+        assert t2.read(columns=["k"]).to_pandas()["k"].tolist() != []
+        assert t2.count() == 15
