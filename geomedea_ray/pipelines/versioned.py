@@ -1,0 +1,232 @@
+"""Gate queries over the VersionedTable (Lance-semantics) layer.
+
+BASELINE.json's input_hint names "Lance tables of image + caption
+pairs" as the engine's input format; sources/table_format.py is that
+layer (Parquet physical encoding — pylance is absent in the sandbox,
+documented there). These queries exercise its FULL lifecycle against
+DuckDB oracles:
+
+    v1  import the base image table (one fragment per source file,
+        order-stable)
+    v2  append derived rows: base rows with rid % 4 == 1,
+        image_id prefixed 'app-'  (SQL-mirrorable derivation)
+    v3  delete rows with rid % 7 == 0   (deletion vectors; hits base
+        AND appended copies of the same rid)
+    v4  add_columns caption_len = LENGTH(caption)  (schema evolution)
+
+``rid`` = the image_id's numeric suffix (``RIGHT(image_id, 12)`` /
+``utf8_slice_codeunits(id, -12)``) — uniformly distributed and
+non-negative, so ``%`` agrees between numpy and DuckDB. (phash is NOT
+usable here: the average-hash of gradient images has structurally
+degenerate low bits — all-zero at sf0.001 — which an early version of
+this fixture tripped over.)
+
+The oracle mirrors fragment order as (grp, filename, file_row_number):
+v1 fragments follow sorted(base files) and v2 fragments re-traverse
+the same files in order with a row-stable filter, so DuckDB's
+``read_parquet(..., filename=true, file_row_number=true)`` reproduces
+the engine's live-offset numbering exactly — which makes even
+``take()`` (point lookups by offset) hash-checkable.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geomedea_ray.pipelines.flagship import CACHE_ROOT, n_images_for
+from geomedea_ray.sources.synth import image_table_path
+from geomedea_ray.sources.table_format import VersionedTable
+
+#: fixed probe offsets for lance_take (plus first/last live rows)
+TAKE_PROBES = (0, 7, 123, 999)
+
+
+def _base_files(sf_dir: str) -> list[str]:
+    n = n_images_for(sf_dir)
+    return sorted(glob.glob(os.path.join(image_table_path(n), "*.parquet")))
+
+
+def _rid(ids: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.utf8_slice_codeunits(ids, start=-12), pa.int64())
+
+
+def _append_transform(t: pa.Table) -> pa.Table:
+    rid = _rid(t["image_id"]).to_numpy()  # pyarrow has no mod kernel
+    t = t.filter(pa.array(rid % 4 == 1))
+    new_id = pc.binary_join_element_wise(
+        pa.array(["app-"] * t.num_rows, pa.string()), t["image_id"], "")
+    return t.set_column(t.schema.get_field_index("image_id"), "image_id",
+                        new_id)
+
+
+def _delete_pred(t: pa.Table) -> np.ndarray:
+    return (_rid(t["image_id"]).to_numpy() % 7) == 0
+
+
+def _caption_len(t: pa.Table) -> pa.Table:
+    lens = pc.utf8_length(t["caption"]).cast(pa.int64())
+    return pa.table({"caption_len": lens})
+
+
+def image_versioned_table(sf_dir: str) -> VersionedTable:
+    """The cached 4-version image table for this scale."""
+    from geomedea_ray.sources.cache import cached_dir
+
+    files = _base_files(sf_dir)
+    n = n_images_for(sf_dir)
+
+    def _build(tmp: str) -> None:
+        t = VersionedTable.create(tmp)
+        t.append_files(files)                                    # v1
+        t.append_files(files, fn=_append_transform)              # v2
+        t.delete(_delete_pred, columns=["image_id"])             # v3
+        t.add_columns(_caption_len, input_columns=["caption"])   # v4
+
+    def _valid(root: str) -> bool:
+        t = VersionedTable(root)
+        try:
+            return (t.versions() == [0, 1, 2, 3, 4]
+                    and t.count(1) == n
+                    and "caption_len" in t.schema_columns()
+                    and t.validate())
+        except (OSError, ValueError, KeyError):
+            return False
+
+    # rev suffix: bump when the version-chain derivation changes —
+    # validation can't detect a predicate change in an existing build
+    root = cached_dir(os.path.join(CACHE_ROOT, f"images_lance_n{n}_r2"),
+                      _build, _valid)
+    return VersionedTable(root)
+
+
+# ----------------------------------------------------------------------
+# gate queries
+# ----------------------------------------------------------------------
+
+
+def q_lance_read_latest(sf_dir: str) -> pa.Table:
+    """Read v4 (deletions applied, schema-evolution column live),
+    grouped by fmt. The projection spans base columns (fmt, phash) AND
+    an extras column (caption_len) — one streaming pass, per-block
+    partials, driver combine of ≤ 3 rows/fragment (fmt has 3 values:
+    contract-small, the tile_counts TREE rationale)."""
+    t = image_versioned_table(sf_dir)
+    ds = t.read(columns=["fmt", "caption_len", "phash"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "fmt": batch["fmt"].to_pandas(),
+            "caption_len": batch["caption_len"].to_numpy(),
+            "phash_lo": batch["phash"].to_numpy() & 0xFFFF,
+        })
+        g = df.groupby("fmt", sort=True).agg(
+            n=("caption_len", "size"),
+            sum_caption_len=("caption_len", "sum"),
+            sum_phash_lo=("phash_lo", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby("fmt", sort=True).sum().reset_index())
+    return pa.table({
+        "fmt": pa.array(out["fmt"], pa.string()),
+        "n": pa.array(out["n"].to_numpy(np.int64)),
+        "sum_caption_len": pa.array(out["sum_caption_len"].to_numpy(np.int64)),
+        "sum_phash_lo": pa.array(out["sum_phash_lo"].to_numpy(np.int64)),
+    })
+
+
+def q_lance_time_travel(sf_dir: str) -> pa.Table:
+    """Row count of every data version via actual (projected) reads —
+    v2's appends visible, v3's deletions applied, v4 unchanged."""
+    t = image_versioned_table(sf_dir)
+    ns = [t.read(version=v, columns=["image_id"]).count()
+          for v in (1, 2, 3, 4)]
+    return pa.table({"version": pa.array([1, 2, 3, 4], pa.int64()),
+                     "n": pa.array(ns, pa.int64())})
+
+
+def q_lance_take(sf_dir: str) -> pa.Table:
+    """Point lookups by live offset on the latest version (row-group-
+    pruned reads; extras column merged per probe)."""
+    t = image_versioned_table(sf_dir)
+    n_live = t.count()
+    offs = sorted({*TAKE_PROBES, n_live - 1})
+    return t.take(offs, columns=["image_id", "caption_len"])
+
+
+# ----------------------------------------------------------------------
+# DuckDB oracles
+# ----------------------------------------------------------------------
+
+
+def _files_sql(sf_dir: str) -> str:
+    return "[" + ", ".join(f"'{p}'" for p in _base_files(sf_dir)) + "]"
+
+
+def lance_read_latest_sql(sf_dir: str) -> str:
+    return f"""
+WITH base AS (SELECT fmt, caption, phash,
+                     CAST(RIGHT(image_id, 12) AS BIGINT) AS rid
+              FROM read_parquet({_files_sql(sf_dir)})),
+app  AS (SELECT * FROM base WHERE rid % 4 = 1),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+live AS (SELECT * FROM allr WHERE rid % 7 <> 0)
+SELECT fmt,
+       CAST(COUNT(*) AS BIGINT)               AS n,
+       CAST(SUM(LENGTH(caption)) AS BIGINT)   AS sum_caption_len,
+       CAST(SUM(phash & 65535) AS BIGINT)     AS sum_phash_lo
+FROM live GROUP BY fmt ORDER BY fmt
+"""
+
+
+def lance_time_travel_sql(sf_dir: str) -> str:
+    return f"""
+WITH base AS (SELECT CAST(RIGHT(image_id, 12) AS BIGINT) AS rid
+              FROM read_parquet({_files_sql(sf_dir)})),
+app  AS (SELECT * FROM base WHERE rid % 4 = 1),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+live AS (SELECT * FROM allr WHERE rid % 7 <> 0)
+SELECT CAST(1 AS BIGINT) AS version, (SELECT COUNT(*) FROM base) AS n
+UNION ALL SELECT 2, (SELECT COUNT(*) FROM allr)
+UNION ALL SELECT 3, (SELECT COUNT(*) FROM live)
+UNION ALL SELECT 4, (SELECT COUNT(*) FROM live)
+ORDER BY version
+"""
+
+
+def lance_take_sql(sf_dir: str) -> str:
+    # reproduce the live-offset numbering: fragment order is
+    # (grp, filename, file_row_number) by construction of the fixture
+    import duckdb  # probe n_live the same way the engine's query does
+
+    files = _files_sql(sf_dir)
+    inner = f"""
+WITH base AS (SELECT image_id, caption,
+                     CAST(RIGHT(image_id, 12) AS BIGINT) AS rid,
+                     filename AS fn, file_row_number AS frn
+              FROM read_parquet({files}, filename=true, file_row_number=true)),
+app  AS (SELECT 'app-' || image_id AS image_id, caption, rid, fn, frn
+         FROM base WHERE rid % 4 = 1),
+allr AS (SELECT image_id, caption, rid, 0 AS grp, fn, frn FROM base
+         UNION ALL
+         SELECT image_id, caption, rid, 1, fn, frn FROM app),
+live AS (SELECT image_id, caption,
+                row_number() OVER (ORDER BY grp, fn, frn) - 1 AS off
+         FROM allr WHERE rid % 7 <> 0)
+"""
+    n_live = duckdb.sql(inner + "SELECT COUNT(*) FROM live").fetchone()[0]
+    offs = sorted({*TAKE_PROBES, n_live - 1})
+    in_list = ", ".join(str(o) for o in offs)
+    return (inner + f"""
+SELECT image_id, CAST(LENGTH(caption) AS BIGINT) AS caption_len,
+       CAST(off AS BIGINT) AS off
+FROM live WHERE off IN ({in_list}) ORDER BY off
+""")

@@ -255,3 +255,38 @@ def cached_file(
                 os.unlink(tmp)
             raise
     return out
+
+
+def cached_dir(
+    out: str,
+    build_fn: Callable[[str], None],
+    validate: Callable[[str], bool],
+    attempts: int = 3,
+) -> str:
+    """Generic directory-fixture cache with the same defence stack as
+    cached_table (tmp-dir build, caller-supplied validation re-run on
+    EVERY load, atomic rename publish, rename-aside eviction) for
+    fixtures that are not a flat parquet dir — e.g. a VersionedTable
+    root, whose manifests carry their own footer-checked counts."""
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    for _ in range(attempts):
+        if os.path.isdir(out):
+            if validate(out):
+                return out
+            _evict(out)
+        tmp = f"{out}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        try:
+            build_fn(tmp)
+            if not validate(tmp):
+                raise RuntimeError(f"built fixture at {tmp} failed validation")
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    if os.path.isdir(out) and validate(out):
+        return out
+    raise RuntimeError(f"could not produce a valid cached dir at {out}")
