@@ -254,9 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _audio_features,        # windowed RMS/ZCR/centroid (SQL-oracled)
         "video_frames": _video_frames,            # even frame sampling + stats (SQL-oracled)
         # --- Lance-semantics versioned table (sources/table_format.py) ---
-        "lance_read_latest": V.q_lance_read_latest,  # v4 read: deletions + schema-evolution column, grouped
+        "lance_read_latest": V.q_lance_read_latest,  # v6 read: compacted + merge_insert + schema evolution, grouped
         "lance_time_travel": V.q_lance_time_travel,  # per-version counts via projected reads
         "lance_take": V.q_lance_take,                # live-offset point lookups (row-group-pruned)
+        "lance_compact": V.q_lance_compact,          # v5 read over fully rewritten layout == v4 oracle
     }
     # The driver's correctness gate only checks the FIRST 50 entries of
     # this dict each round (round-3 verdict: the image/media/ANN/text
@@ -282,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact", "decontaminate", "pack_sequences", "doc_repetition",
         # Lance-semantics versioned table (NEW in r4 — needs driver rows)
         "lance_read_latest", "lance_time_travel", "lance_take",
+        "lance_compact",
         # spatial core (reference parity — keep in every window)
         "bbox_select", "bbox_select_http", "spatial_count", "knn",
         "knn_indexed", "pip_join",
@@ -322,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
             "lance_read_latest": V.lance_read_latest_sql(sf),
             "lance_time_travel": V.lance_time_travel_sql(sf),
             "lance_take": V.lance_take_sql(sf),
+            "lance_compact": V.lance_compact_sql(sf),
         }
 
     # fixture-backed oracle groups materialize cached parquet on first

@@ -13,6 +13,13 @@ DuckDB oracles:
     v3  delete rows with rid % 7 == 0   (deletion vectors; hits base
         AND appended copies of the same rid)
     v4  add_columns caption_len = LENGTH(caption)  (schema evolution)
+    v5  compact (deletion vectors applied, extras folded into base
+        files, small fragments coalesced — logically a no-op: v5
+        reads share v4's oracle)
+    v6  merge_insert on image_id: source = base rows with
+        rid % 10 == 3, caption suffixed '+u' — matching LIVE rows are
+        replaced, keys alive only as deleted rows re-insert, 'app-'
+        copies are untouched (distinct key)
 
 ``rid`` = the image_id's numeric suffix (``RIGHT(image_id, 12)`` /
 ``utf8_slice_codeunits(id, -12)``) — uniformly distributed and
@@ -37,6 +44,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from geomedea_ray.pipelines.flagship import CACHE_ROOT, n_images_for
 from geomedea_ray.sources.synth import image_table_path
@@ -73,8 +81,26 @@ def _caption_len(t: pa.Table) -> pa.Table:
     return pa.table({"caption_len": lens})
 
 
+def _merge_source(files: list[str]) -> pa.Table:
+    """merge_insert source: base rows with rid % 10 == 3, caption
+    suffixed '+u' (caption_len recomputed) — keys whose live rows
+    exist get replaced, keys alive only as v3-deleted rows re-insert."""
+    parts = []
+    for p in files:
+        tb = pq.read_table(p)
+        rid = _rid(tb["image_id"]).to_numpy()
+        parts.append(tb.filter(pa.array(rid % 10 == 3)))
+    t = pa.concat_tables(parts)
+    cap = pc.binary_join_element_wise(
+        t["caption"].combine_chunks(),
+        pa.array(["+u"] * t.num_rows, pa.string()), "")
+    t = t.set_column(t.schema.get_field_index("caption"), "caption", cap)
+    return t.append_column("caption_len",
+                           pc.utf8_length(cap).cast(pa.int64()))
+
+
 def image_versioned_table(sf_dir: str) -> VersionedTable:
-    """The cached 4-version image table for this scale."""
+    """The cached 6-version image table for this scale."""
     from geomedea_ray.sources.cache import cached_dir
 
     files = _base_files(sf_dir)
@@ -86,20 +112,23 @@ def image_versioned_table(sf_dir: str) -> VersionedTable:
         t.append_files(files, fn=_append_transform)              # v2
         t.delete(_delete_pred, columns=["image_id"])             # v3
         t.add_columns(_caption_len, input_columns=["caption"])   # v4
+        t.compact(target_rows=8192)                              # v5
+        t.merge_insert(_merge_source(files), on="image_id")      # v6
 
     def _valid(root: str) -> bool:
         t = VersionedTable(root)
         try:
-            return (t.versions() == [0, 1, 2, 3, 4]
+            return (t.versions() == list(range(7))
                     and t.count(1) == n
                     and "caption_len" in t.schema_columns()
+                    and t.count(5) == t.count(4)
                     and t.validate())
         except (OSError, ValueError, KeyError):
             return False
 
     # rev suffix: bump when the version-chain derivation changes —
     # validation can't detect a predicate change in an existing build
-    root = cached_dir(os.path.join(CACHE_ROOT, f"images_lance_n{n}_r2"),
+    root = cached_dir(os.path.join(CACHE_ROOT, f"images_lance_n{n}_r3"),
                       _build, _valid)
     return VersionedTable(root)
 
@@ -109,14 +138,12 @@ def image_versioned_table(sf_dir: str) -> VersionedTable:
 # ----------------------------------------------------------------------
 
 
-def q_lance_read_latest(sf_dir: str) -> pa.Table:
-    """Read v4 (deletions applied, schema-evolution column live),
-    grouped by fmt. The projection spans base columns (fmt, phash) AND
-    an extras column (caption_len) — one streaming pass, per-block
-    partials, driver combine of ≤ 3 rows/fragment (fmt has 3 values:
-    contract-small, the tile_counts TREE rationale)."""
-    t = image_versioned_table(sf_dir)
-    ds = t.read(columns=["fmt", "caption_len", "phash"])
+def _grouped_by_fmt(t: VersionedTable, version: int | None) -> pa.Table:
+    """Grouped aggregate over (fmt, caption_len, phash) at ``version``
+    — one streaming pass, per-block partials, driver combine of ≤ 3
+    rows/fragment (fmt has 3 values: contract-small, the tile_counts
+    TREE rationale)."""
+    ds = t.read(version=version, columns=["fmt", "caption_len", "phash"])
 
     def _partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -143,23 +170,42 @@ def q_lance_read_latest(sf_dir: str) -> pa.Table:
     })
 
 
+def q_lance_read_latest(sf_dir: str) -> pa.Table:
+    """Read the LATEST version (v6: compacted fragments + merge_insert
+    deletions + the merge's appended fragment, schema-evolution column
+    live in both physical layouts), grouped by fmt."""
+    return _grouped_by_fmt(image_versioned_table(sf_dir), None)
+
+
+def q_lance_compact(sf_dir: str) -> pa.Table:
+    """The same grouped aggregate at v5 (post-compaction) — compaction
+    is logically a no-op, so this shares v4's oracle expression. The
+    physical layout it reads is entirely rewritten files (deletion
+    vectors applied, extras folded into base columns, fragments
+    coalesced)."""
+    return _grouped_by_fmt(image_versioned_table(sf_dir), 5)
+
+
 def q_lance_time_travel(sf_dir: str) -> pa.Table:
     """Row count of every data version via actual (projected) reads —
-    v2's appends visible, v3's deletions applied, v4 unchanged."""
+    v2's appends visible, v3's deletions applied, v4/v5 unchanged
+    (schema evolution + compaction), v6 reflecting the merge."""
     t = image_versioned_table(sf_dir)
-    ns = [t.read(version=v, columns=["image_id"]).count()
-          for v in (1, 2, 3, 4)]
-    return pa.table({"version": pa.array([1, 2, 3, 4], pa.int64()),
+    vs = list(range(1, t.latest_version() + 1))
+    ns = [t.read(version=v, columns=["image_id"]).count() for v in vs]
+    return pa.table({"version": pa.array(vs, pa.int64()),
                      "n": pa.array(ns, pa.int64())})
 
 
 def q_lance_take(sf_dir: str) -> pa.Table:
-    """Point lookups by live offset on the latest version (row-group-
-    pruned reads; extras column merged per probe)."""
+    """Point lookups by live offset at v4 (row-group-pruned reads
+    through deletion vectors; extras column merged per probe). The
+    oracle mirrors v4's offset numbering; take() on the compacted /
+    merged layouts is pytest-covered (offsets preserved by compact)."""
     t = image_versioned_table(sf_dir)
-    n_live = t.count()
+    n_live = t.count(4)
     offs = sorted({*TAKE_PROBES, n_live - 1})
-    return t.take(offs, columns=["image_id", "caption_len"])
+    return t.take(offs, version=4, columns=["image_id", "caption_len"])
 
 
 # ----------------------------------------------------------------------
@@ -171,33 +217,50 @@ def _files_sql(sf_dir: str) -> str:
     return "[" + ", ".join(f"'{p}'" for p in _base_files(sf_dir)) + "]"
 
 
-def lance_read_latest_sql(sf_dir: str) -> str:
+#: shared CTE prefix modelling the version chain: base → app (v2) →
+#: live (v3/v4/v5) → src + merged (v6)
+def _chain_cte(sf_dir: str) -> str:
     return f"""
-WITH base AS (SELECT fmt, caption, phash,
+WITH base AS (SELECT image_id, fmt, caption, phash,
                      CAST(RIGHT(image_id, 12) AS BIGINT) AS rid
               FROM read_parquet({_files_sql(sf_dir)})),
-app  AS (SELECT * FROM base WHERE rid % 4 = 1),
+app  AS (SELECT 'app-' || image_id AS image_id, fmt, caption, phash, rid
+         FROM base WHERE rid % 4 = 1),
 allr AS (SELECT * FROM base UNION ALL SELECT * FROM app),
-live AS (SELECT * FROM allr WHERE rid % 7 <> 0)
+live AS (SELECT * FROM allr WHERE rid % 7 <> 0),
+src  AS (SELECT image_id, fmt, caption || '+u' AS caption, phash, rid
+         FROM base WHERE rid % 10 = 3),
+merged AS (SELECT * FROM live
+           WHERE image_id NOT IN (SELECT image_id FROM src)
+           UNION ALL SELECT * FROM src)
+"""
+
+
+_GROUPED = """
 SELECT fmt,
        CAST(COUNT(*) AS BIGINT)               AS n,
        CAST(SUM(LENGTH(caption)) AS BIGINT)   AS sum_caption_len,
        CAST(SUM(phash & 65535) AS BIGINT)     AS sum_phash_lo
-FROM live GROUP BY fmt ORDER BY fmt
+FROM {rel} GROUP BY fmt ORDER BY fmt
 """
 
 
+def lance_read_latest_sql(sf_dir: str) -> str:
+    return _chain_cte(sf_dir) + _GROUPED.format(rel="merged")
+
+
+def lance_compact_sql(sf_dir: str) -> str:
+    return _chain_cte(sf_dir) + _GROUPED.format(rel="live")
+
+
 def lance_time_travel_sql(sf_dir: str) -> str:
-    return f"""
-WITH base AS (SELECT CAST(RIGHT(image_id, 12) AS BIGINT) AS rid
-              FROM read_parquet({_files_sql(sf_dir)})),
-app  AS (SELECT * FROM base WHERE rid % 4 = 1),
-allr AS (SELECT * FROM base UNION ALL SELECT * FROM app),
-live AS (SELECT * FROM allr WHERE rid % 7 <> 0)
+    return _chain_cte(sf_dir) + """
 SELECT CAST(1 AS BIGINT) AS version, (SELECT COUNT(*) FROM base) AS n
 UNION ALL SELECT 2, (SELECT COUNT(*) FROM allr)
 UNION ALL SELECT 3, (SELECT COUNT(*) FROM live)
 UNION ALL SELECT 4, (SELECT COUNT(*) FROM live)
+UNION ALL SELECT 5, (SELECT COUNT(*) FROM live)
+UNION ALL SELECT 6, (SELECT COUNT(*) FROM merged)
 ORDER BY version
 """
 

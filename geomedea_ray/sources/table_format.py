@@ -252,9 +252,24 @@ class VersionedTable:
         fragment reads ONLY ``columns``, merges matching positions into
         the fragment's existing deletion vector, and writes a NEW
         deletion file — old versions keep their own (time travel)."""
+        man = self.manifest()
+        frags = self._deleted_fragments(man, predicate, columns)
+        return self._commit({
+            "version": man["version"] + 1, "parent": man["version"],
+            "operation": "delete",
+            "columns": man["columns"], "fragments": frags,
+        }, expect_version=man["version"] + 1)
+
+    def _deleted_fragments(self, man: dict,
+                           predicate: Callable[[pa.Table], np.ndarray],
+                           columns: list[str]) -> list[dict]:
+        """The fragment list with ``predicate``'s rows folded into each
+        fragment's deletion vector (new deletion files written; nothing
+        committed — shared by :meth:`delete` and :meth:`merge_insert`)."""
         import ray.data
 
-        man = self.manifest()
+        if not man["fragments"]:
+            return []
         root, deletes = self.root, self.DELETES
 
         def _one(batch: pa.Table) -> pa.Table:
@@ -289,12 +304,135 @@ class VersionedTable:
                  .map_batches(_one, batch_format="pyarrow")
                  .take_all())
         by_id = {d["id"]: d for d in descs}
-        frags = [dict(f, deletion=by_id[f["id"]]["deletion"],
-                      dead=int(by_id[f["id"]]["dead"]))
-                 for f in man["fragments"]]
+        return [dict(f, deletion=by_id[f["id"]]["deletion"],
+                     dead=int(by_id[f["id"]]["dead"]))
+                for f in man["fragments"]]
+
+    def merge_insert(self, source: pa.Table, on: str) -> int:
+        """Lance ``merge_insert`` (``when_matched_update_all`` +
+        ``when_not_matched_insert_all``): every live row whose ``on``
+        key appears in ``source`` is replaced, the rest of ``source``
+        is appended — ONE new version, so readers never observe the
+        intermediate deleted state. Implementation mirrors Lance's own
+        (per-fragment deletion-vector merge + a fresh fragment holding
+        ``source``); ``source`` must carry every table column
+        (schema-evolution columns included — the new fragment stores
+        them as base columns) and is broadcast into the per-fragment
+        tasks, so the contract is source ≪ table (Lance's merge path
+        has the same shape; a table-scale source belongs in a hash
+        join + rewrite instead). Duplicate ``on`` keys inside
+        ``source`` all land; a key matching only DEAD rows is a plain
+        insert."""
+        import pyarrow.compute as pc
+
+        man = self.manifest()
+        cols = man["columns"]
+        if set(source.column_names) != set(cols):
+            raise ValueError(
+                f"merge_insert source columns {sorted(source.column_names)} "
+                f"!= table columns {sorted(cols)}")
+        if on not in cols:
+            raise KeyError(f"merge key {on!r} not a table column")
+        key_set = source[on].combine_chunks()
+
+        def _matched(t: pa.Table) -> np.ndarray:
+            return pc.is_in(t[on], value_set=key_set).to_numpy(
+                zero_copy_only=False)
+
+        frags = self._deleted_fragments(man, _matched, columns=[on])
+        name = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(source.select(list(cols)),
+                       os.path.join(self.root, self.DATA, name))
+        updated = sum(f["dead"] for f in frags) - sum(
+            f["dead"] for f in man["fragments"])
+        frags.append({"id": self._next_fragment_id(man),
+                      "path": f"{self.DATA}/{name}",
+                      "rows": source.num_rows,
+                      "deletion": None, "dead": 0, "extras": []})
         return self._commit({
             "version": man["version"] + 1, "parent": man["version"],
-            "operation": "delete",
+            "operation": "merge_insert",
+            "stats": {"updated_rows": int(updated),
+                      "inserted_rows": int(source.num_rows - updated)},
+            "columns": cols, "fragments": frags,
+        }, expect_version=man["version"] + 1)
+
+    def compact(self, target_rows: int = 1 << 20,
+                row_group_size: int = 4096) -> int:
+        """Lance ``compact_files``: rewrite fragments so deletion
+        vectors are applied, schema-evolution extras fold into the
+        base file, and consecutive small fragments coalesce into bins
+        of ≤ ``target_rows`` live rows — live row ORDER is preserved
+        (bins are consecutive fragments), so every read/take offset is
+        unchanged. Single-fragment bins that are already clean (no
+        deletions, no extras) carry over untouched. One Ray task per
+        rewritten bin; old versions keep reading the old files (time
+        travel). No-op (already compact) returns the current version
+        without committing."""
+        import ray.data
+
+        man = self.manifest()
+        root, data = self.root, self.DATA
+        bins: list[list[dict]] = []
+        cur: list[dict] = []
+        cur_rows = 0
+        for f in man["fragments"]:
+            live = f["rows"] - f["dead"]
+            if cur and cur_rows + live > target_rows:
+                bins.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(f)
+            cur_rows += live
+        if cur:
+            bins.append(cur)
+
+        def _clean(f: dict) -> bool:
+            return f["deletion"] is None and not f["extras"]
+
+        jobs = [(i, b) for i, b in enumerate(bins)
+                if len(b) > 1 or not _clean(b[0])]
+        if not jobs:
+            return man["version"]
+
+        def _one(batch: pa.Table) -> pa.Table:
+            out = {"ord": [], "path": [], "rows": []}
+            for row in batch.to_pylist():
+                members = json.loads(row["members"])
+                t = pa.concat_tables(
+                    [_load_fragment(root, man, frag, None)
+                     for frag in members])
+                name = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
+                pq.write_table(t, os.path.join(root, data, name),
+                               row_group_size=row_group_size)
+                out["ord"].append(row["ord"])
+                out["path"].append(f"{data}/{name}")
+                out["rows"].append(t.num_rows)
+            return pa.table({"ord": pa.array(out["ord"], pa.int64()),
+                             "path": pa.array(out["path"], pa.string()),
+                             "rows": pa.array(out["rows"], pa.int64())})
+
+        items = [{"ord": i, "members": json.dumps(b)} for i, b in jobs]
+        descs = (ray.data.from_items(items, override_num_blocks=len(items))
+                 .map_batches(_one, batch_format="pyarrow")
+                 .take_all())  # one kilobyte row per rewritten bin
+        by_ord = {d["ord"]: d for d in descs}
+        nid = self._next_fragment_id(man)
+        frags = []
+        for i, b in enumerate(bins):
+            if i in by_ord:
+                d = by_ord[i]
+                frags.append({"id": nid, "path": d["path"],
+                              "rows": int(d["rows"]), "deletion": None,
+                              "dead": 0, "extras": []})
+                nid += 1
+            else:
+                frags.append(dict(b[0]))
+        return self._commit({
+            "version": man["version"] + 1, "parent": man["version"],
+            "operation": "compact",
+            "stats": {"fragments_before": len(man["fragments"]),
+                      "fragments_after": len(bins),
+                      "rewritten": len(jobs)},
             "columns": man["columns"], "fragments": frags,
         }, expect_version=man["version"] + 1)
 
@@ -408,27 +546,9 @@ class VersionedTable:
                            f"table has {sorted(man['columns'])}")
 
         def _load(batch: pa.Table) -> pa.Table:
-            outs = []
-            for row in batch.to_pylist():
-                frag = json.loads(row["frag"])
-                base, extra_files = self._route_columns(man, frag, columns)
-                arrays: dict[str, pa.ChunkedArray] = {}
-                if base:
-                    bt = pq.read_table(os.path.join(root, frag["path"]),
-                                       columns=base)
-                    arrays.update({c: bt[c] for c in base})
-                for path, cols in extra_files:
-                    ex = pq.read_table(os.path.join(root, path), columns=cols)
-                    arrays.update({c: ex[c] for c in cols})
-                t = pa.table({c: arrays[c] for c in out_order})
-                if frag["deletion"]:
-                    dead = pq.read_table(
-                        os.path.join(root, frag["deletion"]))["pos"].to_numpy()
-                    live = np.setdiff1d(
-                        np.arange(frag["rows"], dtype=np.int64), dead,
-                        assume_unique=True)
-                    t = t.take(pa.array(live))
-                outs.append(t)
+            outs = [_load_fragment(root, man, json.loads(row["frag"]),
+                                   columns, out_order)
+                    for row in batch.to_pylist()]
             if not outs:
                 return _empty_projection(man, out_order)
             return pa.concat_tables(outs)
@@ -547,6 +667,31 @@ class VersionedTable:
             except (OSError, pa.lib.ArrowInvalid):
                 return False
         return True
+
+
+def _load_fragment(root: str, man: dict, frag: dict,
+                   columns: list[str] | None,
+                   out_order: list[str] | None = None) -> pa.Table:
+    """One fragment's LIVE rows: projection routed across base/extras
+    files, deletion vector applied with one vectorized take."""
+    if out_order is None:
+        out_order = list(columns) if columns is not None else list(man["columns"])
+    base, extra_files = VersionedTable._route_columns(man, frag, columns)
+    arrays: dict[str, pa.ChunkedArray] = {}
+    if base:
+        bt = pq.read_table(os.path.join(root, frag["path"]), columns=base)
+        arrays.update({c: bt[c] for c in base})
+    for path, cols in extra_files:
+        ex = pq.read_table(os.path.join(root, path), columns=cols)
+        arrays.update({c: ex[c] for c in cols})
+    t = pa.table({c: arrays[c] for c in out_order})
+    if frag["deletion"]:
+        dead = pq.read_table(
+            os.path.join(root, frag["deletion"]))["pos"].to_numpy()
+        live = np.setdiff1d(np.arange(frag["rows"], dtype=np.int64), dead,
+                            assume_unique=True)
+        t = t.take(pa.array(live))
+    return t
 
 
 def _empty_projection(man: dict, out_order: list[str]) -> pa.Table:

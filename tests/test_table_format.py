@@ -177,6 +177,101 @@ class TestMaintenance:
         assert not table.validate()
 
 
+class TestCompact:
+    def _dirty(self, table):
+        table.add_columns(
+            lambda t: pa.table({"k2": pa.array(t["k"].to_numpy() * 2)}),
+            input_columns=["k"])
+        table.delete(lambda t: (t["k"].to_numpy() & 1) == 0, columns=["k"])
+
+    def test_compact_preserves_reads_and_offsets(self, table):
+        self._dirty(table)
+        before = table.read(columns=["k", "k2"]).to_pandas()
+        take_before = table.take([0, 60, 124], columns=["k", "k2"])
+        v = table.compact()
+        assert v == 5
+        after = table.read(columns=["k", "k2"]).to_pandas()
+        assert before.values.tolist() == after.values.tolist()
+        assert table.take([0, 60, 124], columns=["k", "k2"]).equals(take_before)
+
+    def test_compact_folds_state(self, table):
+        self._dirty(table)
+        table.compact()
+        man = table.manifest()
+        assert all(f["deletion"] is None and not f["extras"]
+                   and f["dead"] == 0 for f in man["fragments"])
+        # both 125-live-row fragments coalesce under the default target
+        assert len(man["fragments"]) == 1
+        assert man["stats"]["fragments_before"] == 2
+
+    def test_compact_respects_target_rows(self, table):
+        self._dirty(table)
+        table.compact(target_rows=60)
+        # 125 live rows in bins of <=60: frag1 (50 live) then frag2 (75)
+        # splits — consecutive-only binning, no reordering
+        assert table.count() == 125
+        got = table.read(columns=["k"]).to_pandas()["k"].tolist()
+        assert got == sorted(got)  # original fragment order was sorted
+
+    def test_compact_noop_returns_same_version(self, table):
+        v0 = table.latest_version()
+        assert table.compact(target_rows=120) == v0  # both frags clean & full
+        assert table.latest_version() == v0
+
+    def test_time_travel_across_compact(self, table):
+        self._dirty(table)
+        table.compact()
+        assert table.read(version=2).count() == 250  # pre-delete
+        assert table.read(version=4, columns=["k"]).count() == 125
+
+
+class TestMergeInsert:
+    def test_update_and_insert(self, table):
+        src = pa.table({
+            "k": pa.array([5, 10, 9000], pa.int64()),
+            "name": pa.array(["upd-5", "upd-10", "new-9000"], pa.string()),
+        })
+        v = table.merge_insert(src, on="k")
+        assert v == 3
+        got = table.read().to_pandas().set_index("k")["name"]
+        assert got.loc[5] == "upd-5" and got.loc[10] == "upd-10"
+        assert got.loc[9000] == "new-9000"
+        assert got.loc[6] == "row-6"  # untouched
+        assert table.count() == 251  # 250 - 2 updated + 3 source
+        st = table.manifest()["stats"]
+        assert st == {"updated_rows": 2, "inserted_rows": 1}
+        # one atomic version: old head unchanged
+        assert table.read(version=2).count() == 250
+
+    def test_key_matching_only_dead_rows_is_insert(self, table):
+        table.delete(lambda t: t["k"].to_numpy() == 7, columns=["k"])
+        src = pa.table({"k": pa.array([7], pa.int64()),
+                        "name": pa.array(["back-7"], pa.string())})
+        table.merge_insert(src, on="k")
+        assert table.manifest()["stats"] == {"updated_rows": 0,
+                                             "inserted_rows": 1}
+        got = table.read().to_pandas().set_index("k")["name"]
+        assert got.loc[7] == "back-7"
+
+    def test_source_must_cover_schema(self, table):
+        with pytest.raises(ValueError):
+            table.merge_insert(pa.table({"k": pa.array([1], pa.int64())}),
+                               on="k")
+
+    def test_merge_after_schema_evolution(self, table):
+        table.add_columns(
+            lambda t: pa.table({"k2": pa.array(t["k"].to_numpy() * 2)}),
+            input_columns=["k"])
+        src = pa.table({"k": pa.array([3], pa.int64()),
+                        "name": pa.array(["upd-3"], pa.string()),
+                        "k2": pa.array([6], pa.int64())})
+        table.merge_insert(src, on="k")
+        got = table.read(columns=["k", "name", "k2"]).to_pandas()
+        row = got[got["k"] == 3].iloc[0]
+        assert row["name"] == "upd-3" and row["k2"] == 6
+        assert len(got) == 250
+
+
 class TestDistributedWrites:
     def test_append_dataset_blocks_become_fragments(self, ray_session, tmp_path):
         import ray.data
