@@ -197,6 +197,30 @@ def q_lance_time_travel(sf_dir: str) -> pa.Table:
                      "n": pa.array(ns, pa.int64())})
 
 
+def q_flagship_lance(sf_dir: str):
+    """The flagship headline chain (phash geocode → raster-tile
+    assignment → exact PIP join) consuming the VERSIONED TABLE at its
+    latest version — the north rule's literal shape: 'spatial join +
+    tile assignment over Lance tables of image + caption pairs'. The
+    read streams one task per fragment with (image_id, caption, phash)
+    projection pushed down; compacted fragments, the merge's deletion
+    vectors, and the appended merge fragment all flow through the same
+    join."""
+    from geomedea_ray.sources.polygons import polygon_arrays
+    from geomedea_ray.stages.geocode import add_phash_lnglat, tile_batch
+    from geomedea_ray.stages.pip import pip_join
+
+    t = image_versioned_table(sf_dir)
+    ds = t.read(columns=["image_id", "caption", "phash"])
+    ds = ds.map_batches(add_phash_lnglat, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(tile_batch, fn_kwargs={"zoom": 6},
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return pip_join(ds, polygon_arrays(),
+                    id_cols=["image_id", "caption", "tile_x", "tile_y"],
+                    exact=True)
+
+
 def q_lance_take(sf_dir: str) -> pa.Table:
     """Point lookups by live offset at v4 (row-group-pruned reads
     through deletion vectors; extras column merged per probe). The
@@ -220,8 +244,14 @@ def _files_sql(sf_dir: str) -> str:
 #: shared CTE prefix modelling the version chain: base → app (v2) →
 #: live (v3/v4/v5) → src + merged (v6)
 def _chain_cte(sf_dir: str) -> str:
-    return f"""
-WITH base AS (SELECT image_id, fmt, caption, phash,
+    return "\nWITH " + _chain_body(sf_dir)
+
+
+def _chain_body(sf_dir: str) -> str:
+    """The chain CTE definitions WITHOUT the leading WITH — composable
+    after another CTE list (flagship_lance_sql splices it after the
+    image oracle fixture's ``img`` CTE)."""
+    return f"""base AS (SELECT image_id, fmt, caption, phash,
                      CAST(RIGHT(image_id, 12) AS BIGINT) AS rid
               FROM read_parquet({_files_sql(sf_dir)})),
 app  AS (SELECT 'app-' || image_id AS image_id, fmt, caption, phash, rid
@@ -251,6 +281,36 @@ def lance_read_latest_sql(sf_dir: str) -> str:
 
 def lance_compact_sql(sf_dir: str) -> str:
     return _chain_cte(sf_dir) + _GROUPED.format(rel="live")
+
+
+def flagship_lance_sql(sf_dir: str) -> str:
+    """PIP join + tile assignment over the v6 row set. lng/lat derive
+    only from phash (version-invariant), so the oracle joins each
+    merged row back to the image fixture (which carries the
+    single-process-derived lng/lat) via its base id — 'app-' copies
+    strip the prefix; captions come from the CHAIN (the merge's '+u'
+    suffix must flow into the join output)."""
+    from geomedea_ray.pipelines.image_sql import (
+        _pip_union,
+        _tile_exprs,
+        img_cte,
+    )
+
+    n = n_images_for(sf_dir)
+    tx, ty = _tile_exprs()
+    return (
+        img_cte(n)
+        + ", " + _chain_body(sf_dir)
+        + f""",
+t AS (SELECT m.image_id, m.caption, g.lng AS lng, g.lat AS lat,
+             {tx} AS tile_x, {ty} AS tile_y
+      FROM merged m JOIN img g
+        ON g.image_id = CASE WHEN m.image_id LIKE 'app-%'
+                             THEN substr(m.image_id, 5)
+                             ELSE m.image_id END)
+"""
+        + _pip_union("image_id, caption, tile_x, tile_y", "FROM t")
+    )
 
 
 def lance_time_travel_sql(sf_dir: str) -> str:
