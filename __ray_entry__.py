@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lance_take": V.q_lance_take,                # live-offset point lookups (row-group-pruned)
         "lance_compact": V.q_lance_compact,          # v5 read over fully rewritten layout == v4 oracle
         "flagship_lance": V.q_flagship_lance,        # headline spatial join CONSUMING the versioned table (north rule)
+        "lance_filtered": V.q_lance_filtered,        # zone-map-pruned scalar-filtered scan
     }
     # The driver's correctness gate only checks the FIRST 50 entries of
     # this dict each round (round-3 verdict: the image/media/ANN/text
@@ -284,7 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact", "decontaminate", "pack_sequences", "doc_repetition",
         # Lance-semantics versioned table (NEW in r4 — needs driver rows)
         "lance_read_latest", "lance_time_travel", "lance_take",
-        "lance_compact", "flagship_lance",
+        "lance_compact", "flagship_lance", "lance_filtered",
         # spatial core (reference parity — keep in every window)
         "bbox_select", "bbox_select_http", "spatial_count", "knn",
         "knn_indexed", "pip_join",
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
             "lance_take": V.lance_take_sql(sf),
             "lance_compact": V.lance_compact_sql(sf),
             "flagship_lance": V.flagship_lance_sql(sf),
+            "lance_filtered": V.lance_filtered_sql(sf),
         }
 
     # fixture-backed oracle groups materialize cached parquet on first

@@ -115,6 +115,12 @@ BENCH_QUERIES = [
     "events_sample_bottomk",   # fixed-size bottom-k uniform sample
     "top_events_per_user",     # windowed top-k per group
     "csv_points_select",       # CSV+WKT source bridge
+    "bbox_select_http",        # real-socket HTTP range-read path (round 4)
+    "fgb_points_select",       # FlatGeobuf ingest bridge (round 4)
+    "tile_counts_hot",         # salted hot-cell skew aggregate (round 4)
+    "lance_read_latest",       # versioned-table v6 read: compact+merge layout (round 4)
+    "lance_take",              # row-group-pruned point lookups (round 4)
+    "flagship_lance",          # headline chain over the versioned table (round 4)
 ]
 
 #: Q=500 kNN workload (seeded)

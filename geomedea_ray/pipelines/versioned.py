@@ -128,7 +128,7 @@ def image_versioned_table(sf_dir: str) -> VersionedTable:
 
     # rev suffix: bump when the version-chain derivation changes —
     # validation can't detect a predicate change in an existing build
-    root = cached_dir(os.path.join(CACHE_ROOT, f"images_lance_n{n}_r3"),
+    root = cached_dir(os.path.join(CACHE_ROOT, f"images_lance_n{n}_r4"),
                       _build, _valid)
     return VersionedTable(root)
 
@@ -138,12 +138,14 @@ def image_versioned_table(sf_dir: str) -> VersionedTable:
 # ----------------------------------------------------------------------
 
 
-def _grouped_by_fmt(t: VersionedTable, version: int | None) -> pa.Table:
+def _grouped_by_fmt(t: VersionedTable, version: int | None,
+                    filter: tuple | None = None) -> pa.Table:
     """Grouped aggregate over (fmt, caption_len, phash) at ``version``
     — one streaming pass, per-block partials, driver combine of ≤ 3
     rows/fragment (fmt has 3 values: contract-small, the tile_counts
     TREE rationale)."""
-    ds = t.read(version=version, columns=["fmt", "caption_len", "phash"])
+    ds = t.read(version=version, columns=["fmt", "caption_len", "phash"],
+                filter=filter)
 
     def _partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -175,6 +177,22 @@ def q_lance_read_latest(sf_dir: str) -> pa.Table:
     deletions + the merge's appended fragment, schema-evolution column
     live in both physical layouts), grouped by fmt."""
     return _grouped_by_fmt(image_versioned_table(sf_dir), None)
+
+
+#: lance_filtered range — the base-id band ['app-…' copies sort below
+#: 'img-', so they are excluded by the SAME comparison in both engines]
+FILTER_LO, FILTER_HI = "img-000000001000", "img-000000002999"
+
+
+def q_lance_filtered(sf_dir: str) -> pa.Table:
+    """Scalar-filtered scan at the latest version: manifest zone maps
+    prune fragments whose [min, max] image_id band misses the range
+    BEFORE any task is scheduled (at sf0.01 that drops the app-copy
+    bins and far base bins); the exact inclusive-range mask applies
+    per fragment. The filter column is NOT projected — pushdown adds
+    it to the fragment read and drops it after the mask."""
+    return _grouped_by_fmt(image_versioned_table(sf_dir), None,
+                           filter=("image_id", FILTER_LO, FILTER_HI))
 
 
 def q_lance_compact(sf_dir: str) -> pa.Table:
@@ -281,6 +299,12 @@ def lance_read_latest_sql(sf_dir: str) -> str:
 
 def lance_compact_sql(sf_dir: str) -> str:
     return _chain_cte(sf_dir) + _GROUPED.format(rel="live")
+
+
+def lance_filtered_sql(sf_dir: str) -> str:
+    rel = (f"(SELECT * FROM merged WHERE image_id BETWEEN "
+           f"'{FILTER_LO}' AND '{FILTER_HI}')")
+    return _chain_cte(sf_dir) + _GROUPED.format(rel=rel)
 
 
 def flagship_lance_sql(sf_dir: str) -> str:

@@ -59,6 +59,47 @@ class CommitConflict(RuntimeError):
     """Another writer committed this version first — re-derive and retry."""
 
 
+#: column types eligible for fragment zone-map stats (JSON-storable,
+#: totally ordered). Binary/nested columns carry no stats (no prune).
+_STATS_TYPES = (pa.types.is_integer, pa.types.is_floating,
+                pa.types.is_string, pa.types.is_large_string,
+                pa.types.is_boolean)
+
+
+def _table_stats(t: pa.Table) -> dict[str, list]:
+    """Exact per-column [min, max] over a fragment's PHYSICAL rows —
+    computed from the in-memory table at write time (never from
+    Parquet footer stats, whose string min/max may be truncated).
+    Physical-row bounds are a superset of live-row bounds, so pruning
+    against them is always safe under deletion vectors."""
+    import pyarrow.compute as pc
+
+    out: dict[str, list] = {}
+    for name in t.column_names:
+        col = t[name]
+        if not any(p(col.type) for p in _STATS_TYPES):
+            continue
+        if col.null_count == len(col) or len(col) == 0:
+            continue
+        mm = pc.min_max(col)
+        out[name] = [mm["min"].as_py(), mm["max"].as_py()]
+    return out
+
+
+def _stats_overlap(stats: dict[str, list] | None, col: str,
+                   lo, hi) -> bool:
+    """True if the fragment MAY contain rows with ``col`` in [lo, hi]
+    — missing stats (old manifests, ineligible types) never prune."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    if lo is not None and mx < lo:
+        return False
+    if hi is not None and mn > hi:
+        return False
+    return True
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -165,7 +206,8 @@ class VersionedTable:
         name = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(tbl, os.path.join(self.root, self.DATA, name))
         return self._append_descriptors(
-            man, [{"path": f"{self.DATA}/{name}", "rows": tbl.num_rows}],
+            man, [{"path": f"{self.DATA}/{name}", "rows": tbl.num_rows,
+                   "stats": _table_stats(tbl)}],
             self._cols_of(tbl.schema))
 
     def append_files(self, paths: list[str],
@@ -182,7 +224,7 @@ class VersionedTable:
         root, data, deletes = self.root, self.DATA, self.DELETES
 
         def _one(batch: pa.Table) -> pa.Table:
-            outs = {"ord": [], "path": [], "rows": []}
+            outs = {"ord": [], "path": [], "rows": [], "stats": []}
             for row in batch.to_pylist():
                 t = pq.read_table(row["src"])
                 if fn is not None:
@@ -192,9 +234,11 @@ class VersionedTable:
                 outs["ord"].append(row["ord"])
                 outs["path"].append(f"{data}/{name}")
                 outs["rows"].append(t.num_rows)
+                outs["stats"].append(json.dumps(_table_stats(t)))
             return pa.table({"ord": pa.array(outs["ord"], pa.int64()),
                              "path": pa.array(outs["path"], pa.string()),
-                             "rows": pa.array(outs["rows"], pa.int64())})
+                             "rows": pa.array(outs["rows"], pa.int64()),
+                             "stats": pa.array(outs["stats"], pa.string())})
 
         items = [{"ord": i, "src": p} for i, p in enumerate(paths)]
         descs = (ray.data.from_items(items, override_num_blocks=len(items))
@@ -203,7 +247,8 @@ class VersionedTable:
         descs.sort(key=lambda d: d["ord"])
         first = pq.ParquetFile(os.path.join(self.root, descs[0]["path"]))
         return self._append_descriptors(
-            man, [{"path": d["path"], "rows": d["rows"]} for d in descs],
+            man, [{"path": d["path"], "rows": d["rows"],
+                   "stats": json.loads(d["stats"])} for d in descs],
             self._cols_of(first.schema_arrow))
 
     def append_dataset(self, ds) -> int:
@@ -216,14 +261,17 @@ class VersionedTable:
             name = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
             pq.write_table(batch, os.path.join(root, data, name))
             return pa.table({"path": pa.array([f"{data}/{name}"]),
-                             "rows": pa.array([batch.num_rows], pa.int64())})
+                             "rows": pa.array([batch.num_rows], pa.int64()),
+                             "stats": pa.array([json.dumps(
+                                 _table_stats(batch))], pa.string())})
 
         descs = ds.map_batches(_write, batch_format="pyarrow",
                                batch_size=None).take_all()
         schema = pq.ParquetFile(
             os.path.join(root, descs[0]["path"])).schema_arrow
         return self._append_descriptors(
-            man, [{"path": d["path"], "rows": d["rows"]} for d in descs],
+            man, [{"path": d["path"], "rows": d["rows"],
+                   "stats": json.loads(d["stats"])} for d in descs],
             self._cols_of(schema))
 
     def _append_descriptors(self, man: dict, descs: list[dict],
@@ -236,7 +284,8 @@ class VersionedTable:
         nid = self._next_fragment_id(man)
         frags = list(man["fragments"]) + [
             {"id": nid + i, "path": d["path"], "rows": int(d["rows"]),
-             "deletion": None, "dead": 0, "extras": []}
+             "deletion": None, "dead": 0, "extras": [],
+             "stats": d.get("stats") or {}}
             for i, d in enumerate(descs)
         ]
         return self._commit({
@@ -341,14 +390,15 @@ class VersionedTable:
 
         frags = self._deleted_fragments(man, _matched, columns=[on])
         name = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
-        pq.write_table(source.select(list(cols)),
-                       os.path.join(self.root, self.DATA, name))
+        src = source.select(list(cols))
+        pq.write_table(src, os.path.join(self.root, self.DATA, name))
         updated = sum(f["dead"] for f in frags) - sum(
             f["dead"] for f in man["fragments"])
         frags.append({"id": self._next_fragment_id(man),
                       "path": f"{self.DATA}/{name}",
                       "rows": source.num_rows,
-                      "deletion": None, "dead": 0, "extras": []})
+                      "deletion": None, "dead": 0, "extras": [],
+                      "stats": _table_stats(src)})
         return self._commit({
             "version": man["version"] + 1, "parent": man["version"],
             "operation": "merge_insert",
@@ -395,7 +445,7 @@ class VersionedTable:
             return man["version"]
 
         def _one(batch: pa.Table) -> pa.Table:
-            out = {"ord": [], "path": [], "rows": []}
+            out = {"ord": [], "path": [], "rows": [], "stats": []}
             for row in batch.to_pylist():
                 members = json.loads(row["members"])
                 t = pa.concat_tables(
@@ -407,9 +457,11 @@ class VersionedTable:
                 out["ord"].append(row["ord"])
                 out["path"].append(f"{data}/{name}")
                 out["rows"].append(t.num_rows)
+                out["stats"].append(json.dumps(_table_stats(t)))
             return pa.table({"ord": pa.array(out["ord"], pa.int64()),
                              "path": pa.array(out["path"], pa.string()),
-                             "rows": pa.array(out["rows"], pa.int64())})
+                             "rows": pa.array(out["rows"], pa.int64()),
+                             "stats": pa.array(out["stats"], pa.string())})
 
         items = [{"ord": i, "members": json.dumps(b)} for i, b in jobs]
         descs = (ray.data.from_items(items, override_num_blocks=len(items))
@@ -423,7 +475,8 @@ class VersionedTable:
                 d = by_ord[i]
                 frags.append({"id": nid, "path": d["path"],
                               "rows": int(d["rows"]), "deletion": None,
-                              "dead": 0, "extras": []})
+                              "dead": 0, "extras": [],
+                              "stats": json.loads(d["stats"])})
                 nid += 1
             else:
                 frags.append(dict(b[0]))
@@ -450,7 +503,7 @@ class VersionedTable:
         root, extras = self.root, self.EXTRAS
 
         def _one(batch: pa.Table) -> pa.Table:
-            out = {"id": [], "path": [], "cols": []}
+            out = {"id": [], "path": [], "cols": [], "stats": []}
             for row in batch.to_pylist():
                 t = pq.read_table(os.path.join(root, row["path"]),
                                   columns=input_columns)
@@ -464,9 +517,11 @@ class VersionedTable:
                 out["id"].append(row["id"])
                 out["path"].append(f"{extras}/{name}")
                 out["cols"].append(json.dumps(add.column_names))
+                out["stats"].append(json.dumps(_table_stats(add)))
             return pa.table({"id": pa.array(out["id"], pa.int64()),
                              "path": pa.array(out["path"], pa.string()),
-                             "cols": pa.array(out["cols"], pa.string())})
+                             "cols": pa.array(out["cols"], pa.string()),
+                             "stats": pa.array(out["stats"], pa.string())})
 
         items = [{"id": f["id"], "path": f["path"]} for f in man["fragments"]]
         descs = (ray.data.from_items(items, override_num_blocks=max(1, len(items)))
@@ -483,7 +538,8 @@ class VersionedTable:
                 new_cols[c] = str(pf.schema_arrow.field(c).type)
             frags.append(dict(
                 f, extras=list(f["extras"]) + [{"path": d["path"],
-                                                "columns": cols}]))
+                                                "columns": cols,
+                                                "stats": json.loads(d["stats"])}]))
         dup = set(new_cols) & set(man["columns"])
         if dup:
             raise ValueError(f"add_columns would shadow existing {sorted(dup)}")
@@ -526,12 +582,42 @@ class VersionedTable:
             by_file.setdefault(extra_of[c], []).append(c)
         return base, sorted(by_file.items())
 
+    def prune_plan(self, version: int | None = None,
+                   filter: tuple | None = None) -> tuple[list[dict], int]:
+        """(fragments that may match, fragments pruned) for a range
+        filter ``(col, lo, hi)`` — manifest zone maps only, zero I/O.
+        A fragment's stats live on its data descriptor for base columns
+        and on the extras entry for schema-evolution columns; missing
+        stats never prune (old manifests / ineligible types)."""
+        man = self.manifest(version)
+        frags = man["fragments"]
+        if filter is None:
+            return list(frags), 0
+        col, lo, hi = filter
+        if col not in man["columns"]:
+            raise KeyError(f"filter column {col!r} not in table")
+        kept = []
+        for f in frags:
+            stats = dict(f.get("stats") or {})
+            for ex in f["extras"]:
+                stats.update(ex.get("stats") or {})
+            if _stats_overlap(stats, col, lo, hi):
+                kept.append(f)
+        return kept, len(frags) - len(kept)
+
     def read(self, version: int | None = None,
-             columns: list[str] | None = None):
+             columns: list[str] | None = None,
+             filter: tuple | None = None):
         """The table at ``version`` as a streaming Ray Dataset — one
         task per fragment; projection pushed into the Parquet reads;
         deletion vectors applied with one vectorized ``take`` per
-        fragment. Output column order follows ``columns``."""
+        fragment. Output column order follows ``columns``.
+
+        ``filter=(col, lo, hi)`` is an inclusive range predicate
+        (``None`` bound = unbounded) applied EXACTLY per fragment,
+        with manifest zone maps pruning non-overlapping fragments
+        before any task is scheduled — Lance's scalar-filtered scan.
+        The filter column need not be projected."""
         import ray.data
 
         man = self.manifest(version)
@@ -544,16 +630,25 @@ class VersionedTable:
         if unknown:
             raise KeyError(f"unknown column(s) {unknown}; "
                            f"table has {sorted(man['columns'])}")
+        read_cols = out_order
+        if filter is not None and filter[0] not in out_order:
+            read_cols = out_order + [filter[0]]
+        read_arg = None if columns is None and len(read_cols) == len(
+            man["columns"]) else read_cols
 
         def _load(batch: pa.Table) -> pa.Table:
-            outs = [_load_fragment(root, man, json.loads(row["frag"]),
-                                   columns, out_order)
-                    for row in batch.to_pylist()]
+            outs = []
+            for row in batch.to_pylist():
+                t = _load_fragment(root, man, json.loads(row["frag"]),
+                                   read_arg, read_cols)
+                if filter is not None:
+                    t = _apply_range(t, *filter).select(out_order)
+                outs.append(t)
             if not outs:
                 return _empty_projection(man, out_order)
             return pa.concat_tables(outs)
 
-        frags = man["fragments"]
+        frags, _ = self.prune_plan(version, filter)
         if not frags:
             return ray.data.from_arrow(_empty_projection(man, out_order))
         items = [{"frag": json.dumps(f)} for f in frags]
@@ -667,6 +762,19 @@ class VersionedTable:
             except (OSError, pa.lib.ArrowInvalid):
                 return False
         return True
+
+
+def _apply_range(t: pa.Table, col: str, lo, hi) -> pa.Table:
+    """Exact inclusive-range mask (NULLs never match)."""
+    import pyarrow.compute as pc
+
+    mask = None
+    if lo is not None:
+        mask = pc.greater_equal(t[col], lo)
+    if hi is not None:
+        m2 = pc.less_equal(t[col], hi)
+        mask = m2 if mask is None else pc.and_(mask, m2)
+    return t if mask is None else t.filter(pc.fill_null(mask, False))
 
 
 def _load_fragment(root: str, man: dict, frag: dict,

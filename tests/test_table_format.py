@@ -272,6 +272,60 @@ class TestMergeInsert:
         assert len(got) == 250
 
 
+class TestFilterPushdown:
+    def test_prune_plan_drops_disjoint_fragments(self, table):
+        # fragment 1: k in [0,100); fragment 2: k in [100,250)
+        kept, pruned = table.prune_plan(filter=("k", 120, 200))
+        assert pruned == 1 and len(kept) == 1
+        assert kept[0]["stats"]["k"] == [100, 249]
+
+    def test_filtered_read_exact(self, table):
+        got = table.read(columns=["k"], filter=("k", 95, 105)).to_pandas()
+        assert sorted(got["k"]) == list(range(95, 106))
+
+    def test_filter_column_not_projected(self, table):
+        got = table.read(columns=["name"], filter=("k", 0, 2)).to_pandas()
+        assert sorted(got["name"]) == ["row-0", "row-1", "row-2"]
+        assert list(got.columns) == ["name"]
+
+    def test_filter_respects_deletions(self, table):
+        table.delete(lambda t: (t["k"].to_numpy() & 1) == 0, columns=["k"])
+        got = table.read(columns=["k"], filter=("k", 0, 10)).to_pandas()
+        assert sorted(got["k"]) == [1, 3, 5, 7, 9]
+
+    def test_open_bounds(self, table):
+        assert table.read(columns=["k"], filter=("k", 240, None)).count() == 10
+        assert table.read(columns=["k"], filter=("k", None, 9)).count() == 10
+
+    def test_extras_column_stats_prune(self, table):
+        table.add_columns(
+            lambda t: pa.table({"k2": pa.array(t["k"].to_numpy() * 2)}),
+            input_columns=["k"])
+        kept, pruned = table.prune_plan(filter=("k2", 0, 100))
+        assert pruned == 1  # fragment 2's k2 range is [200, 498]
+        got = table.read(columns=["k"], filter=("k2", 0, 100)).to_pandas()
+        assert sorted(got["k"]) == list(range(51))
+
+    def test_compact_rebuilds_stats(self, table):
+        table.delete(lambda t: t["k"].to_numpy() >= 200, columns=["k"])
+        table.compact()
+        man = table.manifest()
+        assert man["fragments"][0]["stats"]["k"] == [0, 199]
+
+    def test_missing_stats_never_prune(self, table):
+        # simulate an old manifest without zone maps
+        man = table.manifest()
+        for f in man["fragments"]:
+            f.pop("stats", None)
+        man.update(version=man["version"] + 1, parent=man["version"],
+                   operation="append")
+        table._commit(man)
+        kept, pruned = table.prune_plan(filter=("k", 0, 1))
+        assert pruned == 0 and len(kept) == 2
+        got = table.read(columns=["k"], filter=("k", 0, 1)).to_pandas()
+        assert sorted(got["k"]) == [0, 1]
+
+
 class TestDistributedWrites:
     def test_append_dataset_blocks_become_fragments(self, ray_session, tmp_path):
         import ray.data

@@ -43,6 +43,11 @@ def main():
     import ray
 
     args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
     if "--determinism" in args:
         args.remove("--determinism")
         sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
@@ -68,6 +73,15 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
+
+    def _rec(name, **kw):
+        row = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None,
+               "wall_s": None}
+        row.update(kw)
+        results[name] = row
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,21 +90,27 @@ def main():
             got = to_pandas(fn(sf_dir))
         except Exception as exc:
             print(f"FAIL {name}: ray error {type(exc).__name__}: {exc}")
+            _rec(name, err=f"ray_error: {type(exc).__name__}")
             n_fail += 1
             continue
-        dt = time.time() - t0
+        dt = round(time.time() - t0, 2)
         if name not in sqls:
             print(f"ok   {name}: rows-only, {len(got)} rows ({dt:.1f}s)")
+            _rec(name, spark_rows=len(got), err="no_oracle", wall_s=dt)
             n_pass += 1
             continue
         want = con.execute(sqls[name]).fetchdf()
         gcols, wcols = sorted(got.columns), sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} vs {wcols}")
+            _rec(name, schema_match=False, spark_rows=len(got),
+                 oracle_rows=len(want), wall_s=dt)
             n_fail += 1
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            _rec(name, rows_match=False, schema_match=True,
+                 spark_rows=len(got), oracle_rows=len(want), wall_s=dt)
             n_fail += 1
             continue
         gh, wh = value_hash(got), value_hash(want)
@@ -100,11 +120,21 @@ def main():
                 want[sorted(want.columns)].astype(str).value_counts(), fill_value=0
             )
             print(merged[merged != 0].head(6))
+            _rec(name, rows_match=True, schema_match=True, hash_match=False,
+                 spark_rows=len(got), oracle_rows=len(want), wall_s=dt)
             n_fail += 1
             continue
         print(f"ok   {name}: {len(got)} rows, hash match ({dt:.1f}s)")
+        _rec(name, rows_match=True, schema_match=True, hash_match=True,
+             spark_rows=len(got), oracle_rows=len(want), wall_s=dt)
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
