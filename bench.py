@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "lance_read_latest",       # versioned-table v6 read: compact+merge layout (round 4)
     "lance_take",              # row-group-pruned point lookups (round 4)
     "flagship_lance",          # headline chain over the versioned table (round 4)
+    "lance_filtered",          # zone-map-pruned scalar-filtered scan (round 4)
 ]
 
 #: Q=500 kNN workload (seeded)

@@ -718,6 +718,20 @@ class VersionedTable:
     # maintenance
     # ------------------------------------------------------------------
 
+    def restore(self, version: int) -> int:
+        """Lance ``restore``: make ``version``'s state the NEW head —
+        committed as a fresh version (history is never rewritten, so
+        a bad job's writes roll back without destroying audit trail).
+        Zero data movement: the new manifest references the old
+        version's files."""
+        old = self.manifest(version)
+        head = self.manifest()
+        return self._commit({
+            "version": head["version"] + 1, "parent": head["version"],
+            "operation": "restore", "restored_from": version,
+            "columns": old["columns"], "fragments": old["fragments"],
+        }, expect_version=head["version"] + 1)
+
     def cleanup(self) -> list[str]:
         """Delete data/deletes/extras files referenced by NO manifest
         (orphans from retried write tasks). Returns removed paths."""

@@ -162,6 +162,24 @@ class TestCommitProtocol:
             table.append_table(pa.table({"z": pa.array([1.0])}))
 
 
+class TestRestore:
+    def test_restore_rolls_back_without_rewriting_history(self, table):
+        table.delete(lambda t: t["k"].to_numpy() < 200, columns=["k"])
+        assert table.count() == 50
+        v = table.restore(2)  # pre-delete head
+        assert v == 4
+        assert table.count() == 250
+        assert table.read(version=3).count() == 50  # history intact
+        man = table.manifest()
+        assert man["operation"] == "restore" and man["restored_from"] == 2
+
+    def test_restore_then_write_continues_chain(self, table):
+        table.delete(lambda t: t["k"].to_numpy() < 200, columns=["k"])
+        table.restore(2)
+        table.append_table(_tbl(250, 260))
+        assert table.count() == 260
+
+
 class TestMaintenance:
     def test_cleanup_removes_only_orphans(self, table):
         orphan = os.path.join(table.root, "data", "frag-orphan.parquet")
