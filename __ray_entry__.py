@@ -286,12 +286,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lance-semantics versioned table (NEW in r4 — needs driver rows)
         "lance_read_latest", "lance_time_travel", "lance_take",
         "lance_compact", "flagship_lance", "lance_filtered",
-        # spatial core (reference parity — keep in every window)
+        # spatial core (reference parity — keep in every window).
+        # tile_counts / tile_pyramid_deep / knn_indexed were driver-green
+        # in r3 and rotate OUT this round so the round-4 queries
+        # (geojson_roundtrip's new digest oracle, tile_counts_hot,
+        # fgb_points_select, bbox_select_http) land inside the window.
         "bbox_select", "bbox_select_http", "spatial_count", "knn",
-        "knn_indexed", "pip_join",
-        "tile_counts", "tile_pyramid_deep", "hilbert_scan", "props_select",
+        "pip_join",
+        "hilbert_scan", "props_select",
         "cell_compact", "fgb_points_select", "geojson_roundtrip",
         "tile_counts_hot",
+        "tile_counts", "tile_pyramid_deep", "knn_indexed",
         # relational representatives (full family was green in r3; rotate)
         "q1_pricing", "lineitem_order_join", "hot_user_events_join",
         "orders_scd2", "user_retention", "price_quantiles",
