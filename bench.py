@@ -262,6 +262,14 @@ def _consume(res) -> int:
 def _init_ray(num_cpus: int):
     import ray
 
+    if ray.is_initialized():
+        return
+    if os.environ.get("GRAFT_USE_CLUSTER") == "1":
+        # running as a submitted Ray job (tools/submit_job.py): attach
+        # to the EXISTING cluster instead of booting a nested local one
+        ray.init(address="auto", include_dashboard=False,
+                 logging_level="ERROR")
+        return
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -40,6 +40,7 @@ class _BatchTopK:
         self.k = k
         self.id_col = id_col
         self.metric = metric
+        self._ws: tuple | None = None  # persistent distance workspace
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lng = batch["lng"].to_numpy(zero_copy_only=False)
@@ -49,22 +50,44 @@ class _BatchTopK:
         k = min(self.k, len(lng))
         if k and self.metric == "planar" and len(self.queries) > 1:
             # vectorized multi-query path: (n × Qchunk) distance matrix,
-            # one axis-0 argpartition — no per-query Python loop. The
-            # query dimension is CHUNKED so the matrix stays ≤ ~320 MB
-            # regardless of how many query points an nn-join broadcasts.
+            # one axis-0 partition — no per-query Python loop. The query
+            # dimension is tiled so each matrix stays ≤ ~4 MB, and the
+            # matrices live in a PERSISTENT per-worker workspace written
+            # with out= (cached_instance keeps this object alive): the
+            # original 320 MB-of-fresh-temporaries version paid
+            # first-touch page faults on every batch in every worker —
+            # on this VM page zeroing serializes host-side, and 25
+            # workers faulting concurrently turned a 0.3 s/batch kernel
+            # into a 117 s stage (measured round 4; 14× with buffers)
             qarr = np.asarray([(q[1], q[2]) for q in self.queries], np.float64)
             qids_all = np.asarray([q[0] for q in self.queries], np.int64)
-            qchunk = max(1, int(4e7 // max(len(lng), 1)))
+            n = len(lng)
+            qchunk = min(len(qarr), max(1, int(5e5 // max(n, 1))))
+            if (self._ws is None or self._ws[0].shape[0] < n
+                    or self._ws[0].shape[1] < qchunk):
+                shape = (max(n, 16384), qchunk)
+                self._ws = (np.empty(shape, np.float64),
+                            np.empty(shape, np.float64),
+                            np.empty(shape, np.float64))
+            dxb, dyb, pb = self._ws
             for off in range(0, len(qarr), qchunk):
                 qa = qarr[off: off + qchunk]
-                dx = lng[:, None] - qa[None, :, 0]
-                dy = lat[:, None] - qa[None, :, 1]
-                d = dx * dx + dy * dy                      # (n, Qc)
+                qc = len(qa)
+                d = dxb[:n, :qc]
+                dy = dyb[:n, :qc]
+                np.subtract(lng[:, None], qa[None, :, 0], out=d)
+                np.subtract(lat[:, None], qa[None, :, 1], out=dy)
+                np.multiply(d, d, out=d)
+                np.multiply(dy, dy, out=dy)
+                np.add(d, dy, out=d)                       # (n, Qc)
                 # keep EVERY row tied with the k-th distance — a plain
                 # argpartition[:k] drops an arbitrary tied row, making
                 # candidate generation batch-layout dependent and able
                 # to lose the lower-id row the final tie-break wants
-                kth = np.partition(d, k - 1, axis=0)[k - 1]    # (Qc,)
+                p = pb[:n, :qc]
+                p[...] = d
+                p.partition(k - 1, axis=0)
+                kth = p[k - 1]                             # (Qc,)
                 rows, cols = np.nonzero(d <= kth[None, :])
                 out_qid.append(qids_all[off + cols])
                 out_id.append(ids[rows])
