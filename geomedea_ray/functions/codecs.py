@@ -115,17 +115,45 @@ def average_phash_batch(stack: np.ndarray) -> np.ndarray:
         return (bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
 
 
+#: grow-only per-process scratch arrays. On this VM first-touch page
+#: zeroing runs at ~11-16 MB/s (measured round 4) while warm memory is
+#: full speed; a stage that allocates a fresh multi-MB array per batch
+#: pays that fault cost on EVERY batch (glibc munmaps large frees), so
+#: hot decode/stat stages borrow persistent buffers instead — faults
+#: are paid once per worker process (same fix as stages/knn._BatchTopK:
+#: 12 s -> 0.23 s per cold batch call).
+_WS: dict = {}
+
+
+def workspace(key: str, dtype, n: int) -> np.ndarray:
+    """A reusable 1-D scratch array of ≥ n elements (contents
+    undefined). Valid only until the next workspace(key, ...) call —
+    callers must fully consume it within their own batch iteration."""
+    arr = _WS.get((key, np.dtype(dtype).str))
+    if arr is None or arr.size < n:
+        arr = np.empty(n, dtype)
+        _WS[(key, np.dtype(dtype).str)] = arr
+    return arr[:n]
+
+
 def decode_size_groups(blobs, fmts, ws, hs):
     """Decode a heterogeneous batch and yield ``(row_indices, stack)``
     per distinct (h, w) — same-size images stacked into one
     (k, h, w, 3) array so downstream stats/hash/resize run vectorized
     over the stack instead of per row. Per-row work is only the zlib
-    call (C code); all numpy math moves to stack granularity."""
+    call (C code); all numpy math moves to stack granularity.
+
+    The stack is a WORKSPACE view: valid until the next group is
+    yielded — consumers must finish with it inside their loop body
+    (all in-repo consumers do; they scatter per-group results into
+    batch-sized outputs)."""
     groups: dict[tuple[int, int], list[int]] = {}
     for i, (hh, ww) in enumerate(zip(hs, ws)):
         groups.setdefault((int(hh), int(ww)), []).append(i)
     for (hh, ww), idxs in groups.items():
-        stack = np.empty((len(idxs), hh, ww, 3), dtype=np.uint8)
+        k = len(idxs)
+        stack = workspace("decode_stack", np.uint8,
+                          k * hh * ww * 3).reshape(k, hh, ww, 3)
         for j, i in enumerate(idxs):
             stack[j] = decode(blobs[i], fmts[i], ww, hh)
         yield np.asarray(idxs, dtype=np.int64), stack

@@ -216,7 +216,10 @@ def image_tile_mosaic(sf_dir: str, zoom: int = 6):
         for idxs, stack in codecs.decode_size_groups(blobs, fmts, ws, hs):
             k, h, w, _ = stack.shape
             bh, bw = h // 8, w // 8
-            g = stack.sum(axis=3, dtype=np.uint16)
+            # workspace output (codecs.workspace: first-touch faults)
+            g = codecs.workspace("g_u16", np.uint16,
+                                 k * h * w).reshape(k, h, w)
+            stack.sum(axis=3, dtype=np.uint16, out=g)
             s = g.reshape(k, 8, bh, 8, bw).sum(axis=4, dtype=np.uint32)
             tq[idxs] = s.sum(axis=2, dtype=np.uint32).reshape(k, 64)
         lng, lat = lnglat_from_phash(batch["phash"].to_numpy())

@@ -73,8 +73,12 @@ class DecodeStats:
             s1 = flat.sum(axis=1, dtype=np.int64)
             # square in uint16 (255² = 65025 < 2¹⁶) then widen only in
             # the reduction — einsum with dtype=int64 would materialize
-            # an 8-byte copy of every pixel first (~8× the DRAM traffic)
-            sq = np.square(flat, dtype=np.uint16)
+            # an 8-byte copy of every pixel first (~8× the DRAM traffic).
+            # Workspace output: a fresh 2 B/px array per batch would pay
+            # this VM's pathological first-touch fault cost every batch.
+            sq = codecs.workspace("sq_u16", np.uint16,
+                                  flat.size).reshape(flat.shape)
+            np.square(flat, out=sq, dtype=np.uint16)
             s2 = sq.sum(axis=1, dtype=np.int64)
             mean = s1 / npx
             mean_px[idxs] = mean
@@ -111,8 +115,11 @@ class Thumbnail:
         for idxs, stack in codecs.decode_size_groups(blobs, fmts, ws, hs):
             k, h, w, _ = stack.shape
             bh, bw = h // 8, w // 8
-            # integer block sums (contiguous-axis), float only at the end
-            g = stack.sum(axis=3, dtype=np.uint16)                          # (k,h,w), ≤765
+            # integer block sums (contiguous-axis), float only at the end;
+            # workspace output (see codecs.workspace: first-touch faults)
+            g = codecs.workspace("g_u16", np.uint16,
+                                 k * h * w).reshape(k, h, w)
+            stack.sum(axis=3, dtype=np.uint16, out=g)                       # ≤765
             s = g.reshape(k, 8, bh, 8, bw).sum(axis=4, dtype=np.uint32)
             thumb = s.sum(axis=2, dtype=np.uint32).astype(np.float32) / (3 * bh * bw)
             feats[idxs] = thumb.reshape(k, 64)
