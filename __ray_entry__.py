@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lance_compact": V.q_lance_compact,          # v5 read over fully rewritten layout == v4 oracle
         "flagship_lance": V.q_flagship_lance,        # headline spatial join CONSUMING the versioned table (north rule)
         "lance_filtered": V.q_lance_filtered,        # zone-map-pruned scalar-filtered scan
+        "lance_incremental": V.q_lance_incremental,  # appended-row deltas between versions (checkpointed consumer)
     }
     # The driver's correctness gate only checks the FIRST 50 entries of
     # this dict each round (round-3 verdict: the image/media/ANN/text
@@ -286,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lance-semantics versioned table (NEW in r4 — needs driver rows)
         "lance_read_latest", "lance_time_travel", "lance_take",
         "lance_compact", "flagship_lance", "lance_filtered",
+        "lance_incremental",
         # spatial core (reference parity — keep in every window).
         # tile_counts / tile_pyramid_deep / knn_indexed were driver-green
         # in r3 and rotate OUT this round so the round-4 queries
@@ -334,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
             "lance_compact": V.lance_compact_sql(sf),
             "flagship_lance": V.flagship_lance_sql(sf),
             "lance_filtered": V.lance_filtered_sql(sf),
+            "lance_incremental": V.lance_incremental_sql(sf),
         }
 
     # fixture-backed oracle groups materialize cached parquet on first

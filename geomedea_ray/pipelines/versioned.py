@@ -239,6 +239,41 @@ def q_flagship_lance(sf_dir: str):
                     exact=True)
 
 
+def q_lance_incremental(sf_dir: str) -> pa.Table:
+    """Incremental consumption: the appended-row deltas of the two
+    row-adding commits (v1→v2 filtered append, v5→v6 merge_insert),
+    each grouped by fmt — the checkpointed-consumer shape: only NEW
+    fragments are streamed, the corpus is never rescanned."""
+    import pandas as pd
+
+    t = image_versioned_table(sf_dir)
+    outs = []
+    for step, (a, b) in (("v1_v2", (1, 2)), ("v5_v6", (5, 6))):
+        ds = t.read_incremental(a, b, columns=["fmt", "phash"])
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "fmt": batch["fmt"].to_pandas(),
+                "phash_lo": batch["phash"].to_numpy() & 0xFFFF,
+            })
+            g = df.groupby("fmt", sort=True).agg(
+                n=("phash_lo", "size"),
+                sum_phash_lo=("phash_lo", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        g = parts.groupby("fmt", sort=True).sum().reset_index()
+        g.insert(0, "step", step)
+        outs.append(g)
+    out = pd.concat(outs, ignore_index=True)
+    return pa.table({
+        "step": pa.array(out["step"], pa.string()),
+        "fmt": pa.array(out["fmt"], pa.string()),
+        "n": pa.array(out["n"].to_numpy(np.int64)),
+        "sum_phash_lo": pa.array(out["sum_phash_lo"].to_numpy(np.int64)),
+    })
+
+
 def q_lance_take(sf_dir: str) -> pa.Table:
     """Point lookups by live offset at v4 (row-group-pruned reads
     through deletion vectors; extras column merged per probe). The
@@ -299,6 +334,17 @@ def lance_read_latest_sql(sf_dir: str) -> str:
 
 def lance_compact_sql(sf_dir: str) -> str:
     return _chain_cte(sf_dir) + _GROUPED.format(rel="live")
+
+
+def lance_incremental_sql(sf_dir: str) -> str:
+    g = ("SELECT '{step}' AS step, fmt, CAST(COUNT(*) AS BIGINT) AS n, "
+         "CAST(SUM(phash & 65535) AS BIGINT) AS sum_phash_lo "
+         "FROM {rel} GROUP BY fmt")
+    return (_chain_cte(sf_dir)
+            + g.format(step="v1_v2", rel="app")
+            + "\nUNION ALL\n"
+            + g.format(step="v5_v6", rel="src")
+            + "\nORDER BY step, fmt")
 
 
 def lance_filtered_sql(sf_dir: str) -> str:

@@ -714,6 +714,59 @@ class VersionedTable:
         return out.take(pa.array([pos_in_out[int(o)] for o in req],
                                  pa.int64()))
 
+    def added_fragments(self, version: int) -> list[dict]:
+        """Fragments INTRODUCED by ``version`` (rows appended by an
+        append/merge_insert commit). Rewrite commits (compact,
+        restore) mint new fragment ids for OLD rows and report none."""
+        man = self.manifest(version)
+        if man["operation"] in ("compact", "restore"):
+            return []
+        if man["parent"] is None:
+            prev: set[int] = set()
+        else:
+            prev = {f["id"] for f in self.manifest(man["parent"])["fragments"]}
+        return [f for f in man["fragments"] if f["id"] not in prev]
+
+    def read_incremental(self, from_version: int,
+                         to_version: int | None = None,
+                         columns: list[str] | None = None):
+        """Incremental consumption: a streaming Dataset of ONLY the
+        rows appended by versions in (from_version, to_version] — the
+        100 TB resume shape (a checkpointed consumer processes new
+        fragments instead of rescanning the corpus). Rows come back
+        as-at-introduction (later deletions NOT applied — an
+        incremental consumer has already processed-and-emitted earlier
+        rows; retractions are a separate stream by design). ``columns``
+        must exist at each fragment's introducing version
+        (schema-evolution extras added later are not routed)."""
+        import ray.data
+
+        to_v = self.latest_version() if to_version is None else to_version
+        pairs: list[tuple[dict, dict]] = []  # (introducing manifest, frag)
+        for v in self.versions():
+            if from_version < v <= to_v:
+                man = self.manifest(v)
+                pairs.extend((man, f) for f in self.added_fragments(v))
+        root = self.root
+        if not pairs:
+            man = self.manifest(to_v)
+            out_order = (list(columns) if columns is not None
+                         else list(man["columns"]))
+            return ray.data.from_arrow(_empty_projection(man, out_order))
+
+        def _load(batch: pa.Table) -> pa.Table:
+            outs = []
+            for row in batch.to_pylist():
+                man = json.loads(row["man"])
+                frag = dict(json.loads(row["frag"]), deletion=None)
+                outs.append(_load_fragment(root, man, frag, columns))
+            return pa.concat_tables(outs)
+
+        items = [{"man": json.dumps({"columns": m["columns"]}),
+                  "frag": json.dumps(f)} for m, f in pairs]
+        return (ray.data.from_items(items, override_num_blocks=len(items))
+                .map_batches(_load, batch_format="pyarrow"))
+
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------

@@ -162,6 +162,36 @@ class TestCommitProtocol:
             table.append_table(pa.table({"z": pa.array([1.0])}))
 
 
+class TestIncremental:
+    def test_added_rows_between_versions(self, table):
+        assert table.read_incremental(1).count() == 150  # v2's fragment
+        assert table.read_incremental(0).count() == 250
+        assert table.read_incremental(2).count() == 0    # nothing after v2
+
+    def test_delete_adds_no_rows(self, table):
+        table.delete(lambda t: (t["k"].to_numpy() & 1) == 0, columns=["k"])
+        assert table.read_incremental(2).count() == 0
+
+    def test_rows_come_back_as_at_introduction(self, table):
+        # delete AFTER v2 must not retract rows from the v1->v2 delta
+        table.delete(lambda t: t["k"].to_numpy() >= 100, columns=["k"])
+        got = table.read_incremental(1, 2, columns=["k"]).to_pandas()
+        assert sorted(got["k"]) == list(range(100, 250))
+
+    def test_merge_delta_is_source_only(self, table):
+        src = pa.table({"k": pa.array([5, 9000], pa.int64()),
+                        "name": pa.array(["u", "n"], pa.string())})
+        v = table.merge_insert(src, on="k")
+        got = table.read_incremental(v - 1, v, columns=["k"]).to_pandas()
+        assert sorted(got["k"]) == [5, 9000]
+
+    def test_compact_is_not_a_delta(self, table):
+        table.delete(lambda t: (t["k"].to_numpy() & 1) == 0, columns=["k"])
+        v = table.compact()
+        assert table.added_fragments(v) == []
+        assert table.read_incremental(v - 1, v).count() == 0
+
+
 class TestRestore:
     def test_restore_rolls_back_without_rewriting_history(self, table):
         table.delete(lambda t: t["k"].to_numpy() < 200, columns=["k"])
