@@ -157,10 +157,50 @@ class VersionedTable:
             raise FileNotFoundError(f"no versions under {self.root}")
         return vs[-1]
 
-    def manifest(self, version: int | None = None) -> dict:
-        v = self.latest_version() if version is None else version
+    def manifest(self, version: int | str | None = None) -> dict:
+        v = self._resolve(version)
         with open(self._version_path(v)) as f:
             return json.load(f)
+
+    def _resolve(self, version: int | str | None) -> int:
+        """None → latest; str → tag lookup; int passes through."""
+        if version is None:
+            return self.latest_version()
+        if isinstance(version, str):
+            return self.tags()[version]
+        return version
+
+    # ------------------------------------------------------------------
+    # tags (named versions — Lance's tags API). A consumer checkpoints
+    # "processed up to" as a tag and resumes with
+    # read_incremental(tags()['processed'], ...).
+    # ------------------------------------------------------------------
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create or move a tag to ``version`` (default: current head).
+        Atomic (tmp + rename)."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.latest_version() if version is None else version
+        if not os.path.exists(self._version_path(v)):
+            raise FileNotFoundError(f"no version {v} to tag")
+        d = os.path.join(self.root, "_tags")
+        os.makedirs(d, exist_ok=True)
+        _atomic_write_json(os.path.join(d, f"{name}.json"), {"version": v})
+        return v
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self.root, "_tags")
+        out: dict[str, int] = {}
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.endswith(".json"):
+                    with open(os.path.join(d, f)) as fh:
+                        out[f[:-5]] = int(json.load(fh)["version"])
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        os.unlink(os.path.join(self.root, "_tags", f"{name}.json"))
 
     def _commit(self, man: dict, expect_version: int | None = None) -> int:
         """Publish ``man`` as the next version via atomic link-if-absent."""
@@ -741,7 +781,9 @@ class VersionedTable:
         (schema-evolution extras added later are not routed)."""
         import ray.data
 
-        to_v = self.latest_version() if to_version is None else to_version
+        if isinstance(from_version, str):
+            from_version = self.tags()[from_version]
+        to_v = self._resolve(to_version)
         pairs: list[tuple[dict, dict]] = []  # (introducing manifest, frag)
         for v in self.versions():
             if from_version < v <= to_v:

@@ -192,6 +192,31 @@ class TestIncremental:
         assert table.read_incremental(v - 1, v).count() == 0
 
 
+class TestTags:
+    def test_tag_checkpoint_resume_flow(self, table):
+        table.tag("processed")             # head = v2
+        table.append_table(_tbl(250, 300))  # v3 arrives later
+        got = table.read_incremental("processed", columns=["k"]).to_pandas()
+        assert sorted(got["k"]) == list(range(250, 300))
+        table.tag("processed")             # advance the checkpoint
+        assert table.read_incremental("processed").count() == 0
+
+    def test_tag_resolves_in_reads(self, table):
+        table.tag("v1-import", version=1)
+        assert table.read(version="v1-import").count() == 100
+        assert table.count("v1-import") == 100
+        assert table.tags() == {"v1-import": 1}
+        table.delete_tag("v1-import")
+        assert table.tags() == {}
+
+    def test_bad_tag_names_rejected(self, table):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            table.tag("a/b")
+        with _pt.raises(FileNotFoundError):
+            table.tag("x", version=99)
+
+
 class TestRestore:
     def test_restore_rolls_back_without_rewriting_history(self, table):
         table.delete(lambda t: t["k"].to_numpy() < 200, columns=["k"])
