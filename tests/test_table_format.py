@@ -235,6 +235,57 @@ class TestRestore:
         assert table.count() == 260
 
 
+_CRASH_WRITER_SRC = """
+import sys, os
+sys.path.insert(0, {repo!r})
+import numpy as np, pyarrow as pa
+from geomedea_ray.sources.table_format import VersionedTable
+t = VersionedTable({root!r})
+i = 0
+while True:  # appends until SIGKILLed mid-flight
+    lo = 1000 + i * 10
+    t.append_table(pa.table({{
+        "k": pa.array(np.arange(lo, lo + 10, dtype=np.int64)),
+        "name": pa.array([f"row-{{j}}" for j in range(lo, lo + 10)]),
+    }}))
+    print(t.latest_version(), flush=True)
+    i += 1
+"""
+
+
+class TestCrashSafety:
+    def test_sigkill_mid_append_leaves_consistent_table(self, table):
+        """SIGKILL a writer mid-append-loop: the table must stay
+        readable at a contiguous version prefix (an uncommitted
+        fragment file is an orphan, never a corruption), cleanup must
+        sweep the orphans, and writes must resume cleanly."""
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        src = _CRASH_WRITER_SRC.format(repo=repo, root=table.root)
+        proc = subprocess.Popen([sys.executable, "-c", src],
+                                stdout=subprocess.PIPE, text=True)
+        # wait for a few commits, then kill at an arbitrary moment
+        for _ in range(3):
+            proc.stdout.readline()
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+        vs = table.versions()
+        assert vs == list(range(vs[-1] + 1))  # contiguous chain
+        assert table.validate()
+        n = table.count()
+        assert n >= 250 + 30 and (n - 250) % 10 == 0
+        assert table.read(columns=["k"]).count() == n
+        table.cleanup()  # sweeps any uncommitted fragment file
+        assert table.read(columns=["k"]).count() == n
+        table.append_table(_tbl(90000, 90010))  # chain continues
+        assert table.count() == n + 10
+
+
 class TestMaintenance:
     def test_cleanup_removes_only_orphans(self, table):
         orphan = os.path.join(table.root, "data", "frag-orphan.parquet")
