@@ -10,6 +10,7 @@ convert example).
     python -m geomedea_ray bbox    <dataset_dir> MINLNG MINLAT MAXLNG MAXLAT [--stats] [--geojson=OUT]
     python -m geomedea_ray decode  <parquet_dir> <out_dir>   # resumable; re-run to resume
     python -m geomedea_ray explain <query> <sf_dir>          # ds.stats() for a gate query
+    python -m geomedea_ray lance   <table_root>              # VersionedTable chain/fragments
 
 This entry point OWNS a Ray session (guarded init; the library never
 calls ray.init)."""
@@ -201,8 +202,55 @@ def cmd_explain(query: str, sf_dir: str) -> int:
     return 0
 
 
+def cmd_lance(root: str) -> int:
+    """Inspect a VersionedTable: version chain (operation, fragments,
+    live rows, schema deltas), tags, and the latest manifest's
+    fragment layout — the `info` equivalent for the Lance-semantics
+    layer (no Ray session needed: manifests only)."""
+    from geomedea_ray.sources.table_format import VersionedTable
+
+    t = VersionedTable(root)
+    try:
+        vs = t.versions()
+    except FileNotFoundError:
+        print(f"no VersionedTable at {root}")
+        return 2
+    tags = {v: name for name, v in t.tags().items()}
+    prev_cols: set[str] = set()
+    print(f"{'ver':>4} {'operation':<14} {'frags':>5} {'live':>9} "
+          f"{'dead':>7}  schema/tags")
+    for v in vs:
+        man = t.manifest(v)
+        frags = man["fragments"]
+        live = sum(f["rows"] - f["dead"] for f in frags)
+        dead = sum(f["dead"] for f in frags)
+        cols = set(man["columns"])
+        extras = []
+        if cols - prev_cols and prev_cols:
+            extras.append("+" + ",".join(sorted(cols - prev_cols)))
+        if v in tags:
+            extras.append(f"tag:{tags[v]}")
+        if man.get("stats"):
+            extras.append(str(man["stats"]))
+        prev_cols = cols
+        print(f"{v:>4} {man['operation']:<14} {len(frags):>5} {live:>9} "
+              f"{dead:>7}  {' '.join(extras)}")
+    man = t.manifest()
+    print(f"\nlatest v{man['version']}: columns = {man['columns']}")
+    for f in man["fragments"][:20]:
+        zone = f.get("stats") or {}
+        first = next(iter(sorted(zone))) if zone else None
+        zs = f" zone[{first}]={zone[first]}" if first else ""
+        print(f"  frag {f['id']:>3}: {f['rows']:>8} rows, {f['dead']:>6} dead,"
+              f" extras={len(f['extras'])}{zs}")
+    if len(man["fragments"]) > 20:
+        print(f"  ... {len(man['fragments']) - 20} more")
+    return 0
+
+
 COMMANDS = {
     "info": (cmd_info, 1),
+    "lance": (cmd_lance, 1),
     "inspect": (cmd_inspect, 1),
     "convert": (cmd_convert, 2),
     "export": (cmd_export, 2),
