@@ -20,6 +20,10 @@ DuckDB oracles:
         rid % 10 == 3, caption suffixed '+u' — matching LIVE rows are
         replaced, keys alive only as deleted rows re-insert, 'app-'
         copies are untouched (distinct key)
+    v7  update: live rows with rid % 9 == 5 get caption suffixed '!'
+        (caption_len recomputed) — per-fragment delete + update
+        fragments, hits base, 'app-' copies AND '+u' merge rows (rid
+        parses from the id's last 12 digits in every variant)
 
 ``rid`` = the image_id's numeric suffix (``RIGHT(image_id, 12)`` /
 ``utf8_slice_codeunits(id, -12)``) — uniformly distributed and
@@ -99,6 +103,20 @@ def _merge_source(files: list[str]) -> pa.Table:
                            pc.utf8_length(cap).cast(pa.int64()))
 
 
+def _update_pred(t: pa.Table) -> np.ndarray:
+    return (_rid(t["image_id"]).to_numpy() % 9) == 5
+
+
+def _update_fn(t: pa.Table) -> pa.Table:
+    cap = pc.binary_join_element_wise(
+        t["caption"].combine_chunks(),
+        pa.array(["!"] * t.num_rows, pa.string()), "")
+    t = t.set_column(t.schema.get_field_index("caption"), "caption", cap)
+    return t.set_column(t.schema.get_field_index("caption_len"),
+                        "caption_len",
+                        pc.utf8_length(cap).cast(pa.int64()))
+
+
 def image_versioned_table(sf_dir: str) -> VersionedTable:
     """The cached 6-version image table for this scale."""
     from geomedea_ray.sources.cache import cached_dir
@@ -114,11 +132,12 @@ def image_versioned_table(sf_dir: str) -> VersionedTable:
         t.add_columns(_caption_len, input_columns=["caption"])   # v4
         t.compact(target_rows=8192)                              # v5
         t.merge_insert(_merge_source(files), on="image_id")      # v6
+        t.update(_update_pred, ["image_id"], _update_fn)         # v7
 
     def _valid(root: str) -> bool:
         t = VersionedTable(root)
         try:
-            return (t.versions() == list(range(7))
+            return (t.versions() == list(range(8))
                     and t.count(1) == n
                     and "caption_len" in t.schema_columns()
                     and t.count(5) == t.count(4)
@@ -128,7 +147,7 @@ def image_versioned_table(sf_dir: str) -> VersionedTable:
 
     # rev suffix: bump when the version-chain derivation changes —
     # validation can't detect a predicate change in an existing build
-    root = cached_dir(os.path.join(CACHE_ROOT, f"images_lance_n{n}_r4"),
+    root = cached_dir(os.path.join(CACHE_ROOT, f"images_lance_n{n}_r5"),
                       _build, _valid)
     return VersionedTable(root)
 
@@ -173,9 +192,10 @@ def _grouped_by_fmt(t: VersionedTable, version: int | None,
 
 
 def q_lance_read_latest(sf_dir: str) -> pa.Table:
-    """Read the LATEST version (v6: compacted fragments + merge_insert
-    deletions + the merge's appended fragment, schema-evolution column
-    live in both physical layouts), grouped by fmt."""
+    """Read the LATEST version (v7: compacted fragments + merge_insert
+    + predicate update — deletion vectors, appended merge/update
+    fragments, and the schema-evolution column live in every physical
+    layout at once), grouped by fmt."""
     return _grouped_by_fmt(image_versioned_table(sf_dir), None)
 
 
@@ -248,7 +268,8 @@ def q_lance_incremental(sf_dir: str) -> pa.Table:
 
     t = image_versioned_table(sf_dir)
     outs = []
-    for step, (a, b) in (("v1_v2", (1, 2)), ("v5_v6", (5, 6))):
+    for step, (a, b) in (("v1_v2", (1, 2)), ("v5_v6", (5, 6)),
+                         ("v6_v7", (6, 7))):
         ds = t.read_incremental(a, b, columns=["fmt", "phash"])
 
         def _partial(batch: pa.Table) -> pa.Table:
@@ -315,7 +336,14 @@ src  AS (SELECT image_id, fmt, caption || '+u' AS caption, phash, rid
          FROM base WHERE rid % 10 = 3),
 merged AS (SELECT * FROM live
            WHERE image_id NOT IN (SELECT image_id FROM src)
-           UNION ALL SELECT * FROM src)
+           UNION ALL SELECT * FROM src),
+upd  AS (SELECT image_id, fmt, caption || '!' AS caption, phash, rid
+         FROM merged WHERE rid % 9 = 5),
+merged2 AS (SELECT image_id, fmt,
+                   CASE WHEN rid % 9 = 5 THEN caption || '!'
+                        ELSE caption END AS caption,
+                   phash, rid
+            FROM merged)
 """
 
 
@@ -329,7 +357,7 @@ FROM {rel} GROUP BY fmt ORDER BY fmt
 
 
 def lance_read_latest_sql(sf_dir: str) -> str:
-    return _chain_cte(sf_dir) + _GROUPED.format(rel="merged")
+    return _chain_cte(sf_dir) + _GROUPED.format(rel="merged2")
 
 
 def lance_compact_sql(sf_dir: str) -> str:
@@ -344,11 +372,13 @@ def lance_incremental_sql(sf_dir: str) -> str:
             + g.format(step="v1_v2", rel="app")
             + "\nUNION ALL\n"
             + g.format(step="v5_v6", rel="src")
+            + "\nUNION ALL\n"
+            + g.format(step="v6_v7", rel="upd")
             + "\nORDER BY step, fmt")
 
 
 def lance_filtered_sql(sf_dir: str) -> str:
-    rel = (f"(SELECT * FROM merged WHERE image_id BETWEEN "
+    rel = (f"(SELECT * FROM merged2 WHERE image_id BETWEEN "
            f"'{FILTER_LO}' AND '{FILTER_HI}')")
     return _chain_cte(sf_dir) + _GROUPED.format(rel=rel)
 
@@ -374,7 +404,7 @@ def flagship_lance_sql(sf_dir: str) -> str:
         + f""",
 t AS (SELECT m.image_id, m.caption, g.lng AS lng, g.lat AS lat,
              {tx} AS tile_x, {ty} AS tile_y
-      FROM merged m JOIN img g
+      FROM merged2 m JOIN img g
         ON g.image_id = CASE WHEN m.image_id LIKE 'app-%'
                              THEN substr(m.image_id, 5)
                              ELSE m.image_id END)
@@ -391,6 +421,7 @@ UNION ALL SELECT 3, (SELECT COUNT(*) FROM live)
 UNION ALL SELECT 4, (SELECT COUNT(*) FROM live)
 UNION ALL SELECT 5, (SELECT COUNT(*) FROM live)
 UNION ALL SELECT 6, (SELECT COUNT(*) FROM merged)
+UNION ALL SELECT 7, (SELECT COUNT(*) FROM merged2)
 ORDER BY version
 """
 

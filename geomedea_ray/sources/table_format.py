@@ -447,6 +447,104 @@ class VersionedTable:
             "columns": cols, "fragments": frags,
         }, expect_version=man["version"] + 1)
 
+    def update(self, predicate: Callable[[pa.Table], np.ndarray],
+               columns: list[str],
+               fn: Callable[[pa.Table], pa.Table]) -> int:
+        """Lance ``update``: live rows where ``predicate`` (vectorized
+        over ``columns``) holds are REPLACED by ``fn(matched_rows)``
+        (row-stable, full schema in and out) — implemented as Lance
+        does: per-fragment deletion-vector merge + one update fragment
+        per touched input fragment, ONE new version. One Ray task per
+        fragment; row data never moves through the driver."""
+        import ray.data
+
+        man = self.manifest()
+        root, data, deletes = self.root, self.DATA, self.DELETES
+        all_cols = list(man["columns"])
+
+        def _one(batch: pa.Table) -> pa.Table:
+            out = {"id": [], "deletion": [], "dead": [],
+                   "path": [], "rows": [], "stats": []}
+            for row in batch.to_pylist():
+                frag = json.loads(row["frag"])
+                live = _load_fragment(root, man, frag, None, all_cols)
+                mask = np.asarray(predicate(live.select(columns)), bool)
+                n_hit = int(mask.sum())
+                if n_hit == 0:
+                    continue
+                upd = fn(live.filter(pa.array(mask)))
+                if (set(upd.column_names) != set(all_cols)
+                        or upd.num_rows != n_hit):
+                    raise ValueError(
+                        "update fn must return the full schema, row-"
+                        f"stable ({n_hit} rows); got {upd.num_rows} × "
+                        f"{sorted(upd.column_names)}")
+                # matched LIVE rows -> physical positions -> deletion
+                if frag["deletion"]:
+                    dead = pq.read_table(os.path.join(
+                        root, frag["deletion"]))["pos"].to_numpy()
+                    phys_live = np.setdiff1d(
+                        np.arange(frag["rows"], dtype=np.int64), dead,
+                        assume_unique=True)
+                else:
+                    dead = np.empty(0, np.int64)
+                    phys_live = np.arange(frag["rows"], dtype=np.int64)
+                pos = np.union1d(phys_live[mask], dead)
+                dname = f"frag-{frag['id']}-{_uuid.uuid4().hex[:10]}.parquet"
+                pq.write_table(pa.table({"pos": pa.array(pos, pa.int64())}),
+                               os.path.join(root, deletes, dname))
+                uname = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
+                upd = upd.select(all_cols)
+                pq.write_table(upd, os.path.join(root, data, uname))
+                out["id"].append(frag["id"])
+                out["deletion"].append(f"{deletes}/{dname}")
+                out["dead"].append(len(pos))
+                out["path"].append(f"{data}/{uname}")
+                out["rows"].append(upd.num_rows)
+                out["stats"].append(json.dumps(_table_stats(upd)))
+            return pa.table({
+                "id": pa.array(out["id"], pa.int64()),
+                "deletion": pa.array(out["deletion"], pa.string()),
+                "dead": pa.array(out["dead"], pa.int64()),
+                "path": pa.array(out["path"], pa.string()),
+                "rows": pa.array(out["rows"], pa.int64()),
+                "stats": pa.array(out["stats"], pa.string()),
+            })
+
+        frags_in = man["fragments"]
+        if not frags_in:
+            return man["version"]
+        items = [{"frag": json.dumps(f)} for f in frags_in]
+        descs = (ray.data.from_items(items, override_num_blocks=len(items))
+                 .map_batches(_one, batch_format="pyarrow")
+                 .take_all())  # kilobyte descriptors only
+        by_id = {d["id"]: d for d in descs}
+        frags = []
+        updated = 0
+        for f in frags_in:
+            d = by_id.get(f["id"])
+            if d is None:
+                frags.append(dict(f))
+            else:
+                updated += d["dead"] - f["dead"]
+                frags.append(dict(f, deletion=d["deletion"],
+                                  dead=int(d["dead"])))
+        nid = self._next_fragment_id(man)
+        for f in frags_in:  # update fragments follow input-frag order
+            d = by_id.get(f["id"])
+            if d is not None:
+                frags.append({"id": nid, "path": d["path"],
+                              "rows": int(d["rows"]), "deletion": None,
+                              "dead": 0, "extras": [],
+                              "stats": json.loads(d["stats"])})
+                nid += 1
+        return self._commit({
+            "version": man["version"] + 1, "parent": man["version"],
+            "operation": "update",
+            "stats": {"updated_rows": int(updated)},
+            "columns": man["columns"], "fragments": frags,
+        }, expect_version=man["version"] + 1)
+
     def compact(self, target_rows: int = 1 << 20,
                 row_group_size: int = 4096) -> int:
         """Lance ``compact_files``: rewrite fragments so deletion

@@ -301,6 +301,52 @@ class TestMaintenance:
         assert not table.validate()
 
 
+def _rename_matched():
+    """A FRESH local closure per call: module-level test functions
+    pickle by reference and Ray workers cannot import the test module."""
+    def fn(m: pa.Table) -> pa.Table:
+        new = pa.array([f"upd-{k}" for k in m["k"].to_pylist()], pa.string())
+        return m.set_column(m.schema.get_field_index("name"), "name", new)
+    return fn  # nested defs are pickled by value (cloudpickle)
+
+
+class TestUpdate:
+    def test_update_replaces_matching_live_rows(self, table):
+        v = table.update(lambda t: t["k"].to_numpy() % 50 == 0, ["k"],
+                         _rename_matched())
+        assert v == 3
+        got = table.read().to_pandas().set_index("k")["name"]
+        assert got.loc[0] == "upd-0" and got.loc[200] == "upd-200"
+        assert got.loc[1] == "row-1"
+        assert table.count() == 250  # replace, not grow
+        assert table.manifest()["stats"]["updated_rows"] == 5
+        assert table.read(version=2).count() == 250  # history intact
+
+    def test_update_composes_with_delete_and_extras(self, table):
+        table.delete(lambda t: t["k"].to_numpy() == 50, columns=["k"])
+        table.add_columns(
+            lambda t: pa.table({"k2": pa.array(t["k"].to_numpy() * 2)}),
+            input_columns=["k"])
+        table.update(lambda t: t["k"].to_numpy() % 50 == 0, ["k"],
+                     _rename_matched())
+        got = table.read().to_pandas().set_index("k")
+        assert 50 not in got.index          # deleted rows are not revived
+        assert got.loc[100, "name"] == "upd-100"
+        assert got.loc[100, "k2"] == 200    # extras flow through the rewrite
+        assert table.manifest()["stats"]["updated_rows"] == 4
+
+    def test_update_no_match_is_cheap(self, table):
+        table.update(lambda t: t["k"].to_numpy() < 0, ["k"], _rename_matched())
+        man = table.manifest()
+        assert man["stats"]["updated_rows"] == 0
+        assert len(man["fragments"]) == 2   # no update fragments minted
+
+    def test_update_schema_violation_rejected(self, table):
+        with pytest.raises(Exception):
+            table.update(lambda t: t["k"].to_numpy() == 0, ["k"],
+                         lambda m: m.select(["k"]))
+
+
 class TestCompact:
     def _dirty(self, table):
         table.add_columns(
