@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_lance": V.q_flagship_lance,        # headline spatial join CONSUMING the versioned table (north rule)
         "lance_filtered": V.q_lance_filtered,        # zone-map-pruned scalar-filtered scan
         "lance_incremental": V.q_lance_incremental,  # appended-row deltas between versions (checkpointed consumer)
+        "lance_sink": V.q_lance_sink,                # prep chain WRITTEN into a versioned table, read back grouped
     }
     # The driver's correctness gate only checks the FIRST 50 entries of
     # this dict each round (round-3 verdict: the image/media/ANN/text
@@ -287,18 +288,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lance-semantics versioned table (NEW in r4 — needs driver rows)
         "lance_read_latest", "lance_time_travel", "lance_take",
         "lance_compact", "flagship_lance", "lance_filtered",
-        "lance_incremental",
+        "lance_incremental", "lance_sink",
         # spatial core (reference parity — keep in every window).
-        # tile_counts / tile_pyramid_deep / knn_indexed were driver-green
-        # in r3 and rotate OUT this round so the round-4 queries
-        # (geojson_roundtrip's new digest oracle, tile_counts_hot,
-        # fgb_points_select, bbox_select_http) land inside the window.
-        "bbox_select", "bbox_select_http", "spatial_count", "knn",
+        # tile_counts / tile_pyramid_deep / knn / knn_indexed were
+        # driver-green in r3 and rotate OUT this round so the round-4
+        # queries (geojson_roundtrip's new digest oracle,
+        # tile_counts_hot, fgb_points_select, bbox_select_http, the
+        # lance family) land inside the window.
+        "bbox_select", "bbox_select_http", "spatial_count",
         "pip_join",
         "hilbert_scan", "props_select",
         "cell_compact", "fgb_points_select", "geojson_roundtrip",
         "tile_counts_hot",
-        "tile_counts", "tile_pyramid_deep", "knn_indexed",
+        "knn", "tile_counts", "tile_pyramid_deep", "knn_indexed",
         # relational representatives (full family was green in r3; rotate)
         "q1_pricing", "lineitem_order_join", "hot_user_events_join",
         "orders_scd2", "user_retention", "price_quantiles",
@@ -337,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
             "flagship_lance": V.flagship_lance_sql(sf),
             "lance_filtered": V.lance_filtered_sql(sf),
             "lance_incremental": V.lance_incremental_sql(sf),
+            "lance_sink": V.lance_sink_sql(sf),
         }
 
     # fixture-backed oracle groups materialize cached parquet on first

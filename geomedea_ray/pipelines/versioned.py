@@ -295,6 +295,53 @@ def q_lance_incremental(sf_dir: str) -> pa.Table:
     })
 
 
+def q_lance_sink(sf_dir: str) -> pa.Table:
+    """Round-trip THROUGH the versioned table as a SINK: the flagship
+    training_prep output (decode-verify → dedup → quality filter →
+    geocode → tile → PIP join) is appended into a fresh table with
+    append_dataset (one fragment per block, rows never through the
+    driver) and read back grouped by poly_id — the engine WRITES the
+    north-rule input format, not just reads it. The table is
+    ephemeral (fresh uuid root per call, removed after)."""
+    import shutil
+    import uuid as _u
+
+    import pandas as pd
+
+    from geomedea_ray.pipelines.prep import training_prep
+
+    ds = training_prep(sf_dir).select_columns(
+        ["image_id", "n_tokens", "tile_x", "tile_y", "poly_id"])
+    root = os.path.join("/tmp/geomedea_ray_cache",
+                        f"lance_sink_{_u.uuid4().hex[:8]}")
+    try:
+        t = VersionedTable.create(root)
+        t.append_dataset(ds)
+        got = t.read(columns=["poly_id", "n_tokens", "tile_x"])
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "poly_id": batch["poly_id"].to_numpy(),
+                "n_tokens": batch["n_tokens"].to_numpy(),
+                "tile_x": batch["tile_x"].to_numpy().astype(np.int64),
+            })
+            g = df.groupby("poly_id", sort=True).agg(
+                n=("n_tokens", "size"), sum_tokens=("n_tokens", "sum"),
+                sum_tile_x=("tile_x", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        parts = got.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        out = parts.groupby("poly_id", sort=True).sum().reset_index()
+        return pa.table({
+            "poly_id": pa.array(out["poly_id"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "sum_tokens": pa.array(out["sum_tokens"].to_numpy(np.int64)),
+            "sum_tile_x": pa.array(out["sum_tile_x"].to_numpy(np.int64)),
+        })
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_lance_take(sf_dir: str) -> pa.Table:
     """Point lookups by live offset at v4 (row-group-pruned reads
     through deletion vectors; extras column merged per probe). The
@@ -362,6 +409,20 @@ def lance_read_latest_sql(sf_dir: str) -> str:
 
 def lance_compact_sql(sf_dir: str) -> str:
     return _chain_cte(sf_dir) + _GROUPED.format(rel="live")
+
+
+def lance_sink_sql(sf_dir: str) -> str:
+    from geomedea_ray.pipelines.image_sql import training_prep_sql
+
+    n = n_images_for(sf_dir)
+    return f"""
+SELECT poly_id,
+       CAST(COUNT(*) AS BIGINT)       AS n,
+       CAST(SUM(n_tokens) AS BIGINT)  AS sum_tokens,
+       CAST(SUM(tile_x) AS BIGINT)    AS sum_tile_x
+FROM ({training_prep_sql(n)}) tp
+GROUP BY poly_id ORDER BY poly_id
+"""
 
 
 def lance_incremental_sql(sf_dir: str) -> str:
