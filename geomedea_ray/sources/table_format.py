@@ -107,6 +107,64 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+# ----------------------------------------------------------------------
+# storage shim: a table root is a local directory OR an http:// base
+# URL (state/http_store range server) — the whole READ path works over
+# real ranged GETs; writes are local-only (a remote writer would need
+# a PUT/link protocol the static range server doesn't speak).
+# ----------------------------------------------------------------------
+
+
+def _is_remote(root: str) -> bool:
+    return root.startswith("http://") or root.startswith("https://")
+
+
+def _fs_join(root: str, rel: str) -> str:
+    return f"{root.rstrip('/')}/{rel}" if _is_remote(root) else os.path.join(
+        root, rel)
+
+
+def _fs_open(root: str, rel: str):
+    """A seekable binary file-like for root/rel (HttpRangeFile issues
+    real ranged GETs; Parquet readers over it fetch only the byte
+    ranges they need)."""
+    if _is_remote(root):
+        from geomedea_ray.state.http_store import HttpRangeFile
+
+        return HttpRangeFile(_fs_join(root, rel))
+    return open(_fs_join(root, rel), "rb")
+
+
+def _fs_exists(root: str, rel: str) -> bool:
+    if not _is_remote(root):
+        return os.path.exists(_fs_join(root, rel))
+    try:
+        f = _fs_open(root, rel)
+        f.close()
+        return True
+    except OSError:
+        return False
+
+
+def _fs_json(root: str, rel: str) -> dict:
+    f = _fs_open(root, rel)  # HttpRangeFile is not a context manager
+    try:
+        return json.loads(f.read().decode())
+    finally:
+        f.close()
+
+
+def _fs_parquet_file(root: str, rel: str) -> pq.ParquetFile:
+    return pq.ParquetFile(_fs_open(root, rel))
+
+
+def _fs_read_table(root: str, rel: str,
+                   columns: list[str] | None = None) -> pa.Table:
+    if _is_remote(root):
+        return _fs_parquet_file(root, rel).read(columns=columns)
+    return pq.read_table(_fs_join(root, rel), columns=columns)
+
+
 class VersionedTable:
     """Handle to a versioned table rooted at ``root``."""
 
@@ -116,7 +174,18 @@ class VersionedTable:
     VERSIONS = "_versions"
 
     def __init__(self, root: str):
+        """``root`` is a local directory or an ``http(s)://`` base URL
+        (read-only: the whole read path — manifests, fragments,
+        deletion vectors, extras, row-group-pruned ``take`` — runs
+        over real ranged GETs against a range server)."""
         self.root = root
+        self.is_remote = _is_remote(root)
+
+    def _require_local(self, op: str) -> None:
+        if self.is_remote:
+            raise ValueError(
+                f"{op} requires a local table root; {self.root!r} is a "
+                "read-only http store")
 
     # ------------------------------------------------------------------
     # creation / manifests
@@ -135,7 +204,25 @@ class VersionedTable:
     def _version_path(self, v: int) -> str:
         return os.path.join(self.root, self.VERSIONS, f"v{v:08d}.json")
 
+    def _version_rel(self, v: int) -> str:
+        return f"{self.VERSIONS}/v{v:08d}.json"
+
     def versions(self) -> list[int]:
+        if self.is_remote:
+            # no directory listing over HTTP; versions are contiguous
+            # by the commit protocol — probe forward from the advisory
+            # pointer (or 0) until the first miss
+            try:
+                v = int(_fs_json(self.root, "_latest.json")["version"])
+            except (OSError, ValueError, KeyError):
+                v = 0
+            while not _fs_exists(self.root, self._version_rel(v)) and v > 0:
+                v -= 1
+            while _fs_exists(self.root, self._version_rel(v + 1)):
+                v += 1
+            if not _fs_exists(self.root, self._version_rel(0)):
+                raise FileNotFoundError(f"no versions under {self.root}")
+            return list(range(v + 1))
         out = []
         for f in os.listdir(os.path.join(self.root, self.VERSIONS)):
             if f.startswith("v") and f.endswith(".json"):
@@ -143,6 +230,8 @@ class VersionedTable:
         return sorted(out)
 
     def latest_version(self) -> int:
+        if self.is_remote:
+            return self.versions()[-1]
         # advisory pointer first, authoritative directory scan fallback
         try:
             with open(os.path.join(self.root, "_latest.json")) as f:
@@ -159,8 +248,11 @@ class VersionedTable:
 
     def manifest(self, version: int | str | None = None) -> dict:
         v = self._resolve(version)
-        with open(self._version_path(v)) as f:
-            return json.load(f)
+        try:
+            return _fs_json(self.root, self._version_rel(v))
+        except OSError:
+            raise FileNotFoundError(
+                f"no version {v} under {self.root}") from None
 
     def _resolve(self, version: int | str | None) -> int:
         """None → latest; str → tag lookup; int passes through."""
@@ -179,6 +271,7 @@ class VersionedTable:
     def tag(self, name: str, version: int | None = None) -> int:
         """Create or move a tag to ``version`` (default: current head).
         Atomic (tmp + rename)."""
+        self._require_local("tag")
         if "/" in name or name.startswith("."):
             raise ValueError(f"invalid tag name {name!r}")
         v = self.latest_version() if version is None else version
@@ -190,6 +283,7 @@ class VersionedTable:
         return v
 
     def tags(self) -> dict[str, int]:
+        self._require_local("tags")  # no directory listing over http
         d = os.path.join(self.root, "_tags")
         out: dict[str, int] = {}
         if os.path.isdir(d):
@@ -200,6 +294,7 @@ class VersionedTable:
         return out
 
     def delete_tag(self, name: str) -> None:
+        self._require_local("delete_tag")
         os.unlink(os.path.join(self.root, "_tags", f"{name}.json"))
 
     def _commit(self, man: dict, expect_version: int | None = None) -> int:
@@ -242,6 +337,7 @@ class VersionedTable:
 
     def append_table(self, tbl: pa.Table) -> int:
         """Driver-side single-fragment append (small batches / tests)."""
+        self._require_local("append_table")
         man = self.manifest()
         name = f"frag-{_uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(tbl, os.path.join(self.root, self.DATA, name))
@@ -258,6 +354,7 @@ class VersionedTable:
         file's table row-stably — e.g. a filter). This is the Lance
         "import files" path: data is copied by Ray tasks, never through
         the driver; only (path, rows) descriptors come back."""
+        self._require_local("append_files")
         import ray.data
 
         man = self.manifest()
@@ -294,6 +391,7 @@ class VersionedTable:
     def append_dataset(self, ds) -> int:
         """Distributed append of a Ray Dataset: each block becomes a
         fragment (unordered — Lance appends are unordered too)."""
+        self._require_local("append_dataset")
         root, data = self.root, self.DATA
         man = self.manifest()
 
@@ -341,6 +439,7 @@ class VersionedTable:
         fragment reads ONLY ``columns``, merges matching positions into
         the fragment's existing deletion vector, and writes a NEW
         deletion file — old versions keep their own (time travel)."""
+        self._require_local("delete")
         man = self.manifest()
         frags = self._deleted_fragments(man, predicate, columns)
         return self._commit({
@@ -412,6 +511,7 @@ class VersionedTable:
         join + rewrite instead). Duplicate ``on`` keys inside
         ``source`` all land; a key matching only DEAD rows is a plain
         insert."""
+        self._require_local("merge_insert")
         import pyarrow.compute as pc
 
         man = self.manifest()
@@ -456,6 +556,7 @@ class VersionedTable:
         does: per-fragment deletion-vector merge + one update fragment
         per touched input fragment, ONE new version. One Ray task per
         fragment; row data never moves through the driver."""
+        self._require_local("update")
         import ray.data
 
         man = self.manifest()
@@ -557,6 +658,7 @@ class VersionedTable:
         rewritten bin; old versions keep reading the old files (time
         travel). No-op (already compact) returns the current version
         without committing."""
+        self._require_local("compact")
         import ray.data
 
         man = self.manifest()
@@ -635,6 +737,7 @@ class VersionedTable:
         and time-travel reads of older deletion states still merge),
         and writes a row-aligned extras file. No existing file is
         rewritten — Lance's add-column semantics."""
+        self._require_local("add_columns")
         import ray.data
 
         man = self.manifest()
@@ -819,8 +922,7 @@ class VersionedTable:
             frag = frags[fi]
             local = np.sort(req[frag_of == fi] - cum[fi])
             if frag["deletion"]:
-                dead = pq.read_table(
-                    os.path.join(root, frag["deletion"]))["pos"].to_numpy()
+                dead = _fs_read_table(root, frag["deletion"])["pos"].to_numpy()
                 phys_live = np.setdiff1d(
                     np.arange(frag["rows"], dtype=np.int64), dead,
                     assume_unique=True)
@@ -832,12 +934,12 @@ class VersionedTable:
             base, extra_files = self._route_columns(man, frag, columns)
             arrays: dict[str, pa.ChunkedArray] = {}
             if base:
-                bt = read_positions(os.path.join(root, frag["path"]), phys,
-                                    columns=base)
+                bt = read_positions("", phys, columns=base,
+                                    pf=_fs_parquet_file(root, frag["path"]))
                 arrays.update({c: bt[c] for c in base})
             for path, cols in extra_files:
-                ex = read_positions(os.path.join(root, path), phys,
-                                    columns=cols)
+                ex = read_positions("", phys, columns=cols,
+                                    pf=_fs_parquet_file(root, path))
                 arrays.update({c: ex[c] for c in cols})
             t = pa.table({c: arrays[c] for c in out_order})
             t = t.append_column("off", pa.array(local + cum[fi], pa.int64()))
@@ -917,6 +1019,7 @@ class VersionedTable:
         a bad job's writes roll back without destroying audit trail).
         Zero data movement: the new manifest references the old
         version's files."""
+        self._require_local("restore")
         old = self.manifest(version)
         head = self.manifest()
         return self._commit({
@@ -928,6 +1031,7 @@ class VersionedTable:
     def cleanup(self) -> list[str]:
         """Delete data/deletes/extras files referenced by NO manifest
         (orphans from retried write tasks). Returns removed paths."""
+        self._require_local("cleanup")
         referenced: set[str] = set()
         for v in self.versions():
             for f in self.manifest(v)["fragments"]:
@@ -956,15 +1060,15 @@ class VersionedTable:
             return False
         for f in man["fragments"]:
             try:
-                if pq.ParquetFile(os.path.join(
-                        self.root, f["path"])).metadata.num_rows != f["rows"]:
+                if _fs_parquet_file(
+                        self.root, f["path"]).metadata.num_rows != f["rows"]:
                     return False
-                if f["deletion"] and pq.ParquetFile(os.path.join(
-                        self.root, f["deletion"])).metadata.num_rows != f["dead"]:
+                if f["deletion"] and _fs_parquet_file(
+                        self.root, f["deletion"]).metadata.num_rows != f["dead"]:
                     return False
                 for ex in f["extras"]:
-                    if pq.ParquetFile(os.path.join(
-                            self.root, ex["path"])).metadata.num_rows != f["rows"]:
+                    if _fs_parquet_file(
+                            self.root, ex["path"]).metadata.num_rows != f["rows"]:
                         return False
             except (OSError, pa.lib.ArrowInvalid):
                 return False
@@ -994,15 +1098,14 @@ def _load_fragment(root: str, man: dict, frag: dict,
     base, extra_files = VersionedTable._route_columns(man, frag, columns)
     arrays: dict[str, pa.ChunkedArray] = {}
     if base:
-        bt = pq.read_table(os.path.join(root, frag["path"]), columns=base)
+        bt = _fs_read_table(root, frag["path"], columns=base)
         arrays.update({c: bt[c] for c in base})
     for path, cols in extra_files:
-        ex = pq.read_table(os.path.join(root, path), columns=cols)
+        ex = _fs_read_table(root, path, columns=cols)
         arrays.update({c: ex[c] for c in cols})
     t = pa.table({c: arrays[c] for c in out_order})
     if frag["deletion"]:
-        dead = pq.read_table(
-            os.path.join(root, frag["deletion"]))["pos"].to_numpy()
+        dead = _fs_read_table(root, frag["deletion"])["pos"].to_numpy()
         live = np.setdiff1d(np.arange(frag["rows"], dtype=np.int64), dead,
                             assume_unique=True)
         t = t.take(pa.array(live))

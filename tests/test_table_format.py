@@ -286,6 +286,54 @@ class TestCrashSafety:
         assert table.count() == n + 10
 
 
+class TestHttpRead:
+    @pytest.fixture()
+    def served(self, table):
+        """The fixture table, dirtied (deletes + extras) and served
+        over a REAL localhost range server."""
+        from geomedea_ray.state.http_store import HttpStoreServer
+
+        table.delete(lambda t: (t["k"].to_numpy() & 1) == 0, columns=["k"])
+        table.add_columns(
+            lambda t: pa.table({"k2": pa.array(t["k"].to_numpy() * 2)}),
+            input_columns=["k"])
+        with HttpStoreServer(table.root) as srv:
+            yield table, VersionedTable(srv.base_url)
+
+    def test_remote_read_equals_local(self, served):
+        local, remote = served
+        assert remote.is_remote
+        assert remote.latest_version() == local.latest_version()
+        assert remote.count() == 125
+        a = local.read(columns=["k", "k2"]).to_pandas().sort_values("k")
+        b = remote.read(columns=["k", "k2"]).to_pandas().sort_values("k")
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_remote_time_travel_and_filter(self, served):
+        local, remote = served
+        assert remote.read(version=2).count() == 250
+        got = remote.read(columns=["k"], filter=("k", 0, 20)).to_pandas()
+        assert sorted(got["k"]) == list(range(1, 21, 2))
+
+    def test_remote_take_row_group_pruned(self, served):
+        local, remote = served
+        a = local.take([0, 60, 124], columns=["k", "k2"])
+        b = remote.take([0, 60, 124], columns=["k", "k2"])
+        assert a.equals(b)
+
+    def test_remote_incremental(self, served):
+        _, remote = served
+        assert remote.read_incremental(1, 2, columns=["k"]).count() == 150
+
+    def test_remote_validate_and_write_guard(self, served):
+        _, remote = served
+        assert remote.validate()
+        with pytest.raises(ValueError):
+            remote.append_table(_tbl(0, 1))
+        with pytest.raises(ValueError):
+            remote.compact()
+
+
 class TestMaintenance:
     def test_cleanup_removes_only_orphans(self, table):
         orphan = os.path.join(table.root, "data", "frag-orphan.parquet")
