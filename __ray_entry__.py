@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": R.user_funnel,                       # ordered-sequence funnel match (earliest-greedy, one user co-shuffle)
         "orders_profile": R.orders_profile,                 # one-pass data-quality profile (nulls/min/max/domain cardinality)
         "customer_last_urgent_order": R.customer_last_urgent_order,  # LEFT OUTER shuffle hash join (sentinel-filled unmatched rows)
+        "events_customer_outer": R.events_customer_outer,   # FULL OUTER shuffle hash join (unmatched rows on BOTH sides)
         "lineitem_unpivot": R.lineitem_unpivot,             # wide→long UNPIVOT (stateless per-block melt, zero exchange)
         "user_hourly_dense": R.user_hourly_dense,           # gap-filled resample: every user × every hour, explicit zeros
         "user_retention": R.user_retention,                 # weekly cohort-retention triangle (first-active bucket cohorts)
@@ -417,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "user_funnel": R.user_funnel_sql(),
         "orders_profile": R.orders_profile_sql(),
         "customer_last_urgent_order": R.CUSTOMER_LAST_URGENT_ORDER_SQL,
+        "events_customer_outer": R.EVENTS_CUSTOMER_OUTER_SQL,
         "lineitem_unpivot": R.lineitem_unpivot_sql(),
         "user_hourly_dense": R.user_hourly_dense_sql(),
         "user_retention": R.user_retention_sql(),

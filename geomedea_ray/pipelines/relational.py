@@ -1512,3 +1512,67 @@ SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(totalprice_cents) AS BIGINT) AS revenue_cents
 FROM latest GROUP BY o_orderstatus
 """
+
+
+def events_customer_outer(sf_dir: str):
+    """FULL OUTER equi-join (stages/joins.hash_join how='outer'):
+    events keyed on user_id+1400 against the customer dimension —
+    the shifted domain overlaps [1400, 1499] and leaves unmatched
+    rows on BOTH sides (events with key > 1499, customers below
+    1400), so every outer branch is exercised. One key co-shuffle;
+    each shard owns all rows of its keys, so the per-shard outer
+    merge is globally correct (no broadcast plan can express this).
+    Unmatched payloads are sentinel-filled to stay integer-exact:
+    event_id/acctbal_c -1, value_c 0."""
+    from geomedea_ray.stages.joins import hash_join
+
+    ev = tables.read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def _shift(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"].cast(pa.int64()),
+            "ckey": pc.add(b["user_id"].cast(pa.int64()),
+                           pa.scalar(1400, pa.int64())),
+            "value_c": _cents(b["value"]),
+        })
+
+    left = ev.map_batches(_shift, batch_format="pyarrow", zero_copy_batch=True)
+    cust = tables.read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def _cust(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"].cast(pa.int64()),
+            "acctbal_c": _cents(b["c_acctbal"]),
+        })
+
+    right = cust.map_batches(_cust, batch_format="pyarrow", zero_copy_batch=True)
+    out = hash_join(left, right, "ckey", "c_custkey", ["acctbal_c"],
+                    how="outer", left_cols=["event_id", "value_c"])
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ckey": df["ckey"].astype(np.int64),
+            "event_id": df["event_id"].fillna(-1).astype(np.int64),
+            "value_c": df["value_c"].fillna(0).astype(np.int64),
+            "acctbal_c": df["acctbal_c"].fillna(-1).astype(np.int64),
+        })
+
+    return out.map_batches(_fin, batch_format="pandas")
+
+
+EVENTS_CUSTOMER_OUTER_SQL = """
+WITH e AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) + 1400 AS ckey,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events),
+c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ck,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_c
+  FROM customer)
+SELECT COALESCE(e.ckey, c.ck)     AS ckey,
+       COALESCE(e.event_id, -1)  AS event_id,
+       COALESCE(e.value_c, 0)    AS value_c,
+       COALESCE(c.acctbal_c, -1) AS acctbal_c
+FROM e FULL OUTER JOIN c ON e.ckey = c.ck
+"""

@@ -186,11 +186,16 @@ def hash_join(
     skew_den: int | None = None,
     skew_hot_keys=None,
     how: str = "inner",
+    left_cols: list[str] | None = None,
 ):
-    """Large×large equi-join (``how``: "inner" or "left" — LEFT keeps
-    unmatched probe rows with null right payloads; ``bloom`` is
-    inner-only, since dropping never-joining probe rows would LOSE
-    them under left semantics) — ADAPTIVE between two plans, the
+    """Large×large equi-join (``how``: "inner", "left" or "outer" —
+    LEFT keeps unmatched probe rows with null right payloads; OUTER
+    additionally keeps unmatched BUILD rows with null left payloads
+    and requires ``left_cols`` = the left payload column names, so
+    single-side shards can reconstruct the full output schema;
+    ``bloom`` is inner-only, since dropping never-joining probe rows
+    would LOSE them under left/outer semantics) — ADAPTIVE between
+    two plans, the
     AQE pattern (Spark SQL's runtime broadcast-join demotion, public
     design): the right side is materialized first and its MEASURED
     size picks the plan. No reference counterpart — the reference has
@@ -246,8 +251,19 @@ def hash_join(
 
     from geomedea_ray.util import get_once
 
-    assert how in ("inner", "left")
-    assert not (bloom and how == "left"), "bloom pruning is inner-only"
+    assert how in ("inner", "left", "outer")
+    assert not (bloom and how != "inner"), "bloom pruning is inner-only"
+    if how == "outer":
+        # full-outer needs every build row's match status GLOBALLY, so
+        # the broadcast map-side plan (which sees only one probe batch
+        # at a time) cannot express it: pin the co-shuffle plan, where
+        # each shard owns ALL rows of its keys and a per-shard outer
+        # merge is globally correct. Skew replication would emit
+        # unmatched replicated build rows once per shard — reject it.
+        assert left_cols is not None, "how='outer' requires left_cols"
+        assert skew_den is None and skew_hot_keys is None, \
+            "fragment-and-replicate skew handling is inner/left-only"
+        broadcast_bytes = 0
     rcols_b = [c for c in right_cols if c != right_on]
     if broadcast_bytes > 0:
         right_mat = right_ds.materialize()
@@ -350,6 +366,18 @@ def hash_join(
 
     def _merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["_side"] == 0]
+        if how == "outer":
+            # a shard fed by only ONE union side lacks the other
+            # side's columns entirely (schema unification is
+            # per-block): reindex against the DECLARED column lists so
+            # every shard emits the same schema
+            lc = ["_key"] + list(left_cols)
+            out = (
+                l.reindex(columns=lc)
+                .merge(df[df["_side"] == 1].reindex(columns=["_key"] + rcols),
+                       on="_key", how="outer")
+            )
+            return out.rename(columns={"_key": left_on})
         lcols = [
             c for c in df.columns if c not in ("_side", "_shard") and c not in rcols
         ]

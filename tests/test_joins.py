@@ -138,6 +138,34 @@ class TestHashJoin:
             skewed.sort_values(key).reset_index(drop=True)[key].astype("int64"),
         )
 
+    def test_outer_keeps_both_unmatched_sides(self, ray_session):
+        left = pa.table({"k": [1, 1, 2, 5], "lv": [10, 11, 20, 50]})
+        right = pa.table({"rk": [1, 2, 9], "rv": [100, 200, 900]})
+        out = self._join(left, right, left_on="k", right_on="rk",
+                         right_cols=["rv"], how="outer",
+                         left_cols=["lv"])
+        got = sorted(
+            (int(k), -1 if pd.isna(lv) else int(lv),
+             -1 if pd.isna(rv) else int(rv))
+            for k, lv, rv in zip(out["k"], out["lv"], out["rv"])
+        )
+        # k=1 matches twice, k=2 once, k=5 left-only, rk=9 right-only
+        assert got == [(1, 10, 100), (1, 11, 100), (2, 20, 200),
+                       (5, 50, -1), (9, -1, 900)]
+
+    def test_outer_single_side_shards_align_schema(self, ray_session):
+        # force many shards so some shards see rows from ONE side only
+        # (the per-block schema-unification hazard: reindex must
+        # reconstruct missing columns)
+        left = pa.table({"k": [1], "lv": [10]})
+        right = pa.table({"rk": np.arange(100, 160), "rv": np.arange(60)})
+        out = self._join(left, right, left_on="k", right_on="rk",
+                         right_cols=["rv"], how="outer",
+                         left_cols=["lv"], num_shards=8)
+        assert len(out) == 61
+        assert set(out.columns) == {"k", "lv", "rv"}
+        assert out["lv"].notna().sum() == 1
+
     def test_skew_all_keys_hot_degenerate(self, ray_session):
         # tiny blocks make EVERY key a hot candidate (the MG bound is a
         # superset); full replication must still give the exact join
