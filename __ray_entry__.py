@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from geomedea_ray.pipelines import curation as C
     from geomedea_ray.pipelines import flagship as F
     from geomedea_ray.pipelines import geo_queries as G
+    from geomedea_ray.pipelines import ref_fixtures as RF
     from geomedea_ray.pipelines import relational as R
     from geomedea_ray.pipelines import text_queries as T
     from geomedea_ray.pipelines import versioned as V
@@ -164,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_points_select": G.q_csv_points_select,  # CSV+WKT ingest bridge, same oracle
         "fgb_points_select": G.q_fgb_points_select,  # FlatGeobuf ingest bridge, same oracle
         "cell_compact": G.q_cell_compact,            # H3-compact analogue (SQL-oracled)
+        "ref_places_select": RF.q_ref_places_select,     # the reference's OWN places.json, every row hash-checked
+        "ref_countries_bbox": RF.q_ref_countries_bbox,   # the reference's test_polygons bbox golden, DuckDB-rederived
         # --- relational surface (SURVEY §2.5 gap ops) ---
         "q1_pricing": R.q1_pricing_summary,
         "top_orders": R.top_orders,
@@ -298,11 +301,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-green in r3 and rotate OUT this round so the round-4
         # queries (geojson_roundtrip's new digest oracle,
         # tile_counts_hot, fgb_points_select, bbox_select_http, the
-        # lance family) land inside the window.
-        "bbox_select", "bbox_select_http", "spatial_count",
-        "hilbert_scan", "props_select",
+        # lance family) land inside the window; spatial_count and
+        # hilbert_scan (r3-driver-green, locally green all round) rotate
+        # out for the reference-fixture differentials (the reference's
+        # OWN places.json / countries.geojson inputs, hash-checked).
+        "bbox_select", "bbox_select_http",
+        "ref_places_select", "ref_countries_bbox",
+        "props_select",
         "fgb_points_select", "geojson_roundtrip",
         "tile_counts_hot",
+        "spatial_count", "hilbert_scan",
         "cell_compact", "pip_join", "knn", "tile_counts",
         "tile_pyramid_deep", "knn_indexed",
         # relational representatives (full family was green in r3; rotate)
@@ -322,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
     from geomedea_ray.pipelines import geo_queries as G
     from geomedea_ray.pipelines import hilbert_sql as H
     from geomedea_ray.pipelines import image_sql as I
+    from geomedea_ray.pipelines import ref_fixtures as RF
     from geomedea_ray.pipelines import relational as R
     from geomedea_ray.pipelines import text_queries as T
 
@@ -391,6 +400,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": G.q_tile_pyramid_sql(),
         "tile_pyramid_deep": G.q_tile_pyramid_deep_sql(),
         "hilbert_scan": H.linepoints_hilbert_sql(),
+        "ref_places_select": RF.q_ref_places_select_sql(),
+        "ref_countries_bbox": RF.q_ref_countries_bbox_sql(),
         "cell_compact": H.cell_compact_sql(),
         "tile_counts_mercator": G.q_tile_counts_mercator_sql(),
         "pip_join_sharded": G.q_pip_join_sql(),

@@ -1,0 +1,148 @@
+"""Row-for-row parity on the REFERENCE'S OWN test fixture files.
+
+The reference's test suite pins exact goldens on its shipped inputs:
+
+- geozero_writer.rs:631-651 (`from_larger_json`): after ingesting
+  test_fixtures/places.json, the FIRST feature of select_all (i.e. the
+  highest Hilbert key under the stable descending sort) is the Point
+  lng=176.99445209423166, lat=-89.99999981438727 (epsilon 1e-7).
+- geozero_writer.rs:700-731 (`test_polygons`): after ingesting
+  test_fixtures/countries.geojson, select_bbox((24,-4),(24.5,-3.5))
+  yields first a Polygon whose `name` property is
+  "Democratic Republic of the Congo".
+- geozero_writer.rs:733-757 (`convert_all_test_fixtures`): every
+  non-3d, non-nullgeometry file in test_fixtures/canonical-geojson
+  converts cleanly.
+
+These tests replay those assertions through the full distributed
+pipeline (read_geojson → quantize → extent → Hilbert → sorted
+partitioned write → packed index → select_all / bbox_slice). The
+every-row hash check against an independent DuckDB re-derivation is
+the `ref_places_select` / `ref_countries_bbox` gate pair
+(pipelines/ref_fixtures.py).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from geomedea_ray.pipelines import ref_fixtures as RF
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(RF.REF_FIXTURES),
+    reason="reference checkout not present",
+)
+
+CANONICAL_DIR = os.path.join(RF.REF_FIXTURES, "canonical-geojson")
+
+
+class TestPlacesGolden:
+    def test_first_feature_is_reference_golden(self, ray_session):
+        """geozero_writer.rs:643-646: the first select_all feature —
+        i.e. the max-Hilbert-key feature under the descending stored
+        order (Ray's streaming executor does not preserve block order
+        by default, so the assertion is phrased key-wise)."""
+        rows = RF.q_ref_places_select("unused").take_all()
+        rows.sort(key=lambda r: -r["hilbert"])
+        first = rows[0]
+        lng = first["lng_i"] / 1e7
+        lat = first["lat_i"] / 1e7
+        assert abs(lng - 176.99445209423166) < 1e-7
+        assert abs(lat - (-89.99999981438727)) < 1e-7
+
+    def test_stored_order_is_hilbert_descending(self, ray_session):
+        """The on-disk layout itself (partition files in manifest
+        order, rows within each file) IS the reference's total order."""
+        import pyarrow.parquet as pq
+
+        from geomedea_ray.state.manifest import Manifest
+
+        d = RF.places_store()
+        man = Manifest.load(d)
+        last = None
+        for p in man.partitions:
+            h = pq.read_table(os.path.join(d, p.path),
+                              columns=["hilbert"])["hilbert"].to_numpy()
+            assert (h[:-1] >= h[1:]).all()
+            if last is not None:
+                assert last >= h[0]
+            last = h[-1]
+
+    def test_feature_count(self, ray_session):
+        assert RF.q_ref_places_select("unused").count() == RF.PLACES_ROWS
+
+
+class TestCountriesGolden:
+    def test_bbox_first_feature_is_drc(self, ray_session):
+        """geozero_writer.rs:718-727: select_bbox((24,-4),(24.5,-3.5))
+        starts with the DRC Polygon."""
+        rows = RF.q_ref_countries_bbox("unused").take_all()
+        assert len(rows) >= 1
+        # stored (hilbert-desc) order within the slice
+        rows.sort(key=lambda r: -r["hilbert"])
+        assert rows[0]["name"] == "Democratic Republic of the Congo"
+        assert rows[0]["geom_type"] == "Polygon"
+
+    def test_store_covers_all_geometry_kinds(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from geomedea_ray.state.manifest import Manifest
+
+        d = RF.countries_store()
+        man = Manifest.load(d)
+        assert man.row_count == RF.COUNTRIES_ROWS
+        kinds = set()
+        for p in man.partitions:
+            t = pq.read_table(os.path.join(d, p.path), columns=["geom_type"])
+            kinds.update(t["geom_type"].to_pylist())
+        assert kinds == {"Polygon", "MultiPolygon"}
+
+
+class TestCanonicalGeojson:
+    """convert_all_test_fixtures analogue: every canonical file parses
+    through the columnar feature model and round-trips its coordinates
+    on the quantized grid (the reference also skips 3d and
+    nullgeometry variants)."""
+
+    def _files(self):
+        return sorted(
+            f for f in os.listdir(CANONICAL_DIR)
+            if "3d" not in f and "nullgeometry" not in f
+        )
+
+    def test_all_canonical_files_roundtrip(self):
+        from geomedea_ray.sources import geojson as GJ
+
+        assert self._files(), "canonical fixture dir is empty?"
+        for fname in self._files():
+            path = os.path.join(CANONICAL_DIR, fname)
+            feats = GJ.load_geojson_features(path)
+            t = GJ.parse_features_batch(feats)
+            assert t.num_rows == len(feats), fname
+            out = t.to_pylist()
+            for feat, row in zip(feats, out):
+                geom = feat.get("geometry")
+                if geom is None:
+                    continue
+                if geom["type"] == "GeometryCollection":
+                    # preserved as canonical JSON, not flattened
+                    assert row["geom_type"] == "GeometryCollection", fname
+                    assert json.loads(row["geom_json"])["type"] == \
+                        "GeometryCollection", fname
+                    continue
+                flat, _, _ = GJ._flatten_geometry(geom)
+                want = np.trunc(
+                    np.asarray(flat, np.float64) * 1e7).astype(np.int64)
+                got = np.asarray(row["coords"], np.int64).reshape(-1, 2)
+                assert got.shape == want.shape, fname
+                assert (got == want).all(), fname
+
+    def test_feature_id_preserved(self):
+        from geomedea_ray.sources import geojson as GJ
+
+        path = os.path.join(CANONICAL_DIR, "good-feature-with-id.geojson")
+        feats = GJ.load_geojson_features(path)
+        t = GJ.parse_features_batch(feats)
+        assert json.loads(t["gj_id"][0].as_py()) == feats[0]["id"]
