@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf",            # IVF k-means store, nprobe lists (round 3)
     "minhash_pairs",
     "minhash_verified",
+    "jaccard_join",            # EXACT prefix-filtered set-similarity join (round 4)
     "minhash_kernel",          # raw signature kernel throughput (driver-side)
     "embedding_neardup",
     "props_select",

@@ -1363,3 +1363,48 @@ r AS (
 SELECT vec_id, cluster_id, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {CLUSTER_SAMPLE_K}
 """
+
+
+#: exact set-similarity join threshold as a RATIONAL (num, den) —
+#: shared with JACCARD_JOIN_SQL so query and oracle can't diverge
+JACCARD_JOIN_THRESHOLD = (2, 5)
+
+
+def q_jaccard_join(sf_dir: str):
+    """EXACT n-gram-Jaccard set-similarity self-join over documents —
+    the prefix-filtered AllPairs/PPJoin design (stages/dedup.
+    jaccard_join): completeness is a theorem of the prefix filter, not
+    an LSH recall property, so unlike minhash_verified there is no
+    candidate-recall caveat. Returns every pair with 3-word-shingle
+    Jaccard ≥ 2/5 plus its exact intersection and set sizes (all
+    integers; the threshold test is integer cross-multiplication on
+    both sides)."""
+    from geomedea_ray.stages.dedup import jaccard_join
+
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_join(ds, threshold=JACCARD_JOIN_THRESHOLD)
+
+
+#: brute-force exact mirror: all pairs, list_intersect counts, integer
+#: threshold (den·inter ≥ num·(na+nb−inter) — 0/0 both-empty pairs pass
+#: automatically since 0 ≥ 0, matching jaccard_words' 0/0 := 1)
+_JJ_NUM, _JJ_DEN = JACCARD_JOIN_THRESHOLD
+JACCARD_JOIN_SQL = f"""
+WITH tok AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             FROM documents),
+sh0 AS (SELECT doc_id,
+   CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+        WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        ELSE list_transform(range(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+   FROM tok),
+sh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh0),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS ni,
+             len(a.sh) AS na, len(b.sh) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(ni AS BIGINT) AS inter,
+       CAST(na AS BIGINT) AS size_a, CAST(nb AS BIGINT) AS size_b
+FROM p WHERE {_JJ_DEN} * ni >= {_JJ_NUM} * (na + nb - ni)
+"""

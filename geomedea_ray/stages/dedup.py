@@ -549,3 +549,339 @@ def embedding_neardup_pairs(ds, id_col: str = "vec_id", emb_col: str = "embeddin
     pairs = (exploded.repartition(_coalesce_width())
              .groupby("_shard").map_groups(_shard_pairs, batch_format="pandas"))
     return _dedup_pairs(pairs, num_shards)
+
+
+# ------------------------------------------- exact set-similarity join
+
+def _shingle_explode(batch: pa.Table, id_col: str, text_col: str,
+                     shingle_k: int) -> pa.Table:
+    """(id, text) batch → one row per DISTINCT k-word shingle:
+    (id, shingle, size) where size = |shingle set| of the doc. The
+    per-text loop is inherent (shingling is a per-document operation,
+    like a codec decode); array assembly is vectorized."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    sets = [sorted(set(T.word_shingles(t, shingle_k))) for t in texts]
+    counts = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, counts)),
+        "shingle": pa.array([x for s in sets for x in s], pa.string()),
+        "size": pa.array(np.repeat(counts, counts), pa.int64()),
+    })
+
+
+def jaccard_join(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (2, 5),
+    shingle_k: int = 3,
+    num_shards: int | None = None,
+    empty_cap: int = 2048,
+):
+    """EXACT set-similarity self-join: ALL pairs with k-word-shingle
+    Jaccard ≥ num/den — the prefix-filtered AllPairs/PPJoin design
+    (Bayardo et al., WWW'07; Xiao et al., WWW'08 — published
+    algorithms), not LSH. Unlike ``minhash_lsh_pairs`` (probabilistic
+    candidate recall, verified), completeness here is a THEOREM:
+    under any global shingle order, two sets with Jaccard ≥ τ share
+    their globally-smallest common shingle inside both prefixes of
+    length |S| - ⌈τ|S|⌉ + 1, so indexing only prefixes misses nothing.
+
+    ``threshold`` is an exact rational (num, den): the final filter is
+    integer cross-multiplication (den·inter ≥ num·(|A|+|B|-inter)),
+    never float.
+
+    Plan (all exchanges key-partitioned; no broadcast of the corpus,
+    no driver materialization):
+      1. shingle-explode (map; materialized — reused by stages 2/3/5)
+      2. global shingle frequencies: per-block partial counts,
+         coalesce, one aggregate (ascending-frequency order maximizes
+         prefix pruning)
+      3. freq ⋈ exploded (hash co-shuffle on shingle), then re-shard
+         by doc and keep each doc's p rarest shingles (its PREFIX)
+      4. candidate pairs: shard prefixes on hash(shingle), expand
+         postings to (id_a < id_b) pairs with the size filter
+         den·min ≥ num·max; global pair dedup (sharded)
+      4b. POSITIONAL filter (PPJoin): a prefix match at positions
+         (pa, pb) caps the achievable overlap at min(|A|-pa, |B|-pb);
+         pairs that cannot reach ceil(num·(|A|+|B|)/(num+den)) are cut
+         before verification (measured 444k → ~206k candidates at
+         sf0.1). Exact — it only removes pairs the threshold already
+         excludes.
+      5. exact verification, ADAPTIVE on the measured shingle-stream
+         size: small corpora broadcast a doc→shingle-set dict
+         (ray.put once, fetched once per worker) and intersect
+         candidates vectorized — candidate volume does not multiply by
+         set size; large corpora use the key-partitioned join plan
+         (candidates join the exploded stream on id_a and id_b, shared
+         shingles counted per pair — no broadcast of the corpus).
+
+    Pair volume caveat: prefix postings are NOT capped (capping would
+    break exactness). A shingle that lands in M prefixes contributes
+    O(M²) candidate pairs — with frequency ordering that requires M
+    docs whose OTHER shingles are all even hotter, i.e. a
+    mass-duplicated corpus; run ``dedup_exact`` first in that regime.
+    Docs with an EMPTY shingle set (no tokens) pair mutually (Jaccard
+    0/0 := 1, matching functions/text.jaccard_words); they are handled
+    on the driver under ``empty_cap`` (M empties = M²/2 output pairs —
+    inherently quadratic, exact dedup territory beyond the cap).
+
+    Returns (id_a, id_b, inter, size_a, size_b) — all int64.
+    """
+    import ray.data
+
+    from geomedea_ray.stages.joins import hash_join
+
+    num, den = threshold
+    num_shards = _resolve_shards(ds, num_shards)
+
+    exploded = ds.map_batches(
+        _shingle_explode,
+        fn_kwargs={"id_col": id_col, "text_col": text_col,
+                   "shingle_k": shingle_k},
+        batch_format="pyarrow", batch_size=1024, zero_copy_batch=True,
+    ).materialize()
+
+    if exploded.count() == 0:
+        # all docs have empty shingle sets: only the mutual empty-pair
+        # branch can produce output
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in ("id_a", "id_b", "inter",
+                                    "size_a", "size_b")})
+        return _jaccard_append_empties(ds, ray.data.from_arrow(empty),
+                                       id_col, text_col, empty_cap)
+
+    # ---- global shingle frequency: per-block partial counts, then a
+    # SHARDED int-key reduce (hash(shingle) % width) — a string-key
+    # groupby().aggregate() over the same partial stream measured 33 s
+    # at sf0.1 (the sort exchange samples/sorts every string); the
+    # sharded reduce is the repo-standard pattern and runs in ~1 s.
+    def _freq_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["shingle"].value_counts()
+        sh = (T.stable_hash64(list(c.index)) % np.uint64(num_shards)
+              ).astype(np.int64)
+        return pd.DataFrame({"shingle": c.index, "cnt": c.to_numpy(),
+                             "_shard": sh})
+
+    def _freq_reduce(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("shingle", sort=False)["cnt"].sum()
+        return pd.DataFrame({"shingle": g.index,
+                             "freq": g.to_numpy().astype(np.int64)})
+
+    freq = (
+        exploded.map_batches(_freq_partial, batch_format="pandas",
+                             batch_size=None)
+        .repartition(_coalesce_width())
+        .groupby("_shard").map_groups(_freq_reduce, batch_format="pandas")
+    )
+
+    # ---- prefix selection: p = |S| - ceil(tau*|S|) + 1 rarest shingles
+    joined = hash_join(exploded, freq, left_on="shingle",
+                       right_on="shingle", right_cols=["freq"],
+                       num_shards=num_shards)
+
+    def _tag_doc_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(_shard=pd.Series([], dtype=np.int64))
+        sh = (T.stable_hash64(df[id_col].astype(str).tolist())
+              % np.uint64(num_shards)).astype(np.int64)
+        return df.assign(_shard=sh)
+
+    def _prefix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "freq", "shingle"], kind="mergesort")
+        rank = df.groupby(id_col, sort=False).cumcount().to_numpy()
+        size = df["size"].to_numpy().astype(np.int64)
+        p = size + (-(num * size) // den) + 1  # exact integer ceil
+        keep = rank < p
+        out = df.loc[keep, [id_col, "shingle", "size"]]
+        return out.assign(pos=rank[keep].astype(np.int64))
+
+    prefixes = (
+        joined.map_batches(_tag_doc_shard, batch_format="pandas",
+                           batch_size=None)
+        .repartition(_coalesce_width())
+        .groupby("_shard").map_groups(_prefix, batch_format="pandas")
+    )
+
+    # ---- candidate pairs from prefix postings (size-filtered, deduped)
+    def _tag_shingle_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.assign(_shard=pd.Series([], dtype=np.int64))
+        sh = (T.stable_hash64(df["shingle"].tolist())
+              % np.uint64(num_shards)).astype(np.int64)
+        return df.assign(_shard=sh)
+
+    def _posting_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = _bucket_pairs_df(df, ["shingle"], id_col,
+                               extra={"size": "size", "pos": "pos"},
+                               max_bucket=None)
+        if len(out) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "size_a": pd.Series([], dtype=np.int64),
+                                 "size_b": pd.Series([], dtype=np.int64)})
+        sa = out["size_a"].to_numpy().astype(np.int64)
+        sb = out["size_b"].to_numpy().astype(np.int64)
+        keep = den * np.minimum(sa, sb) >= num * np.maximum(sa, sb)
+        # POSITIONAL filter (PPJoin, exact): matching at 0-based
+        # frequency-order positions (pa, pb) bounds the achievable
+        # overlap by min(sa-pa, sb-pb); the required overlap for
+        # J >= num/den is ceil(num*(sa+sb)/(num+den)).
+        pa_ = out["pos_a"].to_numpy().astype(np.int64)
+        pb_ = out["pos_b"].to_numpy().astype(np.int64)
+        minov = -(-(num * (sa + sb)) // (num + den))
+        keep &= np.minimum(sa - pa_, sb - pb_) >= minov
+        return out.loc[keep, ["id_a", "id_b", "size_a", "size_b"]]
+
+    cand = _dedup_pairs(
+        prefixes.map_batches(_tag_shingle_shard, batch_format="pandas",
+                             batch_size=None)
+        .repartition(_coalesce_width())
+        .groupby("_shard").map_groups(_posting_pairs, batch_format="pandas"),
+        num_shards,
+    )
+
+    # ---- exact verify, ADAPTIVE on the measured shingle-stream size
+    # (exploded is materialized, so size_bytes() is metadata):
+    #   small corpus: broadcast a doc -> shingle-set dict once per worker
+    #   (ray.put + get_once) and intersect candidate pairs vectorized in
+    #   a task stage — candidate volume no longer multiplies by set size
+    #   (measured at sf0.1: the join plan shipped ~90M shingle rows for
+    #   444k candidates whose true output was 256 pairs).
+    #   large corpus: key-partitioned join plan (no broadcast anywhere).
+    exp_bytes = exploded.size_bytes() or 0
+    if exp_bytes <= VERIFY_BROADCAST_BYTES:
+        import ray
+
+        from geomedea_ray.util import get_once
+
+        sets_df = exploded.to_pandas()
+        sets_ref = ray.put(
+            sets_df.groupby(id_col, sort=False)["shingle"].agg(set).to_dict())
+
+        def _verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            sets = get_once(sets_ref)
+            if len(df) == 0:
+                return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                     "id_b": pd.Series([], dtype=np.int64),
+                                     "inter": pd.Series([], dtype=np.int64),
+                                     "size_a": pd.Series([], dtype=np.int64),
+                                     "size_b": pd.Series([], dtype=np.int64)})
+            ia, ib = df["id_a"].tolist(), df["id_b"].tolist()
+            it = np.fromiter((len(sets[a] & sets[b]) for a, b in zip(ia, ib)),
+                             np.int64, len(ia))
+            sa = df["size_a"].to_numpy().astype(np.int64)
+            sb = df["size_b"].to_numpy().astype(np.int64)
+            keep = den * it >= num * (sa + sb - it)
+            return pd.DataFrame({
+                "id_a": np.asarray(ia, np.int64)[keep],
+                "id_b": np.asarray(ib, np.int64)[keep],
+                "inter": it[keep],
+                "size_a": sa[keep], "size_b": sb[keep],
+            })
+
+        verified = cand.map_batches(_verify_bcast, batch_format="pandas",
+                                    batch_size=65536)
+        return _jaccard_append_empties(ds, verified, id_col, text_col,
+                                       empty_cap)
+
+    side_a = hash_join(exploded, cand, left_on=id_col, right_on="id_a",
+                       right_cols=["id_b", "size_a", "size_b"],
+                       num_shards=num_shards)
+    side_b = hash_join(exploded, cand, left_on=id_col, right_on="id_b",
+                       right_cols=["id_a", "size_a", "size_b"],
+                       num_shards=num_shards)
+
+    def _mark(df: pd.DataFrame, key_as: str) -> pd.DataFrame:
+        # the join key keeps the LEFT name; relabel it to its pair slot,
+        # then shard on the pair so both sides' rows co-locate
+        if id_col != key_as:
+            df = df.rename(columns={id_col: key_as})
+        cols = ["id_a", "id_b", "shingle", "size_a", "size_b"]
+        df = df[cols]
+        if len(df) == 0:
+            return df.assign(_shard=pd.Series([], dtype=np.int64))
+        return df.assign(_shard=_pair_shard(df["id_a"], df["id_b"], num_shards))
+
+    both = (side_a.map_batches(_mark, fn_kwargs={"key_as": "id_a"},
+                               batch_format="pandas", batch_size=None)
+            .union(side_b.map_batches(_mark, fn_kwargs={"key_as": "id_b"},
+                                      batch_format="pandas",
+                                      batch_size=None)))
+
+    def _count_inter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "inter": pd.Series([], dtype=np.int64),
+                                 "size_a": pd.Series([], dtype=np.int64),
+                                 "size_b": pd.Series([], dtype=np.int64)})
+        g = (df.groupby(["id_a", "id_b", "shingle"], sort=False)
+               .agg(n=("size_a", "size"),
+                    size_a=("size_a", "first"), size_b=("size_b", "first"))
+               .reset_index())
+        shared = g[g["n"] == 2]
+        out = (shared.groupby(["id_a", "id_b"], sort=False)
+               .agg(inter=("n", "size"),
+                    size_a=("size_a", "first"), size_b=("size_b", "first"))
+               .reset_index())
+        sa = out["size_a"].to_numpy().astype(np.int64)
+        sb = out["size_b"].to_numpy().astype(np.int64)
+        it = out["inter"].to_numpy().astype(np.int64)
+        keep = den * it >= num * (sa + sb - it)
+        out = out.loc[keep]
+        return pd.DataFrame({
+            "id_a": out["id_a"].to_numpy().astype(np.int64),
+            "id_b": out["id_b"].to_numpy().astype(np.int64),
+            "inter": out["inter"].to_numpy().astype(np.int64),
+            "size_a": out["size_a"].to_numpy().astype(np.int64),
+            "size_b": out["size_b"].to_numpy().astype(np.int64),
+        })
+
+    verified = (both.repartition(_coalesce_width())
+                .groupby("_shard").map_groups(_count_inter,
+                                              batch_format="pandas"))
+
+    return _jaccard_append_empties(ds, verified, id_col, text_col, empty_cap)
+
+
+#: verify-plan switch: below this measured shingle-stream size the
+#: doc->set dict broadcasts (ray.put once, get_once per worker); above
+#: it the key-partitioned join plan runs (no broadcast of the corpus)
+VERIFY_BROADCAST_BYTES = 256 << 20
+
+
+def _jaccard_append_empties(ds, verified, id_col: str, text_col: str,
+                            empty_cap: int):
+    """Empty-shingle-set docs pair mutually (Jaccard 0/0 := 1, matching
+    functions/text.jaccard_words); handled on the driver under
+    ``empty_cap`` (M empties = M²/2 output pairs — inherently
+    quadratic, exact-dedup territory beyond the cap)."""
+    import ray.data
+
+    def _empty_ids(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((t or "").split() == [] for t in texts),
+                           bool, len(texts))
+        return pa.table({id_col: pa.array(ids[mask])})
+
+    empties = ds.map_batches(_empty_ids, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    if len(empties) > empty_cap:
+        raise ValueError(
+            f"{len(empties)} empty-token docs > empty_cap={empty_cap}: "
+            "their pair set is quadratic; run dedup_exact first")
+    if len(empties) >= 2:
+        eids = sorted(r[id_col] for r in empties)
+        ia, ib = np.triu_indices(len(eids), k=1)
+        arr = np.asarray(eids, np.int64)
+        extra = pa.table({
+            "id_a": pa.array(arr[ia]), "id_b": pa.array(arr[ib]),
+            "inter": pa.array(np.zeros(len(ia), np.int64)),
+            "size_a": pa.array(np.zeros(len(ia), np.int64)),
+            "size_b": pa.array(np.zeros(len(ia), np.int64)),
+        })
+        verified = verified.union(ray.data.from_arrow(extra))
+    return verified

@@ -266,3 +266,92 @@ class TestSimhashExactBands:
             packed = sum(1 << b for b in range(64) if acc[b] > 0)
             signed = packed - (1 << 64) if packed >= (1 << 63) else packed
             assert signed == int(expect), text
+
+
+class TestJaccardJoin:
+    """Exact prefix-filtered set-similarity join (stages/dedup.
+    jaccard_join) vs brute force, on BOTH verify plans."""
+
+    DOCS = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g x"),      # J=5/7 with 0
+        (2, "p q r s t u v w"),
+        (3, "p q r s t u v w"),      # exact dup of 2
+        (4, "z z z"),                # single shingle
+        (5, "z z z"),                # dup of 4
+        (6, "totally different words over here friend"),
+        (7, ""),                     # empty shingle set
+        (8, "   "),                  # empty shingle set
+    ]
+
+    def _truth(self, threshold):
+        import itertools
+
+        from geomedea_ray.functions.text import word_shingles
+
+        num, den = threshold
+        want = []
+        for (a, ta), (b, tb) in itertools.combinations(self.DOCS, 2):
+            sa, sb = set(word_shingles(ta)), set(word_shingles(tb))
+            inter, union = len(sa & sb), len(sa | sb)
+            if den * inter >= num * union:
+                want.append((a, b, inter, len(sa), len(sb)))
+        return sorted(want)
+
+    def _run(self, threshold, broadcast_bytes):
+        import ray.data
+
+        import geomedea_ray.stages.dedup as D
+
+        old = D.VERIFY_BROADCAST_BYTES
+        D.VERIFY_BROADCAST_BYTES = broadcast_bytes
+        try:
+            ds = ray.data.from_items(
+                [{"doc_id": i, "text": t} for i, t in self.DOCS])
+            rows = D.jaccard_join(ds, threshold=threshold,
+                                  num_shards=4).take_all()
+        finally:
+            D.VERIFY_BROADCAST_BYTES = old
+        return sorted((r["id_a"], r["id_b"], r["inter"],
+                       r["size_a"], r["size_b"]) for r in rows)
+
+    def test_broadcast_plan_matches_brute_force(self, ray_session):
+        assert self._run((2, 5), 256 << 20) == self._truth((2, 5))
+
+    def test_join_plan_matches_brute_force(self, ray_session):
+        assert self._run((2, 5), 0) == self._truth((2, 5))
+
+    def test_higher_threshold(self, ray_session):
+        assert self._run((4, 5), 256 << 20) == self._truth((4, 5))
+
+    def test_empty_docs_pair_mutually(self, ray_session):
+        out = self._run((1, 2), 256 << 20)
+        assert (7, 8, 0, 0, 0) in out
+
+    def test_empty_cap_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        import geomedea_ray.stages.dedup as D
+
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": ""} for i in range(5)])
+        with pytest.raises(ValueError, match="empty_cap"):
+            D.jaccard_join(ds, num_shards=2, empty_cap=3).take_all()
+
+    def test_prefix_filter_is_complete_random(self, ray_session):
+        """Randomized completeness check: prefix+positional filters
+        must lose nothing vs brute force (seeded, both plans)."""
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        vocab = [f"w{i}" for i in range(12)]  # small vocab -> high overlap
+        docs = [(i, " ".join(rng.choice(vocab, size=rng.integers(3, 15))))
+                for i in range(40)]
+        old_docs = self.DOCS
+        try:
+            type(self).DOCS = docs
+            assert self._run((2, 5), 256 << 20) == self._truth((2, 5))
+            assert self._run((3, 5), 0) == self._truth((3, 5))
+        finally:
+            type(self).DOCS = old_docs
