@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_radius": T.q_ann_radius,         # radius search from the store (SQL-oracled)
         "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (SQL-oracled)
         "jaccard_join": T.q_jaccard_join,         # EXACT prefix-filtered set-similarity join (no LSH recall caveat)
+        "doc_fingerprint": T.q_doc_fingerprint,   # winnowing rolling-hash fingerprints (bit-exact SQL fold mirror)
         "simhash_verified": T.q_simhash_verified, # 8×8-bit bands: EXACT ≤7-Hamming pair set (fixture-SQL-oracled)
         "doc_components": T.q_doc_components,     # iterative large-star/small-star CC over the exact pair set (recursive-CTE-oracled)
         "dedup_neardup": T.q_dedup_neardup,       # end-to-end near-dup dedup: CC reps kept, anti-join drop set (recursive-CTE-oracled)
@@ -290,7 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text dedup / graph (driver-unchecked in r3)
         "dedup_text", "dedup_neardup", "dedup_keep_best", "doc_components",
         "doc_tfidf", "minhash_verified", "simhash_verified", "doc_pagerank",
-        "jaccard_join",
+        "jaccard_join", "doc_fingerprint",
         # curation (driver-unchecked in r3)
         "pii_redact", "decontaminate", "pack_sequences", "doc_repetition",
         # Lance-semantics versioned table (NEW in r4 — needs driver rows)
@@ -317,7 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid_deep", "knn_indexed",
         # relational representatives (full family was green in r3; rotate)
         "q1_pricing", "lineitem_order_join", "hot_user_events_join",
-        "orders_scd2", "price_quantiles",
+        "price_quantiles",  # orders_scd2 (r3-driver-green) rotated out for doc_fingerprint
         "frequent_bigrams",  # user_retention (r3-driver-green) rotated out for jaccard_join
     ]
     ordered = {k: registry[k] for k in priority if k in registry}
@@ -453,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lance": T.q_ann_topk_sql(),  # identical rows from the versioned table
         "minhash_verified": T.MINHASH_VERIFIED_SQL,
         "jaccard_join": T.JACCARD_JOIN_SQL,
+        "doc_fingerprint": T.DOC_FINGERPRINT_SQL,
         "lang_token_quantiles": T.LANG_TOKEN_QUANTILES_SQL,
         "top_ngrams": T.TOP_NGRAMS_SQL,
         "doc_tfidf": T.DOC_TFIDF_SQL,

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "lang_source_rollup",      # single-pass GROUP BY ROLLUP, per-level partials (round 3)
     "lineitem_order_join",     # fact×fact shuffle hash join (round 3)
     "doc_tfidf",               # TF-IDF: partial DF sum + hash join + windowed rank (round 3)
+    "doc_fingerprint",         # winnowing rolling-hash fingerprints, zero-exchange map (round 4)
     "pii_redact",              # RE2 PII scrub over the planted corpus (round 3b)
     "doc_repetition",          # Gopher-style repetition filter (round 3b)
     "decontaminate",           # benchmark 8-gram scan vs broadcast eval set (round 3b)

@@ -282,3 +282,50 @@ def simhash64(texts) -> np.ndarray:
 def crc32_column(texts) -> np.ndarray:
     """Fast stable 32-bit checksum per text (zlib.crc32)."""
     return np.array([zlib.crc32((t or "").encode("utf-8")) for t in texts], dtype=np.int64)
+
+
+# ------------------------------------------ document fingerprinting
+
+#: winnowing parameters — shared with the SQL mirror in
+#: pipelines/text_queries.DOC_FINGERPRINT_SQL so the two derivations
+#: cannot diverge. All arithmetic stays below 2^63 (h < MOD=1e9+7,
+#: h*BASE + cp < 1.4e11), so DuckDB BIGINT and numpy int64 agree.
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+FP_K = 3          # k-gram width over token hashes
+FP_WINDOW = 4     # winnowing window over the gram sequence
+
+
+def _fp_fold(vals, mod: int = FP_MOD, base: int = FP_BASE) -> int:
+    """Left fold h = ((h*base + v) mod m), seeded with the first value
+    — exactly DuckDB's ``list_reduce(l, (a, x) -> (a*base + x) % m)``."""
+    it = iter(vals)
+    h = next(it)
+    for v in it:
+        h = (h * base + v) % mod
+    return h
+
+
+def winnow_fingerprints(text: str, k: int = FP_K, w: int = FP_WINDOW) -> np.ndarray:
+    """Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the published local fingerprinting scheme): rolling
+    polynomial hash per token → k-gram hashes over the token-hash
+    sequence → the DISTINCT minima of every length-``w`` sliding window
+    (a value is selected iff it is the minimum of at least one full
+    window; sequences shorter than ``w`` contribute their global min).
+    Deterministic, position-free, and exactly SQL-mirrorable.
+
+    Returns a sorted int64 array (empty for a token-less document)."""
+    toks = (text or "").split()
+    if not toks:
+        return np.empty(0, np.int64)
+    th = [_fp_fold([ord(c) for c in t]) for t in toks]
+    if len(th) < k:
+        grams = np.asarray([_fp_fold(th)], np.int64)
+    else:
+        grams = np.asarray(
+            [_fp_fold(th[j:j + k]) for j in range(len(th) - k + 1)], np.int64)
+    if len(grams) < w:
+        return np.asarray([grams.min()], np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(grams, w)
+    return np.unique(sw.min(axis=1))

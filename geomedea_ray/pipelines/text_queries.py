@@ -1408,3 +1408,61 @@ SELECT id_a, id_b, CAST(ni AS BIGINT) AS inter,
        CAST(na AS BIGINT) AS size_a, CAST(nb AS BIGINT) AS size_b
 FROM p WHERE {_JJ_DEN} * ni >= {_JJ_NUM} * (na + nb - ni)
 """
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Winnowing document fingerprints (functions/text.
+    winnow_fingerprints — rolling polynomial token hash → k-gram hash →
+    distinct sliding-window minima): one exploded (doc_id, fp) row per
+    selected fingerprint. Pure map — ZERO exchanges; the fingerprint
+    arithmetic is integer mod 1e9+7 on both sides, so the DuckDB
+    mirror (token fold = list_reduce) is bit-exact."""
+    import numpy as np
+
+    from geomedea_ray.functions.text import winnow_fingerprints
+
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _fps(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        fps = [winnow_fingerprints(t) for t in texts]
+        counts = np.fromiter((len(f) for f in fps), np.int64, len(fps))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+            "fp": pa.array(np.concatenate(fps) if len(fps) else
+                           np.empty(0, np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(_fps, batch_format="pyarrow", batch_size=1024,
+                          zero_copy_batch=True)
+
+
+#: SQL mirror of winnow_fingerprints: same fold (list_reduce), same
+#: k-gram slices, same window-min selection (full windows only; short
+#: sequences contribute their global min via the truncated pos=1 window)
+DOC_FINGERPRINT_SQL = """
+WITH tok AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             FROM documents),
+th AS (SELECT doc_id,
+              list_transform(toks, t -> list_reduce(
+                  list_transform(string_split_regex(t, ''),
+                                 c -> CAST(unicode(c) AS BIGINT)),
+                  (a, x) -> (a*131 + x) % 1000000007)) AS h
+       FROM tok WHERE len(toks) > 0),
+gr AS (SELECT doc_id,
+              CASE WHEN len(h) < 3
+                   THEN [list_reduce(h, (a, x) -> (a*131 + x) % 1000000007)]
+                   ELSE list_transform(range(1, len(h) - 1),
+                        j -> list_reduce(h[j:j+2],
+                                         (a, x) -> (a*131 + x) % 1000000007))
+              END AS g FROM th),
+r AS (SELECT doc_id, unnest(g) AS g, generate_subscripts(g, 1) AS pos FROM gr),
+c AS (SELECT doc_id, COUNT(*) AS m FROM r GROUP BY 1),
+wm AS (SELECT r.doc_id, pos, m,
+              MIN(g) OVER (PARTITION BY r.doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+       FROM r JOIN c USING (doc_id))
+SELECT DISTINCT doc_id, mn AS fp FROM wm WHERE pos <= GREATEST(m - 3, 1)
+"""

@@ -84,3 +84,44 @@ class TestLangTokenQuantiles:
         a = q_lang_token_quantiles(sf_dir).to_pandas().sort_values("lang").reset_index(drop=True)
         b = q_lang_token_quantiles(sf_dir).to_pandas().sort_values("lang").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestWinnowFingerprints:
+    def test_shared_run_guarantee(self):
+        """Winnowing guarantee: token runs of length >= w + k - 1 = 6
+        shared between two documents share at least one fingerprint."""
+        from geomedea_ray.functions.text import winnow_fingerprints
+
+        run = "alpha beta gamma delta epsilon zeta eta"
+        a = winnow_fingerprints("x1 y2 " + run + " z3")
+        b = winnow_fingerprints(run + " q9 r8 s7")
+        assert len(np.intersect1d(a, b)) >= 1
+
+    def test_disjoint_docs_disjoint_fps(self):
+        from geomedea_ray.functions.text import winnow_fingerprints
+
+        a = winnow_fingerprints("aa bb cc dd ee ff gg")
+        b = winnow_fingerprints("hh ii jj kk ll mm nn")
+        assert len(np.intersect1d(a, b)) == 0
+
+    def test_short_and_empty(self):
+        from geomedea_ray.functions.text import winnow_fingerprints
+
+        assert winnow_fingerprints("").tolist() == []
+        assert len(winnow_fingerprints("one")) == 1
+        assert len(winnow_fingerprints("one two")) == 1
+
+    def test_fold_matches_duckdb(self):
+        """The token fold is DuckDB's list_reduce bit-for-bit."""
+        import duckdb
+
+        from geomedea_ray.functions.text import _fp_fold
+
+        con = duckdb.connect()
+        for tok in ("hello", "x", "Zürich", "a1b2c3"):
+            got = _fp_fold([ord(c) for c in tok])
+            want = con.execute(
+                "SELECT list_reduce(list_transform(string_split_regex(?, ''),"
+                " c -> CAST(unicode(c) AS BIGINT)),"
+                " (a, x) -> (a*131 + x) % 1000000007)", [tok]).fetchone()[0]
+            assert got == want, tok
