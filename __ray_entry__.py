@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": G.q_knn,                           # §7.2 step 7 (full scan)
         "knn_indexed": G.q_knn_indexed,           # §7.2 step 7 (packed-index path)
         "nn_join": G.q_nn_join,                   # nearest-neighbor join (broadcast left)
+        "dwithin_join": G.q_dwithin_join,         # within-distance point join (PBSM grid, exact int64 circle)
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (eq scheme, SQL-oracled)
         "tile_counts_hot": G.q_tile_counts_hot,   # SKEW: 80%-one-cell planted, salted_group_apply path
@@ -285,9 +286,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails", "image_reencode", "image_similar",
         # audio / video (driver-unchecked in r3)
         "audio_features", "video_frames",
-        # ANN / embeddings (driver-unchecked in r3)
-        "ann_topk", "ann_radius", "kmeans_embeddings", "embedding_clusters",
-        "cluster_balanced_sample", "label_centroids", "embedding_neardup",
+        # ANN / embeddings (driver-unchecked in r3; ann_radius —
+        # r2-driver-green, locally green all round — rotates out for
+        # dwithin_join, this session's new exact spatial join)
+        "ann_topk", "kmeans_embeddings", "embedding_clusters",
+        "cluster_balanced_sample", "embedding_neardup",
+        # label_centroids (r2-driver-green, locally green all round)
+        # rotated out so events_customer_outer (NEW r4 full-outer join)
+        # fits inside the 50-entry window.
         # text dedup / graph (driver-unchecked in r3)
         "dedup_text", "dedup_neardup", "dedup_keep_best", "doc_components",
         "doc_tfidf", "minhash_verified", "simhash_verified", "doc_pagerank",
@@ -308,11 +314,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hilbert_scan (r3-driver-green, locally green all round) rotate
         # out for the reference-fixture differentials (the reference's
         # OWN places.json / countries.geojson inputs, hash-checked).
-        "bbox_select", "bbox_select_http",
+        # bbox_select and props_select (both r3-driver-green) rotate out
+        # this session: bbox_select_http returns the same rows against
+        # the same oracle over real sockets, and fgb_points_select /
+        # csv_points_select share props_select's oracle — the oracles
+        # stay driver-exercised while three round-4 queries
+        # (geojson_roundtrip, tile_counts_hot, events_customer_outer)
+        # come inside the 50-entry window.
+        "bbox_select_http",
         "ref_places_select", "ref_countries_bbox",
-        "props_select",
         "fgb_points_select", "geojson_roundtrip",
         "tile_counts_hot",
+        "events_customer_outer",
+        "dwithin_join",
+        "bbox_select", "props_select",
         "spatial_count", "hilbert_scan",
         "cell_compact", "pip_join", "knn", "tile_counts",
         "tile_pyramid_deep", "knn_indexed",
@@ -397,6 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": G.q_knn_sql(),
         "knn_indexed": G.q_knn_sql(),
         "nn_join": G.q_nn_join_sql(),
+        "dwithin_join": G.q_dwithin_join_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
         "tile_counts_hot": G.q_tile_counts_hot_sql(),

@@ -941,6 +941,82 @@ SELECT qid, pid, "rank" FROM r WHERE "rank" <= {k}"""
     )
 
 
+#: dwithin radius in integer centidegree grid units (0.3°)
+DWITHIN_RADIUS = 30
+
+
+def q_dwithin_join(sf_dir: str):
+    """Within-distance point join (stages/rect_join.dwithin_join —
+    ST_DWithin shape): every (order point, lineitem point) pair within
+    DWITHIN_RADIUS on the integer centidegree grid, with its exact
+    int64 squared distance. Order points (the smaller side) replicate
+    into the 3×3 cell neighbourhood; lineitem points emit their home
+    cell once; ONE co-shuffle on the cell hash, per-shard vectorized
+    circle refine — each pair produced exactly once, no dedup pass,
+    no all-pairs scan anywhere."""
+    import pandas as pd
+
+    from geomedea_ray.stages.rect_join import dwithin_join
+
+    def _opts(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "oid": k,
+            "ax": (k * 6007 % 36000) - 18000,
+            "ay": (k * 9973 % 17000) - 8500,
+        })
+
+    def _lpts(df: pd.DataFrame) -> pd.DataFrame:
+        pid = df["l_orderkey"].to_numpy(np.int64) * 8 + df[
+            "l_linenumber"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "pid": pid,
+            "bx": (pid * 7919 % 36000) - 18000,
+            "by": (pid * 104729 % 17000) - 8500,
+        })
+
+    a = tables.read(sf_dir, "orders", columns=["o_orderkey"]).map_batches(
+        _opts, batch_format="pandas")
+    b = tables.read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(_lpts, batch_format="pandas")
+    out = dwithin_join(a, b, ("ax", "ay"), ("bx", "by"),
+                       ["oid"], ["pid"], radius=DWITHIN_RADIUS)
+
+    def _fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "oid": t["oid"].cast(pa.int64()),
+            "pid": t["pid"].cast(pa.int64()),
+            "dist2": t["dist2"].cast(pa.int64()),
+        })
+
+    return out.map_batches(_fin, batch_format="pyarrow")
+
+
+def q_dwithin_join_sql() -> str:
+    r = DWITHIN_RADIUS
+    return f"""
+WITH a AS (
+  SELECT o_orderkey AS oid,
+         (o_orderkey * 6007 % 36000) - 18000 AS ax,
+         (o_orderkey * 9973 % 17000) - 8500 AS ay
+  FROM orders
+),
+b AS (
+  SELECT l_orderkey * 8 + l_linenumber AS pid,
+         ((l_orderkey * 8 + l_linenumber) * 7919 % 36000) - 18000 AS bx,
+         ((l_orderkey * 8 + l_linenumber) * 104729 % 17000) - 8500 AS byy
+  FROM lineitem
+)
+SELECT oid, pid,
+       (ax - bx) * (ax - bx) + (ay - byy) * (ay - byy) AS dist2
+FROM a JOIN b
+  ON b.bx BETWEEN a.ax - {r} AND a.ax + {r}
+ AND b.byy BETWEEN a.ay - {r} AND a.ay + {r}
+WHERE (ax - bx) * (ax - bx) + (ay - byy) * (ay - byy) <= {r * r}
+"""
+
+
 def q_tile_counts_mercator(sf_dir: str):
     """Raster-tile aggregate under the PRODUCTION Web-Mercator scheme
     (functions/cells.tile_xy_mercator). Hash-verified: numpy's and

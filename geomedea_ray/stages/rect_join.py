@@ -142,3 +142,129 @@ def bbox_intersect_join(
         return m.loc[keep, a_keep + b_keep].reset_index(drop=True)
 
     return both.groupby("_shard").map_groups(_pairs, batch_format="pandas")
+
+
+def dwithin_join(
+    a_ds,
+    b_ds,
+    a_xy: tuple[str, str],
+    b_xy: tuple[str, str],
+    a_keep: list[str],
+    b_keep: list[str],
+    radius: int,
+    num_shards: int | None = None,
+    dist2_col: str = "dist2",
+):
+    """Within-distance point JOIN (the ST_DWithin shape): every pair
+    ``(a, b)`` with ``(ax-bx)² + (ay-by)² <= radius²``, EXACT — the
+    coordinates must be integer-quantized (the engine's int32 grid, or
+    any integer units) and every decision is int64 arithmetic, so the
+    SQL mirror cannot drift on float rounding.
+
+    Shape (same PBSM grid as :func:`bbox_intersect_join`, specialised
+    for points):
+
+    - grid cell side = ``radius``, so a qualifying pair is never more
+      than one cell apart on either axis;
+    - side A is replicated into its 3×3 cell NEIGHBOURHOOD (9 rows per
+      point — pass the smaller side as ``a_ds``), side B emits its own
+      cell once;
+    - both sides co-shuffle ONCE on ``hash(cell) % num_shards``
+      (auto_shards-derived width, never a constant);
+    - inside a shard one ``pd.merge`` on the packed cell id yields the
+      candidate products, refined vectorized by the integer circle
+      predicate. Each qualifying pair is produced exactly once — by
+      B's unique home cell — so NO dedup exchange follows.
+
+    Per-shard working set is the points of ~``cells/num_shards`` cells
+    (9× the A side), independent of total input size; hot cells are
+    the caller's concern (pre-salt with a finer grid if one cell holds
+    a whole city). Candidate blow-up is bounded by the true result
+    plus same-neighbourhood misses — no all-pairs anywhere.
+
+    Overflow contract: ``|dx|, |dy| <= 2*radius`` inside a merged cell
+    pair, so ``dist2`` fits int64 for any ``radius < 2^30``.
+    """
+    if radius <= 0:
+        raise ValueError("radius must be a positive integer")
+    num_shards = _resolve_shards(b_ds, num_shards)
+    cell = int(radius)
+    r2 = int(radius) * int(radius)
+    off = np.array([-1, 0, 1], dtype=np.int64)
+    nbr_x = np.repeat(off, 3)   # 9 neighbour offsets
+    nbr_y = np.tile(off, 3)
+
+    def _expand(xy, keep, side, replicate):
+        xc, yc = xy
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "_cell": pd.Series([], dtype=np.int64),
+                    "_shard": pd.Series([], dtype=np.int64),
+                    "_side": pd.Series([], dtype=np.int8),
+                    "_px": pd.Series([], dtype=np.int64),
+                    "_py": pd.Series([], dtype=np.int64),
+                    **{c: df[c].iloc[0:0] for c in keep},
+                })
+            x = df[xc].to_numpy(np.int64)
+            y = df[yc].to_numpy(np.int64)
+            cx = np.floor_divide(x, cell)
+            cy = np.floor_divide(y, cell)
+            if replicate:
+                n = len(x)
+                idx = np.repeat(np.arange(n), 9)
+                cx = np.repeat(cx, 9) + np.tile(nbr_x, n)
+                cy = np.repeat(cy, 9) + np.tile(nbr_y, n)
+                x, y = x[idx], y[idx]
+            else:
+                idx = np.arange(len(x))
+            packed = (cx << np.int64(_CY_BITS)) | (cy & np.int64(2**_CY_BITS - 1))
+            out = pd.DataFrame({
+                "_cell": packed,
+                "_shard": (packed.astype(np.uint64)
+                           % np.uint64(num_shards)).astype(np.int64),
+                "_side": np.int8(side),
+                "_px": x,
+                "_py": y,
+            })
+            for c in keep:
+                out[c] = df[c].to_numpy()[idx]
+            return out
+
+        return fn
+
+    a = a_ds.map_batches(_expand(a_xy, a_keep, 0, True), batch_format="pandas")
+    b = b_ds.map_batches(_expand(b_xy, b_keep, 1, False), batch_format="pandas")
+    both = a.union(b)
+
+    out_cols = a_keep + b_keep + [dist2_col]
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            **{c: (df[c].iloc[0:0] if c in df.columns
+                   else pd.Series([], dtype=object))
+               for c in a_keep + b_keep},
+            dist2_col: pd.Series([], dtype=np.int64),
+        })
+        if not set(a_keep + b_keep) <= set(df.columns):
+            return empty
+        la = df[df["_side"] == 0]
+        lb = df[df["_side"] == 1]
+        if len(la) == 0 or len(lb) == 0:
+            return empty
+        m = la[["_cell", "_px", "_py"] + a_keep].merge(
+            lb[["_cell", "_px", "_py"] + b_keep],
+            on="_cell", suffixes=("_a", "_b"),
+        )
+        if len(m) == 0:
+            return empty
+        dx = m["_px_a"].to_numpy() - m["_px_b"].to_numpy()
+        dy = m["_py_a"].to_numpy() - m["_py_b"].to_numpy()
+        d2 = dx * dx + dy * dy
+        keep = d2 <= r2
+        out = m.loc[keep, a_keep + b_keep].reset_index(drop=True)
+        out[dist2_col] = d2[keep]
+        return out[out_cols]
+
+    return both.groupby("_shard").map_groups(_pairs, batch_format="pandas")

@@ -262,3 +262,56 @@ class TestBboxIntersectJoin:
             ["a_id"], ["b_id"], cell=10.0,
         ).to_pandas()
         assert sorted(zip(out["a_id"], out["b_id"])) == [(1, 7)]
+
+
+class TestDwithinJoin:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.rect_join import dwithin_join
+
+        rng = np.random.default_rng(17)
+        na, nb, r = 150, 400, 9
+        a = pd.DataFrame({"a_id": np.arange(na),
+                          "ax": rng.integers(-100, 100, na),
+                          "ay": rng.integers(-100, 100, na)})
+        b = pd.DataFrame({"b_id": np.arange(nb),
+                          "bx": rng.integers(-100, 100, nb),
+                          "by": rng.integers(-100, 100, nb)})
+        out = dwithin_join(
+            ray.data.from_pandas(a).repartition(3),
+            ray.data.from_pandas(b).repartition(2),
+            ("ax", "ay"), ("bx", "by"), ["a_id"], ["b_id"],
+            radius=r, num_shards=5,
+        ).to_pandas()
+        got = set(zip(out["a_id"], out["b_id"]))
+        assert len(got) == len(out), "pair produced more than once"
+        dx = a["ax"].to_numpy()[:, None] - b["bx"].to_numpy()[None, :]
+        dy = a["ay"].to_numpy()[:, None] - b["by"].to_numpy()[None, :]
+        want_mask = dx * dx + dy * dy <= r * r
+        want = set(zip(*np.nonzero(want_mask)))
+        assert got == want and len(want) > 100
+        # dist2 is the exact integer squared distance
+        d2 = {(i, j): dx[i, j] ** 2 + dy[i, j] ** 2 for (i, j) in want}
+        for i, j, v in zip(out["a_id"], out["b_id"], out["dist2"]):
+            assert d2[(i, j)] == v
+
+    def test_boundary_exact_and_cell_edges(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.rect_join import dwithin_join
+
+        # pairs at exactly radius (on-circle) are IN; radius+1 out;
+        # points straddling cell boundaries at negative coords
+        a = pd.DataFrame({"a_id": [0, 1, 2], "ax": [0, -10, -1],
+                          "ay": [0, -10, -1]})
+        b = pd.DataFrame({"b_id": [0, 1, 2, 3],
+                          "bx": [5, 0, -13, 6],
+                          "by": [0, 5, -14, 0]})
+        out = dwithin_join(
+            ray.data.from_pandas(a), ray.data.from_pandas(b),
+            ("ax", "ay"), ("bx", "by"), ["a_id"], ["b_id"], radius=5,
+        ).to_pandas()
+        got = sorted(zip(out["a_id"], out["b_id"]))
+        assert got == [(0, 0), (0, 1), (1, 2)]  # dist2 = 25, 25, 25
+        assert set(out["dist2"]) == {25}
