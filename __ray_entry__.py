@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokens": T.q_doc_tokens,
         "doc_quality": T.q_doc_quality,
         "dedup_text": T.q_dedup_text,
+        "dedup_paragraphs": T.q_dedup_paragraphs,  # CCNet-style cross-doc duplicate-chunk removal + doc rebuild
         "lang_source_agg": T.q_lang_source_agg,
         "langid": T.q_langid,
         "ann_topk": T.q_ann_topk,
@@ -295,7 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out so events_customer_outer (NEW r4 full-outer join)
         # fits inside the 50-entry window.
         # text dedup / graph (driver-unchecked in r3)
-        "dedup_text", "dedup_neardup", "dedup_keep_best", "doc_components",
+        # dedup_text (r2-driver-green, locally green all round) rotates
+        # out for dedup_paragraphs, this session's new dedup family op
+        "dedup_paragraphs", "dedup_neardup", "dedup_keep_best", "doc_components",
         "doc_tfidf", "minhash_verified", "simhash_verified", "doc_pagerank",
         "jaccard_join", "doc_fingerprint",
         # curation (driver-unchecked in r3)
@@ -464,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": T.Q_DOC_TOKENS_SQL,
         "doc_quality": T.Q_DOC_QUALITY_SQL,
         "dedup_text": T.Q_DEDUP_TEXT_SQL,
+        "dedup_paragraphs": T.DEDUP_PARAGRAPHS_SQL,
         "lang_source_agg": T.Q_LANG_SOURCE_SQL,
         "lang_source_rollup": T.LANG_SOURCE_ROLLUP_SQL,
         "ann_topk": T.q_ann_topk_sql(),

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "minhash_verified",
     "jaccard_join",            # EXACT prefix-filtered set-similarity join (round 4)
+    "dedup_paragraphs",        # CCNet-style cross-doc duplicate-chunk removal (round 4)
+    "dwithin_join",            # within-distance point join, PBSM grid (round 4)
     "minhash_kernel",          # raw signature kernel throughput (driver-side)
     "embedding_neardup",
     "props_select",

@@ -1466,3 +1466,46 @@ wm AS (SELECT r.doc_id, pos, m,
        FROM r JOIN c USING (doc_id))
 SELECT DISTINCT doc_id, mn AS fp FROM wm WHERE pos <= GREATEST(m - 3, 1)
 """
+
+
+#: paragraph-dedup knobs — 4-word chunks give a real duplicate
+#: population in the fixture corpus (measured at sf0.01: 6,974 chunks,
+#: 308 duplicated across 99 docs)
+PARA_WORDS = 4
+PARA_MIN_DOCS = 2
+
+
+def q_dedup_paragraphs(sf_dir: str):
+    """CCNet-style corpus-level duplicate-paragraph removal
+    (stages/dedup.paragraph_dedup): every 4-word chunk occurring in
+    >= 2 distinct documents is dropped from ALL of them, and each
+    document is rebuilt from its surviving chunks. Three bounded
+    exchanges (int-key chunk count, adaptive hot-set anti-filter, one
+    doc-key rebuild shuffle); no string-key groupby anywhere."""
+    from geomedea_ray.stages.dedup import paragraph_dedup
+
+    ds = tables.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return paragraph_dedup(ds, id_col="doc_id", text_col="text",
+                           words_per_chunk=PARA_WORDS,
+                           min_docs=PARA_MIN_DOCS)
+
+
+DEDUP_PARAGRAPHS_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+ix AS (SELECT doc_id, words,
+              unnest(range(CAST(ceil(len(words) / {PARA_WORDS}.0) AS BIGINT)))
+                  AS chunk_idx
+       FROM w),
+ch AS (SELECT doc_id, chunk_idx,
+              array_to_string(
+                  words[(chunk_idx*{PARA_WORDS}+1):(chunk_idx*{PARA_WORDS}+{PARA_WORDS})],
+                  ' ') AS chunk
+       FROM ix),
+dup AS (SELECT chunk FROM ch
+        GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= {PARA_MIN_DOCS})
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM ch WHERE chunk NOT IN (SELECT chunk FROM dup)
+GROUP BY doc_id
+"""

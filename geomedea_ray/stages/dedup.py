@@ -885,3 +885,169 @@ def _jaccard_append_empties(ds, verified, id_col: str, text_col: str,
         })
         verified = verified.union(ray.data.from_arrow(extra))
     return verified
+
+
+# ------------------------------------------------- paragraph dedup
+
+#: hot-chunk set broadcast ceiling — above this the anti-filter runs as
+#: a key-partitioned shuffle instead of a driver round-trip
+PARAGRAPH_BROADCAST_BYTES = 64 << 20
+
+
+def _chunk_explode(batch: pa.Table, id_col: str, text_col: str,
+                   words: int) -> pa.Table:
+    """(id, text) → one row per consecutive ``words``-word chunk:
+    (id, chunk_idx, chunk, _h). The per-text split is inherent (same
+    class as shingling); chunk hashing and array assembly are
+    vectorized. The trailing partial chunk is kept (SQL mirror: list
+    slicing past the end truncates identically)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    texts = batch[text_col].to_pylist()
+    chunks: list[str] = []
+    counts = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        cs = [" ".join(w[j:j + words]) for j in range(0, len(w), words)]
+        chunks.extend(cs)
+        counts[i] = len(cs)
+    idx = np.repeat(np.arange(len(texts)), counts)
+    chunk_idx = (np.arange(len(chunks), dtype=np.int64)
+                 - np.repeat(np.cumsum(counts) - counts, counts))
+    return pa.table({
+        id_col: pa.array(ids[idx]),
+        "chunk_idx": pa.array(chunk_idx, pa.int64()),
+        "chunk": pa.array(chunks, pa.string()),
+        "_h": pa.array(T.stable_hash64(np.asarray(chunks, dtype=object))
+                       .astype(np.int64), pa.int64()),
+    })
+
+
+def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    words_per_chunk: int = 4, min_docs: int = 2,
+                    num_shards: int | None = None,
+                    broadcast_cap_bytes: int = PARAGRAPH_BROADCAST_BYTES):
+    """CCNet-style corpus-level duplicate-paragraph removal: split
+    every document into consecutive ``words_per_chunk``-word chunks
+    (the fixture corpus has no newlines — fixed-width chunks stand in
+    for paragraphs; the machinery is delimiter-agnostic), drop every
+    chunk whose exact text occurs in >= ``min_docs`` DISTINCT
+    documents, and reassemble each document from its surviving chunks
+    in order. Documents that lose every chunk disappear (GROUP BY
+    semantics, matching the SQL mirror).
+
+    Distributed shape (no all-pairs, no string-key exchanges):
+
+    1. explode once (id, chunk_idx, chunk, _h) with _h = stable 64-bit
+       chunk hash; the stream is materialized because both the count
+       and the filter pass consume it (recompute would double the
+       split work);
+    2. per-block (_h, id) drop_duplicates partial → coalesce → ONE
+       int-key hash shuffle counts DISTINCT DOCS per chunk hash
+       (a doc's chunks live in one exploded block, so the per-block
+       partial already makes (_h, id) globally unique);
+    3. the hot set (chunks in >= min_docs docs) is ADAPTIVE like
+       jaccard_join's verify: broadcast once per worker
+       (ray.put + get_once) under PARAGRAPH_BROADCAST_BYTES, else a
+       key-partitioned anti-join shuffle — no unbounded driver set;
+    4. survivors co-shuffle ONCE on hash(id) and each document is
+       rebuilt vectorized in-shard (sort by chunk_idx + groupby-join).
+
+    Exactness: decisions group by the 64-bit chunk hash while the SQL
+    oracle groups by chunk TEXT — identical up to hash collisions
+    (~n²/2^64, the same documented trust level as dedup_text's
+    fingerprint64 key). Output: (id, text_clean, n_kept).
+    """
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    num_shards = _resolve_shards(ds, num_shards)
+    exploded = ds.map_batches(
+        lambda b: _chunk_explode(b, id_col, text_col, words_per_chunk),
+        batch_format="pyarrow", batch_size=None,
+    ).materialize()
+
+    def _pairs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["_h", id_col]].drop_duplicates()
+        out = out.assign(_shard=(out["_h"].to_numpy().astype(np.uint64)
+                                 % np.uint64(num_shards)).astype(np.int64))
+        return out
+
+    def _hot_keys(df: pd.DataFrame) -> pd.DataFrame:
+        # (_h, id) rows are globally unique (see step 2) — group sizes
+        # ARE distinct-doc counts
+        counts = df.groupby("_h", sort=False).size()
+        hot = counts.index[counts.to_numpy() >= min_docs]
+        return pd.DataFrame({"_h": hot.to_numpy(np.int64)})
+
+    hot = (
+        exploded.map_batches(_pairs_partial, batch_format="pandas",
+                             batch_size=None)
+        .repartition(_coalesce_width())
+        .groupby("_shard").map_groups(_hot_keys, batch_format="pandas")
+    ).materialize()
+
+    hot_bytes = hot.size_bytes() or 0
+    if hot_bytes <= broadcast_cap_bytes:
+        hot_ref = ray.put(np.sort(hot.to_pandas()["_h"].to_numpy(np.int64)))
+
+        def _anti_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            hs = get_once(hot_ref)
+            keep = ~np.isin(df["_h"].to_numpy(np.int64), hs,
+                            assume_unique=False)
+            return df.loc[keep, [id_col, "chunk_idx", "chunk"]]
+
+        kept = exploded.map_batches(_anti_bcast, batch_format="pandas",
+                                    batch_size=None)
+    else:
+        def _tag(side: int):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                out = df.assign(
+                    _side=np.int8(side),
+                    _shard=(df["_h"].to_numpy().astype(np.uint64)
+                            % np.uint64(num_shards)).astype(np.int64))
+                return out
+
+            return fn
+
+        def _anti_shard(df: pd.DataFrame) -> pd.DataFrame:
+            if "_side" not in df.columns or id_col not in df.columns:
+                return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                     "chunk_idx": pd.Series([], dtype=np.int64),
+                                     "chunk": pd.Series([], dtype=object)})
+            hot_h = df.loc[df["_side"] == 1, "_h"].to_numpy(np.int64)
+            rows = df[df["_side"] == 0]
+            keep = ~np.isin(rows["_h"].to_numpy(np.int64), hot_h)
+            return rows.loc[keep, [id_col, "chunk_idx", "chunk"]]
+
+        kept = (
+            exploded.map_batches(_tag(0), batch_format="pandas",
+                                 batch_size=None)
+            .union(hot.map_batches(_tag(1), batch_format="pandas",
+                                   batch_size=None))
+            .groupby("_shard").map_groups(_anti_shard,
+                                          batch_format="pandas")
+        )
+
+    def _tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _shard=(df[id_col].to_numpy().astype(np.uint64)
+                    % np.uint64(num_shards)).astype(np.int64))
+
+    def _rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in df.columns or len(df) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "text_clean": pd.Series([], dtype=object),
+                                 "n_kept": pd.Series([], dtype=np.int64)})
+        df = df.sort_values([id_col, "chunk_idx"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        return pd.DataFrame({
+            id_col: g.size().index.to_numpy(np.int64),
+            "text_clean": g["chunk"].agg(" ".join).to_numpy(object),
+            "n_kept": g.size().to_numpy(np.int64),
+        })
+
+    return (
+        kept.map_batches(_tag_doc, batch_format="pandas", batch_size=None)
+        .groupby("_shard").map_groups(_rebuild, batch_format="pandas")
+    )

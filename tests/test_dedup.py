@@ -355,3 +355,71 @@ class TestJaccardJoin:
             assert self._run((3, 5), 0) == self._truth((3, 5))
         finally:
             type(self).DOCS = old_docs
+
+
+class TestParagraphDedup:
+    def _corpus(self):
+        # docs 0 & 1 share chunk "a b c d"; docs 1 & 2 share "x y z w";
+        # doc 3 is entirely made of the shared chunk (drops out);
+        # doc 4 repeats a chunk INSIDE itself only (must survive —
+        # min_docs counts DISTINCT docs, not occurrences)
+        return pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "a b c d k1 k2 k3 k4",
+                "a b c d x y z w m1 m2 m3 m4",
+                "x y z w n1 n2 n3 n4 tail",
+                "a b c d",
+                "p q r s p q r s",
+            ],
+        })
+
+    def _expect(self):
+        return {
+            0: ("k1 k2 k3 k4", 1),
+            1: ("m1 m2 m3 m4", 1),
+            2: ("n1 n2 n3 n4 tail", 2),
+            4: ("p q r s p q r s", 2),
+        }
+
+    def _check(self, out):
+        got = {int(r.doc_id): (r.text_clean, int(r.n_kept))
+               for r in out.itertuples()}
+        assert got == self._expect()
+
+    def test_planted_broadcast_plan(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.dedup import paragraph_dedup
+
+        out = paragraph_dedup(
+            ray.data.from_pandas(self._corpus()).repartition(3),
+            words_per_chunk=4, min_docs=2, num_shards=4,
+        ).to_pandas()
+        self._check(out)
+
+    def test_planted_sharded_anti_plan(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.dedup import paragraph_dedup
+
+        out = paragraph_dedup(
+            ray.data.from_pandas(self._corpus()).repartition(3),
+            words_per_chunk=4, min_docs=2, num_shards=4,
+            broadcast_cap_bytes=0,  # force the key-partitioned anti path
+        ).to_pandas()
+        self._check(out)
+
+    def test_min_docs_three_keeps_pairwise_dups(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.dedup import paragraph_dedup
+
+        out = paragraph_dedup(
+            ray.data.from_pandas(self._corpus()).repartition(2),
+            words_per_chunk=4, min_docs=3, num_shards=4,
+        ).to_pandas()
+        # "a b c d" is in docs 0/1/3 (3 distinct) -> still dropped;
+        # "x y z w" (2 docs) now survives; doc 3 disappears entirely
+        got = {int(r.doc_id): int(r.n_kept) for r in out.itertuples()}
+        assert got == {0: 1, 1: 2, 2: 3, 4: 2}
