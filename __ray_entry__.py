@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_compact": G.q_cell_compact,            # H3-compact analogue (SQL-oracled)
         "ref_places_select": RF.q_ref_places_select,     # the reference's OWN places.json, every row hash-checked
         "ref_countries_bbox": RF.q_ref_countries_bbox,   # the reference's test_polygons bbox golden, DuckDB-rederived
+        "ref_countries_area": RF.q_ref_countries_area,   # exact shoelace area2 off the stored quantized rings (HUGEINT mirror)
         # --- relational surface (SURVEY §2.5 gap ops) ---
         "q1_pricing": R.q1_pricing_summary,
         "top_orders": R.top_orders,
@@ -291,10 +292,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r2-driver-green, locally green all round — rotates out for
         # dwithin_join, this session's new exact spatial join)
         "ann_topk", "kmeans_embeddings", "embedding_clusters",
-        "cluster_balanced_sample", "embedding_neardup",
-        # label_centroids (r2-driver-green, locally green all round)
-        # rotated out so events_customer_outer (NEW r4 full-outer join)
-        # fits inside the 50-entry window.
+        "cluster_balanced_sample",
+        # label_centroids + embedding_neardup (r2-driver-green, locally
+        # green all round) rotated out so events_customer_outer and
+        # ref_countries_area (both NEW r4) fit inside the window.
         # text dedup / graph (driver-unchecked in r3)
         # dedup_text (r2-driver-green, locally green all round) rotates
         # out for dedup_paragraphs, this session's new dedup family op
@@ -326,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # come inside the 50-entry window.
         "bbox_select_http",
         "ref_places_select", "ref_countries_bbox",
+        # embedding_neardup (r2-driver-green, locally green all round)
+        # rotated out above for ref_countries_area (new r4)
+        "ref_countries_area",
         "fgb_points_select", "geojson_roundtrip",
         "tile_counts_hot",
         "events_customer_outer",
@@ -424,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_scan": H.linepoints_hilbert_sql(),
         "ref_places_select": RF.q_ref_places_select_sql(),
         "ref_countries_bbox": RF.q_ref_countries_bbox_sql(),
+        "ref_countries_area": RF.q_ref_countries_area_sql(),
         "cell_compact": H.cell_compact_sql(),
         "tile_counts_mercator": G.q_tile_counts_mercator_sql(),
         "pip_join_sharded": G.q_pip_join_sql(),

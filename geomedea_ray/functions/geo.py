@@ -156,3 +156,28 @@ def point_in_polygon(lng, lat, poly_x: np.ndarray, poly_y: np.ndarray) -> np.nda
         inside ^= cond & (px < xcross)
         j = i
     return inside
+
+
+def shoelace_area2(coords, ring_lens) -> int:
+    """EXACT twice-signed shoelace area of one feature's rings on the
+    quantized integer grid: Σ over rings Σᵢ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ) over
+    consecutive stored vertices (GeoJSON rings carry the closing
+    duplicate vertex, so consecutive pairs ARE the closed shoelace).
+    Arbitrary-precision Python ints — cross terms reach ~1.6e18 and
+    ring sums exceed int64 on planet-scale polygons; the SQL mirror
+    uses HUGEINT. CCW outer rings are positive, CW (holes) negative;
+    the signed sum over all rings is the net enclosed area ×2.
+
+    ``coords`` is the engine's flat [x0, y0, x1, y1, …] int list,
+    ``ring_lens`` the per-ring vertex counts."""
+    total = 0
+    off = 0
+    for n in ring_lens:
+        seg = coords[2 * off: 2 * (off + n)]
+        xs, ys = seg[0::2], seg[1::2]
+        total += sum(
+            int(x) * int(y2) - int(x2) * int(y)
+            for x, y, x2, y2 in zip(xs, ys, xs[1:], ys[1:])
+        )
+        off += n
+    return total

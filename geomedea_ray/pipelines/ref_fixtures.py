@@ -264,3 +264,106 @@ def q_ref_countries_bbox_sql() -> str:
         + f" WHERE NOT (h.fmaxx < {qminx} OR h.fminx > {qmaxx}"
         + f" OR h.fmaxy < {qminy} OR h.fminy > {qmaxy})"
     )
+
+
+def _countries_verts_path() -> str:
+    """Vertex-level oracle fixture: one row per ring coordinate WITH
+    ring identity and in-ring order (fid, ring_id, vtx_idx, lng, lat)
+    — parsed by the stdlib, independent of the engine's geometry
+    encoding. ring_id runs over every ring of every polygon part in
+    document order (the signed shoelace sum does not care about the
+    outer/hole split)."""
+    import pyarrow.parquet as _pq
+
+    from geomedea_ray.sources.cache import cached_file
+
+    src = _require_fixture(COUNTRIES_GEOJSON)
+    feats = json.load(open(src))["features"]
+
+    def _rings(geom: dict) -> list[list]:
+        t, c = geom["type"], geom["coordinates"]
+        if t == "Polygon":
+            return list(c)
+        if t == "MultiPolygon":
+            return [ring for poly in c for ring in poly]
+        raise ValueError(f"unexpected geometry type {t}")
+
+    n_rows = sum(len(r) for f in feats for r in _rings(f["geometry"]))
+
+    def _build(tmp: str) -> None:
+        recs = [
+            {"fid": i, "ring_id": ri, "vtx_idx": vi, "lng": x, "lat": y}
+            for i, f in enumerate(feats)
+            for ri, ring in enumerate(_rings(f["geometry"]))
+            for vi, (x, y) in enumerate(ring)
+        ]
+        _pq.write_table(pa.Table.from_pylist(recs), tmp)
+
+    return cached_file(os.path.join(CACHE_ROOT, "ref_countries_verts.parquet"),
+                       _build, expected_rows=n_rows)
+
+
+def q_ref_countries_area(sf_dir: str):
+    """EXACT shoelace signed area (×2) of every country polygon on the
+    quantized int32 grid, straight off the ENGINE'S stored geometry
+    (flat coords + ring_lens): per feature, area2 = Σ over all rings
+    Σᵢ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ) in arbitrary-precision Python ints (cross
+    terms reach ~1.6e18 and ring sums exceed int64 — the SQL mirror
+    folds the same pairs in HUGEINT and both sides emit the DECIMAL
+    STRING, so the hash cannot drift on overflow or float rounding).
+    The per-feature vertex loop is inherent (geometry decode class,
+    like a codec); features are embarrassingly parallel across blocks
+    and nothing shuffles — a pure map stage over the store."""
+    ds = Q.select_all(countries_store(),
+                      columns=["fid", "geom_type", "p_name",
+                               "coords", "ring_lens"])
+
+    def _area(t: pa.Table) -> pa.Table:
+        fids = t["fid"].to_pylist()
+        names = t["p_name"].to_pylist()
+        gts = t["geom_type"].to_pylist()
+        coords = t["coords"].to_pylist()
+        rls = t["ring_lens"].to_pylist()
+        from geomedea_ray.functions.geo import shoelace_area2
+
+        a2, nv, nr = [], [], []
+        for cs, rl in zip(coords, rls):
+            a2.append(str(shoelace_area2(cs, rl)))
+            nv.append(len(cs) // 2)
+            nr.append(len(rl))
+        return pa.table({
+            "fid": pa.array(fids, pa.int64()),
+            "name": pa.array(names, pa.string()),
+            "geom_type": pa.array(gts, pa.string()),
+            "n_rings": pa.array(nr, pa.int64()),
+            "n_vertices": pa.array(nv, pa.int64()),
+            "area2": pa.array(a2, pa.string()),
+        })
+
+    return ds.map_batches(_area, batch_format="pyarrow")
+
+
+def q_ref_countries_area_sql() -> str:
+    verts = _countries_verts_path()
+    _, frows = _countries_raw_paths()
+    return f"""
+WITH v AS (SELECT * FROM read_parquet('{verts}')),
+feats AS (SELECT * FROM read_parquet('{frows}')),
+q AS (SELECT fid, ring_id, vtx_idx,
+             CAST(TRUNC(lng * 10000000.0) AS BIGINT) AS x,
+             CAST(TRUNC(lat * 10000000.0) AS BIGINT) AS y
+      FROM v),
+t AS (SELECT fid, ring_id, x, y,
+             LEAD(x) OVER w AS x2, LEAD(y) OVER w AS y2
+      FROM q WINDOW w AS (PARTITION BY fid, ring_id ORDER BY vtx_idx)),
+s AS (SELECT fid,
+             SUM(CAST(x AS HUGEINT) * y2 - CAST(x2 AS HUGEINT) * y) AS area2,
+             COUNT(*) AS n_vertices,
+             COUNT(DISTINCT ring_id) AS n_rings
+      FROM t GROUP BY fid)
+SELECT s.fid, f.name, f.geom_type,
+       CAST(s.n_rings AS BIGINT) AS n_rings,
+       CAST(s.n_vertices AS BIGINT) AS n_vertices,
+       CAST(s.area2 AS VARCHAR) AS area2
+FROM s JOIN feats f USING (fid)
+"""

@@ -146,3 +146,46 @@ class TestCanonicalGeojson:
         feats = GJ.load_geojson_features(path)
         t = GJ.parse_features_batch(feats)
         assert json.loads(t["gj_id"][0].as_py()) == feats[0]["id"]
+
+
+class TestShoelaceArea:
+    def test_unit_square_and_hole(self):
+        from geomedea_ray.functions.geo import shoelace_area2
+
+        # CCW unit square (closed ring): area2 = +2
+        sq = [0, 0, 1, 0, 1, 1, 0, 1, 0, 0]
+        assert shoelace_area2(sq, [5]) == 2
+        # CW ring (a hole) is negative
+        cw = [0, 0, 0, 1, 1, 1, 1, 0, 0, 0]
+        assert shoelace_area2(cw, [5]) == -2
+        # 10x10 outer CCW + 2x2 CW hole -> 2*(100-4)
+        outer = [0, 0, 10, 0, 10, 10, 0, 10, 0, 0]
+        hole = [2, 2, 2, 4, 4, 4, 4, 2, 2, 2]
+        assert shoelace_area2(outer + hole, [5, 5]) == 2 * 96
+
+    def test_no_int64_overflow_on_planet_rings(self):
+        from geomedea_ray.functions.geo import shoelace_area2
+
+        # a quantized whole-planet rect: cross terms ~3e18, sum needs
+        # arbitrary precision — exact value is 2 * W * H
+        w, h = 3_600_000_000, 1_700_000_000
+        x0, y0 = -1_800_000_000, -850_000_000
+        ring = [x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h, x0, y0]
+        assert shoelace_area2(ring, [5]) == 2 * w * h
+
+    def test_countries_signed_areas(self, ray_session):
+        """The real countries.geojson through the engine store: every
+        feature has a nonzero area, outer rings dominate (net positive
+        for every country), and a spot golden — the DRC polygon the
+        reference's bbox test selects has more area than Luxembourg."""
+        from geomedea_ray.pipelines.ref_fixtures import q_ref_countries_area
+
+        df = q_ref_countries_area("unused").to_pandas()
+        assert len(df) == 179
+        a2 = df.set_index("name")["area2"].map(int)
+        assert (a2 != 0).all()
+        # THIS file's outer rings are wound CW (pre-RFC7946 convention)
+        # -> net signed areas are negative for essentially every country
+        assert (a2 < 0).mean() > 0.97
+        assert abs(a2["Democratic Republic of the Congo"]) > abs(
+            a2["Luxembourg"]) > 0
