@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_tile_mosaic": F.image_tile_mosaic,  # per-tile element-wise thumbnail sums (integer-exact)
         "image_brightness_quantiles": F.image_brightness_quantiles,  # exact per-fmt brightness quantiles (histogram method)
         "image_thumbnails": _image_thumbnails,
+        "image_augment": F.image_augment_q,       # deterministic flip/rot/crop, integer-exact corner probes
         "image_reencode": _image_reencode,
         "training_prep": _training_prep,          # composite end-to-end prep chain
         "image_similar": F.image_similar,         # thumbnail-embedding similarity search
@@ -286,6 +287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dedup", "image_phash_neardup", "image_tile_counts",
         "image_tile_mosaic", "image_brightness_quantiles",
         "image_thumbnails", "image_reencode", "image_similar",
+        # minhash_verified (r2-driver-green, locally green all round)
+        # rotated out below for image_augment (new r4)
+        "image_augment",
         # audio / video (driver-unchecked in r3)
         "audio_features", "video_frames",
         # ANN / embeddings (driver-unchecked in r3; ann_radius —
@@ -300,7 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_text (r2-driver-green, locally green all round) rotates
         # out for dedup_paragraphs, this session's new dedup family op
         "dedup_paragraphs", "dedup_neardup", "dedup_keep_best", "doc_components",
-        "doc_tfidf", "minhash_verified", "simhash_verified", "doc_pagerank",
+        "doc_tfidf", "simhash_verified", "doc_pagerank",
         "jaccard_join", "doc_fingerprint",
         # curation (driver-unchecked in r3)
         "pii_redact", "decontaminate", "pack_sequences", "doc_repetition",

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "audio_features",
     "video_frames",
     "image_phash_neardup",     # banded-Hamming near-dup over dedup reps (round 3)
+    "image_augment",           # deterministic flip/rot/crop, corner-probe verified (round 4)
     "image_brightness_quantiles",  # decode + histogram quantile combine (round 3)
     "simhash_verified",        # exact ≤7-Hamming pair set, 8×8-bit bands (round 3)
     "top_ngrams",              # vocabulary top-k with partial counts (round 3)

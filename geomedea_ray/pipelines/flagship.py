@@ -296,6 +296,26 @@ def image_thumbnails_q(sf_dir: str, max_id: str = THUMB_MAX_ID):
     return ds.map_batches(_long, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def image_augment_q(sf_dir: str):
+    """Distributed deterministic augmentation (stages/images.Augment:
+    phash-keyed hflip / rot90 / center-crop) over the full image
+    table, emitting the integer-exact verification row (dims, channel
+    sum, corner probes). Differential oracle: the single-process
+    fixture computes the same columns while decoding (same kernel
+    class, independently scheduled and batched — the established
+    image-family trust model; kernel geometry has its own pytest
+    goldens vs hand-rotated arrays)."""
+    from geomedea_ray.stages.images import Augment
+    from geomedea_ray.util import cached_instance
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        return cached_instance("flagship.Augment", Augment)(batch)
+
+    return images_ds(
+        sf_dir, columns=["image_id", "bytes", "w", "h", "fmt", "phash"]
+    ).map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 #: ≤3-bit perceptual-hash distance over exact-dedup representatives;
 #: with 8 bands × 8 bits the banded candidates are COMPLETE for any
 #: threshold ≤ 7 (stages/dedup.hamming_band_pairs), so the output is

@@ -182,6 +182,8 @@ def image_oracle_sqls(sf_dir: str) -> dict[str, str]:
         "image_tile_mosaic": tile_mosaic_sql(n),
         "image_spatial_join_tiles": spatial_join_tiles_sql(n),
         "image_thumbnails": thumbnails_sql(n),
+        "image_augment": img_cte(n)
+        + "SELECT image_id, aug_w, aug_h, aug_sum, c00, c11 FROM img",
         "image_reencode": reencode_sql(n),
         "training_prep": training_prep_sql(n),
         "image_similar": image_similar_sql(n),

@@ -85,8 +85,17 @@ def _derive_chunk(rows: pa.Table) -> dict:
             b = codecs.decode(codecs.encode(a, "qnt"), "qnt", int(ws[i]), int(hs[i]))
             psnr_ok[i] = codecs.psnr(a, b) >= 40.0
 
+    from geomedea_ray.stages.images import Augment
+
+    aug = Augment()(rows)
+
     lng, lat = lnglat_from_phash(rows["phash"].to_numpy())
     return {
+        "aug_w": aug["aug_w"].to_numpy(),
+        "aug_h": aug["aug_h"].to_numpy(),
+        "aug_sum": aug["aug_sum"].to_numpy(),
+        "c00": aug["c00"].to_numpy(),
+        "c11": aug["c11"].to_numpy(),
         "lng": lng,
         "lat": lat,
         "mean_px": stats["mean_px"].to_numpy(),
@@ -127,10 +136,19 @@ def oracle_images_path(n: int, seed: int = 42, cache_root: str = CACHE_ROOT) -> 
                 "thumb": pa.array(list(d["thumb"]), pa.list_(pa.float32(), 64)),
                 "thumb_q": pa.array(list(d["thumb_q"]), pa.list_(pa.int64(), 64)),
                 "psnr_ok": pa.array(d["psnr_ok"], pa.bool_()),
+                "aug_w": pa.array(d["aug_w"], pa.int64()),
+                "aug_h": pa.array(d["aug_h"], pa.int64()),
+                "aug_sum": pa.array(d["aug_sum"], pa.int64()),
+                "c00": pa.array(d["c00"], pa.int64()),
+                "c11": pa.array(d["c11"], pa.int64()),
             }))
         pq.write_table(pa.concat_tables(chunks), tmp, compression="zstd")
 
     return cached_file(
-        os.path.join(cache_root, f"images_oracle_n{n}_seed{seed}.parquet"),
+        # _v2: augment columns added this session — the rev suffix
+        # invalidates pre-augment caches (CLAUDE.md round-4 rule:
+        # validation cannot detect a schema change inside an existing
+        # build, so the NAME carries the revision)
+        os.path.join(cache_root, f"images_oracle_n{n}_seed{seed}_v2.parquet"),
         _build, expected_rows=n,
     )

@@ -131,6 +131,72 @@ class Thumbnail:
         )
 
 
+class Augment:
+    """Deterministic geometric augmentation (the training-data
+    augment-stage shape: flip / rotate / crop before feature
+    extraction), with INTEGER-EXACT verification outputs so the
+    distributed application can be hash-gated.
+
+    Policy is derived from the row's content key (phash), so both the
+    engine and the single-process oracle fixture agree without any
+    RNG: hflip when ``phash & 1``, rot90 by ``k = (phash >> 1) & 3``,
+    then a center crop to half the (post-rotation) dimensions.
+
+    Emits per row: augmented dims, the int64 sum of every augmented
+    channel value, and the packed RGB of the crop's top-left and
+    bottom-right pixels — the corner probes pin the exact geometry
+    (a wrong flip axis, rotation direction, or crop offset moves
+    them). Work is vectorized per (size-group × flip × k) subset —
+    at most 8 numpy transforms per decoded stack, no per-row loop."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = binary_views(batch["bytes"])
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        phash = batch["phash"].to_numpy()
+        n = len(blobs)
+        aug_w = np.empty(n, np.int64)
+        aug_h = np.empty(n, np.int64)
+        aug_sum = np.empty(n, np.int64)
+        c00 = np.empty(n, np.int64)
+        c11 = np.empty(n, np.int64)
+        flips = (phash & 1).astype(bool)
+        rots = ((phash >> 1) & 3).astype(np.int64)
+        for idxs, stack in codecs.decode_size_groups(blobs, fmts, ws, hs):
+            gi = np.asarray(idxs)
+            gf, gr = flips[gi], rots[gi]
+            for fl in (False, True):
+                for k in range(4):
+                    m = (gf == fl) & (gr == k)
+                    if not m.any():
+                        continue
+                    sub = stack[m]
+                    if fl:
+                        sub = sub[:, :, ::-1, :]
+                    if k:
+                        sub = np.rot90(sub, k, axes=(1, 2))
+                    _, hh, ww, _ = sub.shape
+                    h2, w2 = max(hh // 2, 1), max(ww // 2, 1)
+                    top, left = (hh - h2) // 2, (ww - w2) // 2
+                    crop = sub[:, top: top + h2, left: left + w2, :]
+                    tgt = gi[m]
+                    aug_h[tgt], aug_w[tgt] = h2, w2
+                    aug_sum[tgt] = crop.sum(axis=(1, 2, 3), dtype=np.int64)
+                    p0 = crop[:, 0, 0, :].astype(np.int64)
+                    p1 = crop[:, -1, -1, :].astype(np.int64)
+                    c00[tgt] = (p0[:, 0] << 16) | (p0[:, 1] << 8) | p0[:, 2]
+                    c11[tgt] = (p1[:, 0] << 16) | (p1[:, 1] << 8) | p1[:, 2]
+        return pa.table({
+            "image_id": batch["image_id"],
+            "aug_w": pa.array(aug_w, pa.int64()),
+            "aug_h": pa.array(aug_h, pa.int64()),
+            "aug_sum": pa.array(aug_sum, pa.int64()),
+            "c00": pa.array(c00, pa.int64()),
+            "c11": pa.array(c11, pa.int64()),
+        })
+
+
 class Reencode:
     """Transcode every image to ``target_fmt`` (e.g. archive-to-qnt
     compaction). Lossless→lossy transitions preserve PSNR ≥ 40 dB by

@@ -109,3 +109,74 @@ def test_mosaic_driver_and_tree_paths_agree(ray_session, monkeypatch):
     sb = b.sort_values(key).reset_index(drop=True)[sa.columns]
     assert sa.equals(sb)
     assert len(sa) > 1
+
+
+class TestAugment:
+    def _expected_one(self, px: np.ndarray, phash: int):
+        """Independent scalar re-derivation of the Augment policy:
+        explicit index arithmetic (no np.rot90/np.flip), so a wrong
+        flip axis or rotation direction in the stage cannot hide."""
+        h, w, _ = px.shape
+        if phash & 1:
+            px = px[:, [w - 1 - j for j in range(w)], :]
+        k = (phash >> 1) & 3
+        for _ in range(k):  # one CCW quarter turn per step
+            hh, ww, _ = px.shape
+            out = np.empty((ww, hh, 3), px.dtype)
+            for r in range(ww):
+                for c in range(hh):
+                    out[r, c] = px[c, ww - 1 - r]
+            px = out
+        hh, ww, _ = px.shape
+        h2, w2 = max(hh // 2, 1), max(ww // 2, 1)
+        top, left = (hh - h2) // 2, (ww - w2) // 2
+        crop = px[top: top + h2, left: left + w2]
+        pack = lambda p: (int(p[0]) << 16) | (int(p[1]) << 8) | int(p[2])
+        return {
+            "aug_w": w2, "aug_h": h2,
+            "aug_sum": int(crop.sum(dtype=np.int64)),
+            "c00": pack(crop[0, 0]), "c11": pack(crop[-1, -1]),
+        }
+
+    def test_policy_geometry_goldens(self):
+        import pyarrow as pa
+
+        from geomedea_ray.stages.images import Augment
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(8):  # one per (flip, k) combination
+            px = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+            rows.append((f"img{i}", px, i))  # phash=i walks all combos
+        batch = pa.table({
+            "image_id": pa.array([r[0] for r in rows]),
+            "bytes": pa.array([codecs.encode(r[1], "raw") for r in rows],
+                              pa.binary()),
+            "w": pa.array([8] * 8, pa.int32()),
+            "h": pa.array([6] * 8, pa.int32()),
+            "fmt": pa.array(["raw"] * 8),
+            "phash": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        out = Augment()(batch).to_pydict()
+        for j, (_, px, ph) in enumerate(rows):
+            exp = self._expected_one(px, ph)
+            for col, v in exp.items():
+                assert out[col][j] == v, (j, col, out[col][j], v)
+
+    def test_rot_swaps_dims(self):
+        import pyarrow as pa
+
+        from geomedea_ray.stages.images import Augment
+
+        px = np.zeros((16, 32, 3), np.uint8)
+        batch = pa.table({
+            "image_id": pa.array(["a", "b"]),
+            "bytes": pa.array([codecs.encode(px, "raw")] * 2, pa.binary()),
+            "w": pa.array([32, 32], pa.int32()),
+            "h": pa.array([16, 16], pa.int32()),
+            "fmt": pa.array(["raw", "raw"]),
+            "phash": pa.array([0, 2], pa.int64()),  # k=0 vs k=1
+        })
+        out = Augment()(batch).to_pydict()
+        assert (out["aug_w"][0], out["aug_h"][0]) == (16, 8)
+        assert (out["aug_w"][1], out["aug_h"][1]) == (8, 16)
