@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_distinct_users": R.hopping_distinct_users, # exact distinct per hopping window (window-colocated shuffle)
         "revenue_by_status_ivm": R.revenue_by_status_ivm,   # incremental view maintenance: delta-merged aggregate vs full-recompute oracle
         "price_moments": R.price_moments,                   # exact integer parallel moments (variance without a shuffle)
+        "price_qty_corr": R.price_qty_corr,                 # grouped Pearson corr via exact integer co-moments
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
         "user_cumulative_spend": R.user_cumulative_spend,   # running-total window (prefix scan)
@@ -292,10 +293,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment",
         # audio / video (driver-unchecked in r3)
         "audio_features", "video_frames",
-        # ANN / embeddings (driver-unchecked in r3; ann_radius —
-        # r2-driver-green, locally green all round — rotates out for
-        # dwithin_join, this session's new exact spatial join)
-        "ann_topk", "kmeans_embeddings", "embedding_clusters",
+        # ANN / embeddings (driver-unchecked in r3; ann_radius and
+        # ann_topk — r2-driver-green, locally green all round — rotate
+        # out for dwithin_join and price_qty_corr; ann_topk_lance
+        # in-window shares ann_topk's oracle so that oracle stays
+        # driver-exercised)
+        "kmeans_embeddings", "embedding_clusters",
         "cluster_balanced_sample",
         # label_centroids + embedding_neardup (r2-driver-green, locally
         # green all round) rotated out so events_customer_outer and
@@ -338,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts_hot",
         "events_customer_outer",
         "dwithin_join",
+        "price_qty_corr",
         "bbox_select", "props_select",
         "spatial_count", "hilbert_scan",
         "cell_compact", "pip_join", "knn", "tile_counts",
@@ -468,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "hopping_distinct_users": R.HOPPING_DISTINCT_USERS_SQL,
         "revenue_by_status_ivm": R.REVENUE_BY_STATUS_IVM_SQL,
         "price_moments": R.PRICE_MOMENTS_SQL,
+        "price_qty_corr": R.PRICE_QTY_CORR_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "user_cumulative_spend": R.USER_CUMULATIVE_SPEND_SQL,

@@ -1311,6 +1311,87 @@ GROUP BY l_returnflag
 """
 
 
+def price_qty_corr(sf_dir: str):
+    """Grouped Pearson CORRELATION the shuffle-free way: per return
+    flag the exact integer co-moments (n, Σx, Σy, Σx², Σy², Σxy) of
+    floor-dollar price × quantity — per-block partials, TREE combine —
+    then corr from one float64 expression evaluated in the IDENTICAL
+    operation order as the SQL mirror (*, −, /, sqrt are all
+    correctly-rounded IEEE ops, so identical integer inputs + identical
+    association ⇒ bit-identical doubles; the n·Σ products stay in
+    float64 because n·Σx² exceeds int64 at sf ≥ 0.1). Row-level data
+    never shuffles."""
+    ds = tables.read(sf_dir, "lineitem",
+                     columns=["l_returnflag", "l_extendedprice",
+                              "l_quantity"])
+
+    def _partial(df):
+        x = np.floor(df["l_extendedprice"].to_numpy(np.float64)).astype(np.int64)
+        y = np.floor(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "x": x, "y": y, "x2": x * x, "y2": y * y,
+                          "xy": x * y})
+        out = g.groupby("l_returnflag", as_index=False).agg(
+            n=("x", "size"), sum_x=("x", "sum"), sum_y=("y", "sum"),
+            sum_x2=("x2", "sum"), sum_y2=("y2", "sum"), sum_xy=("xy", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    _COLS = ["n", "sum_x", "sum_y", "sum_x2", "sum_y2", "sum_xy"]
+
+    def _combine(df):
+        return df.groupby("l_returnflag", as_index=False)[_COLS].sum()
+
+    def _corr(df):
+        n = df["n"].to_numpy(np.float64)
+        sx = df["sum_x"].to_numpy(np.float64)
+        sy = df["sum_y"].to_numpy(np.float64)
+        sx2 = df["sum_x2"].to_numpy(np.float64)
+        sy2 = df["sum_y2"].to_numpy(np.float64)
+        sxy = df["sum_xy"].to_numpy(np.float64)
+        corr = (n * sxy - sx * sy) / np.sqrt(
+            (n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+        return df.assign(corr_xy=corr)
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .repartition(8)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+        .map_batches(_corr, batch_format="pandas", batch_size=None)
+    )
+
+
+PRICE_QTY_CORR_SQL = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS x,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(y) AS BIGINT) AS sum_y,
+         CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+         CAST(SUM(y * y) AS BIGINT) AS sum_y2,
+         CAST(SUM(x * y) AS BIGINT) AS sum_xy
+  FROM b GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sum_x, sum_y, sum_x2, sum_y2, sum_xy,
+       (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+               - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+                 - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+           AS corr_xy
+FROM m
+"""
+
+
 def user_hourly_dense(sf_dir: str):
     """Gap-filled hourly activity matrix (stages/resample.
     densify_counts): every user × every hour of the event range with
