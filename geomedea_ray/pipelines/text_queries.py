@@ -1509,3 +1509,26 @@ SELECT doc_id,
 FROM ch WHERE chunk NOT IN (SELECT chunk FROM dup)
 GROUP BY doc_id
 """
+
+
+def q_ann_topk_pq(sf_dir: str):
+    """``ann_topk`` through the product quantizer (stages/ann.
+    ann_topk_pq): ADC code scan (1 byte/subspace — 16× less scan
+    traffic than the raw 64-d float32 vectors) proposes k·refine candidates per
+    query, a second pass re-ranks only those rows by exact cosine.
+    Rows-only gate entry (candidate sets depend on the quantizer);
+    recall ≥ 0.8 vs exact and the code/raw byte ratio are asserted in
+    tests/test_ann_lsh.py."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.stages.ann import ann_topk_pq
+
+    t = pq.read_table(tables.path(sf_dir, "embeddings"))
+    mask = np.isin(t["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qm = np.stack(
+        [np.asarray(v) for v in t.filter(pa.array(mask))["embedding"].to_pylist()]
+    ).astype(np.float64)
+    qids = t.filter(pa.array(mask))["vec_id"].to_numpy()
+    ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ann_topk_pq(ds, qm, qids, ANN_K, m_sub=16, k_codes=64, refine=16)
+    return out.select_columns(["qid", "vec_id", "rank"])

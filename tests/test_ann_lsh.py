@@ -255,3 +255,69 @@ class TestKMeansTrainExact:
         ]
         # partition-count-invariant AND rerun-stable (exact int sums)
         assert (runs[0] == runs[1]).all()
+
+
+class TestProductQuantizer:
+    def test_train_encode_deterministic_and_compact(self):
+        from geomedea_ray.stages.ann import pq_encode, pq_train
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(3000, 32))
+        b1 = pq_train(x, m_sub=8, k_codes=16, seed=7)
+        b2 = pq_train(x, m_sub=8, k_codes=16, seed=7)
+        assert np.array_equal(b1, b2)
+        assert b1.shape == (8, 16, 4)
+        codes = pq_encode(x, b1)
+        assert codes.shape == (3000, 8) and codes.dtype == np.uint8
+        # the PQ scale story: 8 one-byte codes vs 32 float32 dims = 16x
+        # (32x against float64); quantization must actually reconstruct
+        recon = np.concatenate(
+            [b1[m][codes[:, m]] for m in range(8)], axis=1)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        err = np.linalg.norm(recon - xn, axis=1).mean()
+        # isotropic gaussian is the hardest case for 16 codes/subspace;
+        # two UNRELATED unit vectors sit at ~sqrt(2)=1.41 apart
+        assert err < 0.7
+
+    def test_pq_topk_recall_vs_exact(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.ann import ann_topk, ann_topk_pq
+
+        tbl, allv, ids = TestBucketedStore._table(TestBucketedStore)
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        qm = allv[:3]
+        qids = np.array([900001, 900002, 900003])
+        k = 10
+        exact = ann_topk(ds, qm, qids, k).to_pandas()
+        got = ann_topk_pq(ds, qm, qids, k, m_sub=16, k_codes=64,
+                          refine=16, sample_rows=4096).to_pandas()
+        assert set(got.columns) >= {"qid", "vec_id", "rank"}
+        recalls = []
+        for q in qids:
+            e = set(exact[exact["qid"] == q]["vec_id"])
+            g = set(got[got["qid"] == q]["vec_id"])
+            assert len(g) == k
+            recalls.append(len(e & g) / k)
+        assert np.mean(recalls) >= 0.8, recalls
+        # re-ranked candidates are ordered by EXACT cosine: rank-1 of a
+        # planted-dup query must be the true nearest if it survived
+        g1 = got[(got["qid"] == qids[0]) & (got["rank"] == 1)]["vec_id"]
+        e1 = exact[(exact["qid"] == qids[0]) & (exact["rank"] == 1)]["vec_id"]
+        if int(e1.iloc[0]) in set(got[got["qid"] == qids[0]]["vec_id"]):
+            assert int(g1.iloc[0]) == int(e1.iloc[0])
+
+    def test_pq_rerun_deterministic(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.ann import ann_topk_pq
+
+        tbl, allv, ids = TestBucketedStore._table(TestBucketedStore)
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        qm = allv[5:7]
+        qids = np.array([1, 2])
+        a = ann_topk_pq(ds, qm, qids, 8).to_pandas().sort_values(
+            ["qid", "rank"]).reset_index(drop=True)
+        b = ann_topk_pq(ds, qm, qids, 8).to_pandas().sort_values(
+            ["qid", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
