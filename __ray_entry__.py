@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_status_ivm": R.revenue_by_status_ivm,   # incremental view maintenance: delta-merged aggregate vs full-recompute oracle
         "price_moments": R.price_moments,                   # exact integer parallel moments (variance without a shuffle)
         "price_qty_corr": R.price_qty_corr,                 # grouped Pearson corr via exact integer co-moments
+        "events_props_agg": R.events_props_agg,             # vectorized-regex JSON log parse vs real-JSON-parser oracle
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
         "user_cumulative_spend": R.user_cumulative_spend,   # running-total window (prefix scan)
@@ -285,8 +286,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # spatial core — plus a rotating slice of the relational tail.
     priority = [
         # flagship / image (driver-unchecked in r3)
+        # image_phash_dedup (r2-driver-green, locally green all round)
+        # rotated out for events_props_agg (new r4); image_phash_neardup
+        # keeps the phash-dedup machinery driver-exercised (it runs over
+        # the dedup representatives)
         "image_spatial_join_tiles", "training_prep", "image_decode_stats",
-        "image_phash_dedup", "image_phash_neardup", "image_tile_counts",
+        "image_phash_neardup", "image_tile_counts",
         "image_tile_mosaic", "image_brightness_quantiles",
         "image_thumbnails", "image_reencode", "image_similar",
         # minhash_verified (r2-driver-green, locally green all round)
@@ -343,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_customer_outer",
         "dwithin_join",
         "price_qty_corr",
+        "events_props_agg",
         "bbox_select", "props_select",
         "spatial_count", "hilbert_scan",
         "cell_compact", "pip_join", "knn", "tile_counts",
@@ -474,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_status_ivm": R.REVENUE_BY_STATUS_IVM_SQL,
         "price_moments": R.PRICE_MOMENTS_SQL,
         "price_qty_corr": R.PRICE_QTY_CORR_SQL,
+        "events_props_agg": R.EVENTS_PROPS_AGG_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "user_cumulative_spend": R.USER_CUMULATIVE_SPEND_SQL,

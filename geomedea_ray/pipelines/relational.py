@@ -1392,6 +1392,48 @@ FROM m
 """
 
 
+def events_props_agg(sf_dir: str):
+    """Semi-structured log parsing, the hot-path way: the JSON ``props``
+    column is parsed with ONE compiled vectorized regex per batch (no
+    per-row json.loads, no Python loop) and aggregated per event type —
+    n / Σk / max k as exact int64 partials, TREE combine. The oracle is
+    genuinely differential: DuckDB parses the same strings with its
+    REAL JSON parser (json_extract), so a regex that misread even one
+    row hash-mismatches."""
+    ds = tables.read(sf_dir, "events", columns=["event_type", "props"])
+
+    def _partial(df):
+        k = (df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+             .astype(np.int64))
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k})
+        out = g.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def _combine(df):
+        return df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max"))
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .repartition(8)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+    )
+
+
+EVENTS_PROPS_AGG_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def user_hourly_dense(sf_dir: str):
     """Gap-filled hourly activity matrix (stages/resample.
     densify_counts): every user × every hour of the event range with
