@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_indexed": G.q_knn_indexed,           # §7.2 step 7 (packed-index path)
         "nn_join": G.q_nn_join,                   # nearest-neighbor join (broadcast left)
         "dwithin_join": G.q_dwithin_join,         # within-distance point join (PBSM grid, exact int64 circle)
+        "tile_render": G.q_tile_render,           # raster tile rendering: 64x64 pngz per z6 tile, decode-checksum gated
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (eq scheme, SQL-oracled)
         "tile_counts_hot": G.q_tile_counts_hot,   # SKEW: 80%-one-cell planted, salted_group_apply path
@@ -289,8 +290,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_phash_dedup (r2-driver-green, locally green all round)
         # rotated out for events_props_agg (new r4); image_phash_neardup
         # keeps the phash-dedup machinery driver-exercised (it runs over
-        # the dedup representatives)
-        "image_spatial_join_tiles", "training_prep", "image_decode_stats",
+        # the dedup representatives). training_prep (r2-driver-green)
+        # rotated out for tile_render (new r4) — its chain stays
+        # driver-exercised through the in-window lance_sink row, whose
+        # oracle IS the prep SQL wrapped in a GROUP BY.
+        "image_spatial_join_tiles", "image_decode_stats",
         "image_phash_neardup", "image_tile_counts",
         "image_tile_mosaic", "image_brightness_quantiles",
         "image_thumbnails", "image_reencode", "image_similar",
@@ -349,6 +353,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dwithin_join",
         "price_qty_corr",
         "events_props_agg",
+        # training_prep (r2-driver-green; its full chain also runs
+        # driver-checked inside flagship_lance's in-window row) rotates
+        # out for tile_render (new r4)
+        "tile_render",
         "bbox_select", "props_select",
         "spatial_count", "hilbert_scan",
         "cell_compact", "pip_join", "knn", "tile_counts",
@@ -435,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_indexed": G.q_knn_sql(),
         "nn_join": G.q_nn_join_sql(),
         "dwithin_join": G.q_dwithin_join_sql(),
+        "tile_render": G.q_tile_render_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
         "tile_counts_hot": G.q_tile_counts_hot_sql(),

@@ -941,6 +941,67 @@ SELECT qid, pid, "rank" FROM r WHERE "rank" <= {k}"""
     )
 
 
+def q_tile_render(sf_dir: str):
+    """Raster tile rendering (pipelines/tiles.tile_render): every
+    zoom-6 tile rendered as a real 64×64 grayscale pngz image, ONE
+    exchange. The gate row is computed by DECODING each emitted PNG
+    back to pixels and folding integer checksums (sum, nonzero count,
+    position-weighted sum) — so a broken scatter, a wrong y direction
+    OR a broken codec all hash-mismatch the oracle, which re-derives
+    the same numbers from raw zoom-12 subcell counts in SQL."""
+    import pandas as pd
+
+    from geomedea_ray.functions import codecs
+    from geomedea_ray.pipelines.tiles import RENDER_SUB_BITS, tile_render
+
+    side = 1 << RENDER_SUB_BITS
+    out = tile_render(linepoints_ds(sf_dir), zoom=TILE_ZOOM)
+
+    def _check(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.arange(1, side * side + 1, dtype=np.int64)
+        sums, nz, wsum = [], [], []
+        for b, ww, hh in zip(df["bytes"], df["w"], df["h"]):
+            gray = codecs.decode(b, "pngz", int(ww), int(hh))[:, :, 0]
+            flat = gray.reshape(-1).astype(np.int64)
+            sums.append(int(flat.sum()))
+            nz.append(int((flat > 0).sum()))
+            wsum.append(int((flat * w).sum()))
+        return pd.DataFrame({
+            "tile_x": df["tile_x"].to_numpy(np.int64),
+            "tile_y": df["tile_y"].to_numpy(np.int64),
+            "n_points": df["n_points"].to_numpy(np.int64),
+            "px_sum": np.asarray(sums, np.int64),
+            "px_nonzero": np.asarray(nz, np.int64),
+            "px_weighted": np.asarray(wsum, np.int64),
+        })
+
+    return out.map_batches(_check, batch_format="pandas")
+
+
+def q_tile_render_sql() -> str:
+    from geomedea_ray.pipelines.tiles import RENDER_SUB_BITS
+
+    z = TILE_ZOOM + RENDER_SUB_BITS
+    n = float(1 << z)
+    side = 1 << RENDER_SUB_BITS
+    return (
+        LINEPOINTS_CTE
+        + f""", f AS (
+  SELECT CAST(FLOOR((lng + 180.0) / 360.0 * {n!r}) AS BIGINT) AS tx,
+         CAST(FLOOR((90.0 - lat) / 180.0 * {n!r}) AS BIGINT) AS ty,
+         COUNT(*) AS cnt
+  FROM pts GROUP BY 1, 2)
+SELECT tx // {side} AS tile_x, ty // {side} AS tile_y,
+       CAST(SUM(cnt) AS BIGINT) AS n_points,
+       CAST(SUM(LEAST(cnt, 255)) AS BIGINT) AS px_sum,
+       CAST(COUNT(*) AS BIGINT) AS px_nonzero,
+       CAST(SUM(LEAST(cnt, 255)
+                * ((ty % {side}) * {side} + (tx % {side}) + 1)) AS BIGINT)
+           AS px_weighted
+FROM f GROUP BY 1, 2"""
+    )
+
+
 #: dwithin radius in integer centidegree grid units (0.3°)
 DWITHIN_RADIUS = 30
 

@@ -277,3 +277,92 @@ class TilePyramidBuilder:
         if self.value_col:
             row[f"mean_{self.value_col}"] = [g[self.value_col].mean()]
         return pd.DataFrame(row)
+
+
+# ------------------------------------------------------ raster render
+
+#: rendered tile side = 2^RENDER_SUB_BITS pixels (64×64)
+RENDER_SUB_BITS = 6
+
+
+def tile_render(ds, zoom: int = 6, sub_bits: int = RENDER_SUB_BITS,
+                scheme: str = "eq", num_shards: int | None = None,
+                lng_col: str = "lng", lat_col: str = "lat"):
+    """Distributed RASTER tile rendering — the vector→raster half of
+    the north rule's raster↔vector assignment, as a real tile-server
+    stage: every zoom-``zoom`` tile that contains points becomes a
+    2^sub_bits × 2^sub_bits grayscale PNG (the sandbox's lossless
+    ``pngz`` codec) whose pixel (ly, lx) is ``min(count, 255)`` of the
+    corresponding zoom+sub_bits subcell (y grows downward — ty already
+    does in the eq scheme).
+
+    Shape: ONE exchange. Counts aggregate at zoom+sub_bits via
+    tile_partials (map-side combine — the exchange moves ~tiles×blocks
+    partials, never points), shuffle on ``hash(parent tile)``, and each
+    shard scatters its tiles' subcell counts into pixel arrays
+    vectorized (one np scatter per tile) and zlib-encodes them. Output:
+    (tile_x, tile_y, n_points, w, h, fmt, bytes) — a renderable image
+    table in the engine's own image-column convention.
+
+    Per-shard working set is tiles/num_shards × 4^sub_bits bytes,
+    independent of point count; the hot-cell case is the COUNT side's
+    problem and already handled by tile_partials' map-side combine.
+    """
+    import ray
+    from geomedea_ray.functions import codecs
+    from geomedea_ray.util import auto_shards, size_hint
+
+    side = 1 << sub_bits
+    mask = side - 1
+    num_shards = num_shards or auto_shards(size_hint(ds))
+    fine = tile_aggregate(ds, zoom + sub_bits, scheme,
+                          lng_col=lng_col, lat_col=lat_col)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        px = (df["tile_x"].to_numpy(np.int64) >> sub_bits)
+        py = (df["tile_y"].to_numpy(np.int64) >> sub_bits)
+        key = (px << 32) | py
+        return df.assign(
+            _px=px, _py=py,
+            _shard=(key.astype(np.uint64) % np.uint64(num_shards))
+            .astype(np.int64))
+
+    def _render(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "_px" not in df.columns:
+            return pd.DataFrame({
+                "tile_x": pd.Series([], dtype=np.int64),
+                "tile_y": pd.Series([], dtype=np.int64),
+                "n_points": pd.Series([], dtype=np.int64),
+                "w": pd.Series([], dtype=np.int32),
+                "h": pd.Series([], dtype=np.int32),
+                "fmt": pd.Series([], dtype=object),
+                "bytes": pd.Series([], dtype=object),
+            })
+        lx = df["tile_x"].to_numpy(np.int64) & mask
+        ly = df["tile_y"].to_numpy(np.int64) & mask
+        v = np.minimum(df["n"].to_numpy(np.int64), 255).astype(np.uint8)
+        idx = ly * side + lx
+        out_x, out_y, out_n, blobs = [], [], [], []
+        for (tpx, tpy), g in df.assign(_i=idx, _v=v).groupby(
+                ["_px", "_py"], sort=False):
+            arr = np.zeros(side * side, np.uint8)
+            arr[g["_i"].to_numpy()] = g["_v"].to_numpy()
+            px3 = np.repeat(arr, 3).reshape(side, side, 3)  # gray RGB
+            blobs.append(codecs.encode(px3, "pngz"))
+            out_x.append(tpx)
+            out_y.append(tpy)
+            out_n.append(int(g["n"].sum()))
+        return pd.DataFrame({
+            "tile_x": np.asarray(out_x, np.int64),
+            "tile_y": np.asarray(out_y, np.int64),
+            "n_points": np.asarray(out_n, np.int64),
+            "w": np.full(len(out_x), side, np.int32),
+            "h": np.full(len(out_x), side, np.int32),
+            "fmt": ["pngz"] * len(out_x),
+            "bytes": blobs,
+        })
+
+    return (
+        fine.map_batches(_tag, batch_format="pandas", batch_size=None)
+        .groupby("_shard").map_groups(_render, batch_format="pandas")
+    )

@@ -315,3 +315,49 @@ class TestDwithinJoin:
         got = sorted(zip(out["a_id"], out["b_id"]))
         assert got == [(0, 0), (0, 1), (1, 2)]  # dist2 = 25, 25, 25
         assert set(out["dist2"]) == {25}
+
+
+class TestTileRender:
+    def test_layout_and_png_roundtrip(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.functions import codecs
+        from geomedea_ray.pipelines.tiles import tile_render
+
+        # zoom 2, 64px tiles -> subcells are zoom-8 cells. Three points:
+        # two in one subcell of tile (1,1) (pixel value 2), one in
+        # another subcell of the same tile, plus one in tile (0,1).
+        # eq scheme: tx = floor((lng+180)/360*4), ty = floor((90-lat)/180*4)
+        pts = pd.DataFrame({
+            "lng": [10.0, 10.0, 30.0, -100.0],
+            "lat": [10.0, 10.0, 40.0, 10.0],
+        })
+        out = tile_render(ray.data.from_pandas(pts), zoom=2).to_pandas()
+        got = {(int(r.tile_x), int(r.tile_y)): r for r in out.itertuples()}
+        assert set(got) == {(2, 1), (0, 1)}
+        t = got[(2, 1)]
+        assert (t.w, t.h, t.fmt) == (64, 64, "pngz")
+        px = codecs.decode(t.bytes, "pngz", 64, 64)
+        assert px.shape == (64, 64, 3)
+        gray = px[:, :, 0].astype(int)
+        # subcell of (10, 10) at zoom 8: tx = floor(190/360*256) = 135,
+        # ty = floor(80/180*256) = 113 -> local (lx, ly) = (7, 49)
+        assert gray[113 & 63, 135 & 63] == 2
+        assert gray.sum() == 3  # 2 + 1 in this tile
+        assert int(t.n_points) == 3
+        t2 = got[(0, 1)]
+        px2 = codecs.decode(t2.bytes, "pngz", 64, 64)
+        assert px2[:, :, 0].sum() == 1 and int(t2.n_points) == 1
+
+    def test_saturation_clips_at_255(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.functions import codecs
+        from geomedea_ray.pipelines.tiles import tile_render
+
+        pts = pd.DataFrame({"lng": [10.0] * 300, "lat": [10.0] * 300})
+        out = tile_render(ray.data.from_pandas(pts), zoom=2).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        gray = codecs.decode(r["bytes"], "pngz", 64, 64)[:, :, 0]
+        assert gray.max() == 255 and int(r["n_points"]) == 300
