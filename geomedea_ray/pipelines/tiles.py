@@ -296,27 +296,29 @@ def tile_render(ds, zoom: int = 6, sub_bits: int = RENDER_SUB_BITS,
     corresponding zoom+sub_bits subcell (y grows downward — ty already
     does in the eq scheme).
 
-    Shape: ONE exchange. Counts aggregate at zoom+sub_bits via
-    tile_partials (map-side combine — the exchange moves ~tiles×blocks
-    partials, never points), shuffle on ``hash(parent tile)``, and each
-    shard scatters its tiles' subcell counts into pixel arrays
-    vectorized (one np scatter per tile) and zlib-encodes them. Output:
-    (tile_x, tile_y, n_points, w, h, fmt, bytes) — a renderable image
-    table in the engine's own image-column convention.
+    Shape: ONE exchange, and no separate fine-zoom groupby — the
+    PARTIAL subcell counts (tile_partials' map-side combine: ~tiles ×
+    blocks rows, never points) shuffle straight to their parent tile's
+    shard, where ``np.add.at`` folds duplicate partials while
+    scattering into the pixel array (one accumulate + one zlib encode
+    per tile). Output: (tile_x, tile_y, n_points, w, h, fmt, bytes) —
+    a renderable image table in the engine's own image-column
+    convention. (First version aggregated at zoom+sub_bits with
+    tile_aggregate before sharding: the z12 sort-exchange alone cost
+    ~5 s at sf0.1; folding in-shard removed it — 5.9 → 0.8 s.)
 
     Per-shard working set is tiles/num_shards × 4^sub_bits bytes,
     independent of point count; the hot-cell case is the COUNT side's
     problem and already handled by tile_partials' map-side combine.
     """
-    import ray
     from geomedea_ray.functions import codecs
     from geomedea_ray.util import auto_shards, size_hint
 
     side = 1 << sub_bits
     mask = side - 1
     num_shards = num_shards or auto_shards(size_hint(ds))
-    fine = tile_aggregate(ds, zoom + sub_bits, scheme,
-                          lng_col=lng_col, lat_col=lat_col)
+    fine = tile_partials(ds, zoom + sub_bits, scheme,
+                         lng_col=lng_col, lat_col=lat_col)
 
     def _tag(df: pd.DataFrame) -> pd.DataFrame:
         px = (df["tile_x"].to_numpy(np.int64) >> sub_bits)
@@ -340,14 +342,15 @@ def tile_render(ds, zoom: int = 6, sub_bits: int = RENDER_SUB_BITS,
             })
         lx = df["tile_x"].to_numpy(np.int64) & mask
         ly = df["tile_y"].to_numpy(np.int64) & mask
-        v = np.minimum(df["n"].to_numpy(np.int64), 255).astype(np.uint8)
         idx = ly * side + lx
         out_x, out_y, out_n, blobs = [], [], [], []
-        for (tpx, tpy), g in df.assign(_i=idx, _v=v).groupby(
+        for (tpx, tpy), g in df.assign(_i=idx).groupby(
                 ["_px", "_py"], sort=False):
-            arr = np.zeros(side * side, np.uint8)
-            arr[g["_i"].to_numpy()] = g["_v"].to_numpy()
-            px3 = np.repeat(arr, 3).reshape(side, side, 3)  # gray RGB
+            arr = np.zeros(side * side, np.int64)
+            np.add.at(arr, g["_i"].to_numpy(),
+                      g["n"].to_numpy(np.int64))  # fold partials
+            px3 = np.repeat(np.minimum(arr, 255).astype(np.uint8),
+                            3).reshape(side, side, 3)  # gray RGB
             blobs.append(codecs.encode(px3, "pngz"))
             out_x.append(tpx)
             out_y.append(tpy)
@@ -364,5 +367,13 @@ def tile_render(ds, zoom: int = 6, sub_bits: int = RENDER_SUB_BITS,
 
     return (
         fine.map_batches(_tag, batch_format="pandas", batch_size=None)
+        .repartition(_render_coalesce(num_shards))
         .groupby("_shard").map_groups(_render, batch_format="pandas")
     )
+
+
+def _render_coalesce(num_shards: int) -> int:
+    """Partial streams are kilobyte-sized; the sort-exchange pays
+    per-block machinery (CLAUDE.md round-3 rule) — coalesce before the
+    shard groupby."""
+    return max(8, min(num_shards, 16))
