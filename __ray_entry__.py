@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_store": T.q_ann_topk_store, # bucket-SORTED store, file/row-group prune (rows-only)
         "ann_topk_ivf": T.q_ann_topk_ivf,     # IVF k-means store, nprobe centroid lists (rows-only)
         "ann_topk_pq": T.q_ann_topk_pq,       # product-quantized ADC scan + exact re-rank (rows-only)
+        "ann_topk_ivfpq": T.q_ann_topk_ivfpq, # composed FAISS shape: pruned lists x 16-byte codes (rows-only)
         "ann_radius": T.q_ann_radius,         # radius search from the store (SQL-oracled)
         "minhash_verified": T.q_minhash_verified, # LSH + exact-Jaccard verify (SQL-oracled)
         "jaccard_join": T.q_jaccard_join,         # EXACT prefix-filtered set-similarity join (no LSH recall caveat)

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ann_radius",              # bucket-sorted store, file/row-group prune
     "ann_topk_ivf",            # IVF k-means store, nprobe lists (round 3)
     "ann_topk_pq",             # product-quantized ADC scan + exact re-rank (round 4)
+    "ann_topk_ivfpq",          # FAISS shape: pruned lists x 16-byte codes (round 4)
     "minhash_pairs",
     "minhash_verified",
     "jaccard_join",            # EXACT prefix-filtered set-similarity join (round 4)

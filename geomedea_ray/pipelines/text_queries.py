@@ -1532,3 +1532,46 @@ def q_ann_topk_pq(sf_dir: str):
     ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = ann_topk_pq(ds, qm, qids, ANN_K, m_sub=16, k_codes=64, refine=16)
     return out.select_columns(["qid", "vec_id", "rank"])
+
+
+def ivfpq_store_dir(sf_dir: str) -> str:
+    """IVF-PQ store (coarse lists × 16-byte product codes) over the RAW
+    embeddings table — the composed FAISS-shape index."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.sources.cache import cached_table
+
+    expected = pq.ParquetFile(tables.path(sf_dir, "embeddings")).metadata.num_rows
+
+    def _build(tmp: str) -> None:
+        from geomedea_ray.stages.ann import build_ivfpq_store
+
+        ds = tables.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_ivfpq_store(ds, tmp, n_lists=64)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return cached_table(f"/tmp/geomedea_ray_cache/emb_store_ivfpq_{tag}",
+                        _build, expected_rows=expected)
+
+
+def q_ann_topk_ivfpq(sf_dir: str):
+    """``ann_topk`` served from the IVF-PQ store: nprobe nearest lists'
+    (id, list, code) columns ADC-scanned (16 B/row instead of the raw
+    embedding column), candidates re-ranked by exact cosine from the
+    same pruned lists. Rows-only gate entry; recall and the two-axis
+    scan shrinkage (pruned lists × pruned columns) are asserted in
+    tests/test_ann_lsh.py."""
+    import pyarrow.parquet as pq
+
+    from geomedea_ray.stages.ann import ann_topk_ivfpq
+
+    t = pq.read_table(tables.path(sf_dir, "embeddings"))
+    mask = np.isin(t["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qm = np.stack(
+        [np.asarray(v) for v in t.filter(pa.array(mask))["embedding"].to_pylist()]
+    ).astype(np.float64)
+    qids = t.filter(pa.array(mask))["vec_id"].to_numpy()
+    out = ann_topk_ivfpq(ivfpq_store_dir(sf_dir), qm, qids, ANN_K, nprobe=16)
+    return out.select_columns(["qid", "vec_id", "rank"])

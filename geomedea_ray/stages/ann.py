@@ -470,10 +470,13 @@ def _load_store(store_dir: str) -> dict:
         return json.load(f)
 
 
-def _bucketed_read(store_dir: str, meta: dict, buckets: np.ndarray):
+def _bucketed_read(store_dir: str, meta: dict, buckets: np.ndarray,
+                   columns: list[str] | None = None):
     """Dataset of only the files/row-groups whose bucket range
     intersects ``buckets`` (file prune via store.json ranges, row-group
-    prune via Parquet ``lsh_bucket`` statistics inside read_parquet)."""
+    prune via Parquet ``lsh_bucket`` statistics inside read_parquet).
+    ``columns`` prunes the projection at the read — the IVF-PQ first
+    pass reads 16-byte codes, never the embedding column."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -485,7 +488,7 @@ def _bucketed_read(store_dir: str, meta: dict, buckets: np.ndarray):
     if not paths:
         return None
     flt = pc.field("lsh_bucket").isin(pa.array(buckets, pa.int64()))
-    return ray.data.read_parquet(paths, filter=flt)
+    return ray.data.read_parquet(paths, filter=flt, columns=columns)
 
 
 def ann_topk_bucketed(
@@ -1024,6 +1027,205 @@ def ann_topk_pq(
     return (
         ds.map_batches(_rerank, batch_format="pyarrow",
                        batch_size=batch_size, zero_copy_batch=True)
+        .groupby("qid")
+        .map_groups(_final_topk(k, id_col, round_decimals),
+                    batch_format="pandas")
+    )
+
+
+# ------------------------------------------------- IVF-PQ (FAISS shape)
+
+
+def build_ivfpq_store(
+    ds,
+    out_dir: str,
+    n_lists: int = 64,
+    m_sub: int = 16,
+    k_codes: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 12,
+    seed: int = 20260817,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    row_group_size: int = BUCKET_ROW_GROUP,
+):
+    """The composed FAISS-style index (IVF coarse quantizer × product
+    quantizer): the store is SORTED by nearest-centroid list id (file +
+    row-group pruning like the IVF store) and every row additionally
+    carries its ``pq_code`` (FixedSizeBinary(m_sub) — 16 bytes at the
+    defaults). A query probes ``nprobe`` lists and its FIRST pass reads
+    ONLY (id, list, code) columns of those lists — both the row
+    dimension (pruned lists) and the byte dimension (16 B codes vs
+    256 B raw 64-d float32) shrink, which is the whole IVF-PQ point at
+    10¹² rows. Both quantizers train on one bounded sample."""
+    from geomedea_ray.stages.dedup import embedding_dim
+
+    dim = embedding_dim(ds, emb_col)
+    sample_tbl = ds.limit(sample_rows).to_pandas()
+    sample = np.stack(sample_tbl[emb_col].to_numpy())
+    centroids = kmeans_centroids(sample, n_lists, iters=iters, seed=seed)
+    books = pq_train(sample, m_sub=m_sub, k_codes=k_codes, iters=iters,
+                     seed=seed)
+
+    def _add(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, emb_col)
+        mn = _l2_normalize(m)
+        lists = np.argmax(mn @ centroids.T, axis=1).astype(np.int64)
+        codes = pq_encode(m, books)
+        return (batch
+                .append_column("lsh_bucket", pa.array(lists, pa.int64()))
+                .append_column("pq_code",
+                               pa.array(list(codes.tobytes()[i * m_sub:
+                                                             (i + 1) * m_sub]
+                                             for i in range(len(codes))),
+                                        pa.binary(m_sub))))
+
+    ds = ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)
+    return _write_sorted_store(ds, out_dir, {
+        "kind": "ivfpq",
+        "n_lists": int(len(centroids)),
+        "m_sub": int(m_sub),
+        "k_codes": int(k_codes),
+        "seed": seed,
+        "dim": int(dim),
+        "id_col": id_col,
+        "emb_col": emb_col,
+        "centroids": centroids.tolist(),
+        "codebooks": books.tolist(),
+    }, row_group_size)
+
+
+def ann_topk_ivfpq(
+    store_dir: str,
+    query_matrix: np.ndarray,
+    qids: np.ndarray,
+    k: int,
+    nprobe: int = 8,
+    refine: int = 16,
+    round_decimals: int = 6,
+    batch_size: int = 4096,
+):
+    """Top-k from the IVF-PQ store: probe ``nprobe`` nearest lists,
+    ADC-scan ONLY those lists' (id, list, code) columns, keep
+    ``k·refine`` candidates per query, then re-rank the candidate rows
+    by exact cosine read from the same pruned lists. Approximate by
+    design (recall measured in tests); scan-byte accounting via
+    ``bucket_scan_stats`` on the probed lists."""
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    meta = _load_store(store_dir)
+    if meta.get("kind") != "ivfpq":
+        raise ValueError(f"{store_dir} is not an ivfpq store")
+    id_col, emb_col = meta["id_col"], meta["emb_col"]
+    m_sub = int(meta["m_sub"])
+    books = np.asarray(meta["codebooks"], np.float64)
+    qm = _l2_normalize(np.asarray(query_matrix, np.float64))
+    qids = np.asarray(qids)
+    probe_sets = _probe_sets_for(meta, qm, nprobe)
+    buckets = np.unique(np.concatenate(probe_sets))
+    dsub = books.shape[2]
+    lut = np.einsum("qmd,mcd->qmc", qm.reshape(len(qm), m_sub, dsub), books)
+    state = ray.put({"lut": lut, "qids": qids, "probes": probe_sets})
+    ncand = k * refine
+
+    _empty = pa.table({"qid": pa.array([], pa.int64()),
+                       id_col: pa.array([], pa.int64()),
+                       "sim": pa.array([], pa.float64())})
+
+    code_ds = _bucketed_read(store_dir, meta, buckets,
+                             columns=[id_col, "lsh_bucket", "pq_code"])
+    if code_ds is None:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "qid": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }))
+
+    def _adc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        st = get_once(state)
+        code_col = batch["pq_code"]
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        codes = np.frombuffer(code_col.buffers()[1], np.uint8,
+                              count=batch.num_rows * m_sub,
+                              offset=code_col.offset * m_sub
+                              ).reshape(-1, m_sub)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lists = batch["lsh_bucket"].to_numpy(zero_copy_only=False)
+        oq, oi, os_ = [], [], []
+        for c, qv in enumerate(st["qids"]):
+            in_probe = np.isin(lists, st["probes"][c])
+            if not in_probe.any():
+                continue
+            sub = codes[in_probe]
+            approx = np.zeros(len(sub), np.float64)
+            for j in range(m_sub):
+                approx += st["lut"][c, j, :][sub[:, j]]
+            take = min(ncand, len(sub))
+            part = np.argpartition(-approx, take - 1)[:take]
+            oq.append(np.full(take, qv, np.int64))
+            oi.append(ids[in_probe][part])
+            os_.append(approx[part])
+        if not oq:
+            return _empty
+        return pa.table({
+            "qid": pa.array(np.concatenate(oq), pa.int64()),
+            id_col: pa.array(np.concatenate(oi)),
+            "sim": pa.array(np.concatenate(os_), pa.float64()),
+        })
+
+    def _keep_cand(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", id_col],
+                             ascending=[False, True]).head(ncand)
+
+    cands = (
+        code_ds.map_batches(_adc, batch_format="pyarrow",
+                            batch_size=batch_size, zero_copy_batch=True)
+        .groupby("qid").map_groups(_keep_cand, batch_format="pandas")
+        .to_pandas()  # Q·k·refine rows — bounded by contract
+    )
+    cand_sets = {int(q): set(g[id_col].tolist())
+                 for q, g in cands.groupby("qid")}
+    union_ids = np.unique(cands[id_col].to_numpy())
+    rr = ray.put({"qm": qm, "qids": qids, "union": union_ids,
+                  "sets": cand_sets})
+
+    emb_ds = _bucketed_read(store_dir, meta, buckets,
+                            columns=[id_col, "lsh_bucket", emb_col])
+
+    def _rerank(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        st = get_once(rr)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hit = np.isin(ids, st["union"])
+        if not hit.any():
+            return _empty
+        sub = _l2_normalize(_emb_matrix(batch, emb_col)[hit])
+        sids = ids[hit]
+        sims = sub @ st["qm"].T
+        oq, oi, os_ = [], [], []
+        for c, qv in enumerate(st["qids"]):
+            members = np.fromiter((i in st["sets"].get(int(qv), ())
+                                   for i in sids), bool, len(sids))
+            oq.extend([qv] * int(members.sum()))
+            oi.extend(sids[members].tolist())
+            os_.extend(sims[members, c].tolist())
+        return pa.table({
+            "qid": pa.array(oq, pa.int64()),
+            id_col: pa.array(oi, pa.int64()),
+            "sim": pa.array(os_, pa.float64()),
+        })
+
+    return (
+        emb_ds.map_batches(_rerank, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
         .groupby("qid")
         .map_groups(_final_topk(k, id_col, round_decimals),
                     batch_format="pandas")

@@ -321,3 +321,72 @@ class TestProductQuantizer:
         b = ann_topk_pq(ds, qm, qids, 8).to_pandas().sort_values(
             ["qid", "rank"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestIVFPQStore:
+    def test_recall_and_two_axis_pruning(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow.parquet as pqt
+        import ray.data
+
+        from geomedea_ray.stages.ann import (
+            _probe_sets_for,
+            ann_topk,
+            ann_topk_ivfpq,
+            bucket_scan_stats,
+            build_ivfpq_store,
+        )
+
+        tbl, allv, ids = TestBucketedStore._table(TestBucketedStore)
+        store = str(tmp_path / "ivfpq")
+        meta = build_ivfpq_store(ray.data.from_arrow(tbl), store, n_lists=20,
+                                 m_sub=8, k_codes=64, sample_rows=2000,
+                                 row_group_size=512)
+        assert meta["kind"] == "ivfpq" and meta["m_sub"] == 8
+
+        qm = allv[:5].astype(np.float64)
+        qids = np.arange(5)
+        k = 10
+        exact = ann_topk(ray.data.from_arrow(tbl), qm, qids, k).to_pandas()
+        approx = ann_topk_ivfpq(store, qm, qids, k, nprobe=4,
+                                refine=16).to_pandas()
+        recalls = [
+            len(set(exact[exact["qid"] == q]["vec_id"])
+                & set(approx[approx["qid"] == q]["vec_id"])) / k
+            for q in qids
+        ]
+        assert np.mean(recalls) >= 0.8, recalls
+        for q in qids:  # self-match always found (query is a table row)
+            top = approx[(approx["qid"] == q) & (approx["rank"] == 1)]["vec_id"]
+            assert list(top) == [q]
+
+        # axis 1 — row pruning: nprobe lists touch a strict subset
+        probes = _probe_sets_for(meta, qm[:1], 4)[0]
+        st = bucket_scan_stats(store, probes)
+        assert st["row_groups_touched"] < st["row_groups_total"]
+        # axis 2 — column pruning: the code column is an order of
+        # magnitude smaller on disk than the embedding column
+        f0 = pqt.ParquetFile(os.path.join(store, meta["files"][0]["path"]))
+        code_b = emb_b = 0
+        for rg in range(f0.metadata.num_row_groups):
+            for ci in range(f0.metadata.num_columns):
+                col = f0.metadata.row_group(rg).column(ci)
+                if col.path_in_schema == "pq_code":
+                    code_b += col.total_compressed_size
+                if col.path_in_schema.startswith("embedding"):
+                    emb_b += col.total_compressed_size
+        assert code_b * 4 < emb_b, (code_b, emb_b)
+
+    def test_rejects_non_ivfpq_store(self, ray_session, tmp_path):
+        import pytest
+        import ray.data
+
+        from geomedea_ray.stages.ann import ann_topk_ivfpq, build_ivf_store
+
+        tbl, allv, ids = TestBucketedStore._table(TestBucketedStore)
+        store = str(tmp_path / "plain_ivf")
+        build_ivf_store(ray.data.from_arrow(tbl), store, n_lists=8,
+                        sample_rows=1000)
+        with pytest.raises(ValueError):
+            ann_topk_ivfpq(store, allv[:1], np.array([0]), 5)
