@@ -974,9 +974,14 @@ def paragraph_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         return out
 
     def _hot_keys(df: pd.DataFrame) -> pd.DataFrame:
-        # (_h, id) rows are globally unique (see step 2) — group sizes
-        # ARE distinct-doc counts
-        counts = df.groupby("_h", sort=False).size()
+        # re-dedup (_h, id) before counting: the per-block partial
+        # already deduped, but Ray's dynamic block SPLITTING can break
+        # "one doc = one block" at scale, leaving the same (_h, id)
+        # pair in two partial blocks — all such duplicates land in this
+        # shard (sharded by _h), so one in-shard pass restores global
+        # uniqueness and group sizes ARE distinct-doc counts
+        counts = df.drop_duplicates(["_h", id_col]).groupby(
+            "_h", sort=False).size()
         hot = counts.index[counts.to_numpy() >= min_docs]
         return pd.DataFrame({"_h": hot.to_numpy(np.int64)})
 
