@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lance_sink": V.q_lance_sink,                # prep chain WRITTEN into a versioned table, read back grouped
         "lance_read_latest_http": V.q_lance_read_latest_http,  # same v7 read over REAL HTTP range requests
         "ann_topk_lance": V.q_ann_topk_lance,        # exact ANN streamed FROM the versioned table
+        "ann_topk_lance_indexed": V.q_ann_topk_lance_indexed,  # the table's OWN IVF-PQ index + incremental tail + deletion filter (rows-only)
     }
     # The driver's correctness gate only checks the FIRST 50 entries of
     # this dict each round (round-3 verdict: the image/media/ANN/text

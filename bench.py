@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "lance_filtered",          # zone-map-pruned scalar-filtered scan (round 4)
     "lance_read_latest_http",  # same v7 read over REAL ranged GETs (round 4)
     "ann_topk_lance",          # exact ANN streamed from the versioned table (round 4)
+    "ann_topk_lance_indexed",  # the table's OWN index + tail scan + deletion filter (round 4)
 ]
 
 #: Q=500 kNN workload (seeded)

@@ -575,3 +575,83 @@ SELECT image_id, CAST(LENGTH(caption) AS BIGINT) AS caption_len,
        CAST(off AS BIGINT) AS off
 FROM live WHERE off IN ({in_list}) ORDER BY off
 """)
+
+
+# ------------------------------------------- vector index on the table
+
+#: planted-copy id offset for the indexed-search fixture
+IDX_PLANT_BASE = 9_000_000
+
+
+def embeddings_indexed_table(sf_dir: str) -> VersionedTable:
+    """The vector-index gate chain (state/vector_index): v1 imports the
+    embeddings table and the IVF-PQ index is built AT v1; v2 appends
+    exact COPIES of the three ANN query vectors (ids 9M+qid) — these
+    live only in the unindexed tail, so finding them proves the
+    incremental flat-scan path; v3 DELETES the original query rows —
+    excluding them proves the liveness filter. The index is never
+    rebuilt."""
+    from geomedea_ray.pipelines.text_queries import ANN_QUERY_IDS
+    from geomedea_ray.sources import tables
+    from geomedea_ray.sources.cache import cached_dir
+    from geomedea_ray.state.vector_index import create_vector_index
+
+    src = tables.path(sf_dir, "embeddings")
+    n = pq.ParquetFile(src).metadata.num_rows
+    qid_list = list(ANN_QUERY_IDS)
+
+    def _build(tmp: str) -> None:
+        t = VersionedTable.create(tmp)
+        t.append_files([src])                                  # v1
+        create_vector_index(t, "embedding", id_col="vec_id", version=1)
+        base = pq.read_table(src)
+        mask = pc.is_in(base["vec_id"], pa.array(qid_list, pa.int64()))
+        rows = base.filter(mask)
+        planted = pa.table({
+            "vec_id": pc.add(rows["vec_id"], IDX_PLANT_BASE),
+            "embedding": rows["embedding"],
+            "label": rows["label"],
+        }).select(base.column_names)
+        t.append_table(planted)                                # v2
+        t.delete(lambda tb: np.isin(tb["vec_id"].to_numpy(), qid_list),
+                 columns=["vec_id"])                           # v3
+
+    def _valid(root: str) -> bool:
+        t = VersionedTable(root)
+        try:
+            return (t.latest_version() == 3
+                    and t.count() == n  # +3 planted, −3 deleted
+                    and t.validate()
+                    and os.path.exists(os.path.join(
+                        root, "_indices", "embedding-v1", "index.json")))
+        except (OSError, ValueError, KeyError):
+            return False
+
+    root = cached_dir(os.path.join(CACHE_ROOT,
+                                   f"embeddings_lance_idx_n{n}_r1"),
+                      _build, _valid)
+    return VersionedTable(root)
+
+
+def q_ann_topk_lance_indexed(sf_dir: str):
+    """ANN served BY THE VERSIONED TABLE'S OWN INDEX at the latest
+    version: the IVF-PQ index built at v1 answers for the indexed
+    rows, the v2 appends are exact-scanned through read_incremental,
+    and the v3 deletions are filtered out — Lance's index-plus-tail
+    search semantics, no rebuild between versions. Rows-only gate
+    entry (probe recall is approximate); the planted-copy rank-1,
+    deleted-row-exclusion, recall and time-travel properties are
+    asserted in tests/test_table_format.py."""
+    from geomedea_ray.pipelines.text_queries import ANN_K, ANN_QUERY_IDS
+    from geomedea_ray.sources import tables
+    from geomedea_ray.state.vector_index import vector_search
+
+    src = pq.read_table(tables.path(sf_dir, "embeddings"))
+    mask = np.isin(src["vec_id"].to_numpy(), ANN_QUERY_IDS)
+    qm = np.stack([np.asarray(v) for v in
+                   src.filter(pa.array(mask))["embedding"].to_pylist()]
+                  ).astype(np.float64)
+    qids = src.filter(pa.array(mask))["vec_id"].to_numpy()
+    t = embeddings_indexed_table(sf_dir)
+    out = vector_search(t, "embedding", qm, qids, ANN_K, nprobe=16)
+    return out.select_columns(["qid", "vec_id", "rank"])

@@ -1111,6 +1111,28 @@ def ann_topk_ivfpq(
     by exact cosine read from the same pruned lists. Approximate by
     design (recall measured in tests); scan-byte accounting via
     ``bucket_scan_stats`` on the probed lists."""
+    meta = _load_store(store_dir)
+    cand = ivfpq_exact_candidates(store_dir, query_matrix, qids,
+                                  k * refine, nprobe=nprobe,
+                                  batch_size=batch_size)
+    return cand.groupby("qid").map_groups(
+        _final_topk(k, meta["id_col"], round_decimals),
+        batch_format="pandas")
+
+
+def ivfpq_exact_candidates(
+    store_dir: str,
+    query_matrix: np.ndarray,
+    qids: np.ndarray,
+    ncand: int,
+    nprobe: int = 8,
+    batch_size: int = 4096,
+):
+    """The IVF-PQ probe WITHOUT the final cut: a Dataset of
+    ``(qid, <id_col>, sim)`` rows — up to ``ncand`` candidates per
+    query, ADC-proposed and re-ranked by EXACT cosine — so callers
+    (table-format vector_search) can merge them with candidates from
+    other sources before one shared final top-k."""
     import ray
 
     from geomedea_ray.util import get_once
@@ -1128,7 +1150,6 @@ def ann_topk_ivfpq(
     dsub = books.shape[2]
     lut = np.einsum("qmd,mcd->qmc", qm.reshape(len(qm), m_sub, dsub), books)
     state = ray.put({"lut": lut, "qids": qids, "probes": probe_sets})
-    ncand = k * refine
 
     _empty = pa.table({"qid": pa.array([], pa.int64()),
                        id_col: pa.array([], pa.int64()),
@@ -1139,11 +1160,7 @@ def ann_topk_ivfpq(
     if code_ds is None:
         import ray.data
 
-        return ray.data.from_arrow(pa.table({
-            "qid": pa.array([], pa.int64()),
-            id_col: pa.array([], pa.int64()),
-            "rank": pa.array([], pa.int64()),
-        }))
+        return ray.data.from_arrow(_empty)
 
     def _adc(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1223,10 +1240,5 @@ def ann_topk_ivfpq(
             "sim": pa.array(os_, pa.float64()),
         })
 
-    return (
-        emb_ds.map_batches(_rerank, batch_format="pyarrow",
-                           batch_size=batch_size, zero_copy_batch=True)
-        .groupby("qid")
-        .map_groups(_final_topk(k, id_col, round_decimals),
-                    batch_format="pandas")
-    )
+    return emb_ds.map_batches(_rerank, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)

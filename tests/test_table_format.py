@@ -571,3 +571,108 @@ class TestDistributedWrites:
             pa.compute.equal(pa.compute.bit_wise_and(tb["k"], 1), 0)))
         assert t2.read(columns=["k"]).to_pandas()["k"].tolist() != []
         assert t2.count() == 15
+
+
+class TestVectorIndex:
+    """state/vector_index: the table's own IVF-PQ index + incremental
+    tail + deletion filter (Lance's index-plus-tail semantics)."""
+
+    def _table(self, tmp_path, n=2000, dim=32):
+        rng = np.random.default_rng(23)
+        centers = rng.normal(size=(20, dim)) * 3
+        vecs = centers[rng.integers(0, 20, n)] + rng.normal(
+            size=(n, dim)) * 0.5
+        t = VersionedTable.create(str(tmp_path / "vt"))
+        t.append_table(pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(vecs.astype(np.float32)),
+                                  pa.list_(pa.float32(), dim)),
+        }))
+        return t, vecs
+
+    def test_index_tail_and_deletions(self, ray_session, tmp_path):
+        from geomedea_ray.stages.ann import ann_topk
+        from geomedea_ray.state.vector_index import (
+            create_vector_index,
+            find_vector_index,
+            vector_search,
+        )
+
+        t, vecs = self._table(tmp_path)
+        d = create_vector_index(t, "embedding", id_col="vec_id",
+                                version=1, n_lists=20, m_sub=8,
+                                k_codes=64, sample_rows=2000)
+        assert find_vector_index(t, "embedding")["version"] == 1
+
+        qm = vecs[:3].astype(np.float64)
+        qids = np.array([0, 1, 2])
+        k = 10
+
+        # v2: append exact copies of the queries (tail-only rows)
+        t.append_table(pa.table({
+            "vec_id": pa.array([1000000, 1000001, 1000002], pa.int64()),
+            "embedding": pa.array(list(vecs[:3].astype(np.float32)),
+                                  pa.list_(pa.float32(), 32)),
+        }))
+        # v3: delete the ORIGINAL query rows
+        t.delete(lambda tb: np.isin(tb["vec_id"].to_numpy(), [0, 1, 2]),
+                 columns=["vec_id"])
+
+        got = vector_search(t, "embedding", qm, qids, k,
+                            nprobe=4, refine=16).to_pandas()
+        for i, q in enumerate(qids):
+            g = got[got["qid"] == q].sort_values("rank")
+            ids = list(g["vec_id"])
+            assert len(ids) == k
+            # deleted originals excluded (liveness filter)
+            assert not set(ids) & {0, 1, 2}
+            # the tail copy (exact duplicate of the query) is rank 1 —
+            # proves the incremental flat-scan path
+            assert ids[0] == 1000000 + i
+        # recall vs the exact answer over the LIVE rows at v3
+        exact = ann_topk(t.read(columns=["vec_id", "embedding"]),
+                         qm, qids, k).to_pandas()
+        rec = [
+            len(set(exact[exact["qid"] == q]["vec_id"])
+                & set(got[got["qid"] == q]["vec_id"])) / k
+            for q in qids
+        ]
+        assert np.mean(rec) >= 0.8, rec
+
+        # time travel: a search AT the index's build version uses the
+        # index alone (no tail, no filter) and must return the
+        # original rows — including the then-live query rows at rank 1
+        at_v1 = vector_search(t, "embedding", qm, qids, k, version=1,
+                              nprobe=4, refine=16).to_pandas()
+        for q in qids:
+            g = at_v1[at_v1["qid"] == q].sort_values("rank")
+            assert list(g["vec_id"])[0] == q
+
+    def test_flat_fallback_without_index(self, ray_session, tmp_path):
+        from geomedea_ray.stages.ann import ann_topk
+        from geomedea_ray.state.vector_index import vector_search
+
+        t, vecs = self._table(tmp_path, n=500)
+        qm = vecs[:2].astype(np.float64)
+        qids = np.array([0, 1])
+        got = vector_search(t, "embedding", qm, qids, 5).to_pandas()
+        exact = ann_topk(t.read(columns=["vec_id", "embedding"]),
+                         qm, qids, 5).to_pandas()
+        ga = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+        ea = exact.sort_values(["qid", "rank"]).reset_index(drop=True)
+        assert ga.equals(ea)
+
+    def test_index_publish_is_atomic_and_idempotent(self, ray_session,
+                                                    tmp_path):
+        import os
+
+        from geomedea_ray.state.vector_index import create_vector_index
+
+        t, _ = self._table(tmp_path, n=400)
+        d1 = create_vector_index(t, "embedding", id_col="vec_id",
+                                 n_lists=8, m_sub=8, sample_rows=400)
+        d2 = create_vector_index(t, "embedding", id_col="vec_id",
+                                 n_lists=8, m_sub=8, sample_rows=400)
+        assert d1 == d2 and os.path.exists(os.path.join(d1, "index.json"))
+        assert not [p for p in os.listdir(os.path.dirname(d1))
+                    if ".tmp-" in p]
