@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": T.q_doc_fingerprint,   # winnowing rolling-hash fingerprints (bit-exact SQL fold mirror)
         "simhash_verified": T.q_simhash_verified, # 8×8-bit bands: EXACT ≤7-Hamming pair set (fixture-SQL-oracled)
         "doc_components": T.q_doc_components,     # iterative large-star/small-star CC over the exact pair set (recursive-CTE-oracled)
+        "doc_triangles": T.q_doc_triangles,       # degree-ordered triangle enumeration over the near-dup graph (3-way-join-oracled)
         "dedup_neardup": T.q_dedup_neardup,       # end-to-end near-dup dedup: CC reps kept, anti-join drop set (recursive-CTE-oracled)
         "lang_token_quantiles": T.q_lang_token_quantiles, # exact distributed quantiles (histogram method)
         "top_ngrams": T.q_top_ngrams,             # global top-k bigram vocabulary
@@ -418,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         lambda: {"video_frames": video_frames_sql(sf_dir)},
         lambda: {"simhash_verified": T.simhash_verified_sql(sf_dir)},
         lambda: {"doc_components": T.doc_components_sql(sf_dir)},
+        lambda: {"doc_triangles": T.doc_triangles_sql(sf_dir)},
         lambda: {"dedup_neardup": T.dedup_neardup_sql(sf_dir)},
         lambda: {"dedup_keep_best": T.dedup_keep_best_sql(sf_dir)},
         lambda: {"embedding_clusters": T.embedding_clusters_sql(sf_dir)},

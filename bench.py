@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ship_in_order_windows",   # broadcast range join, interval stabbing (round 3)
     "events_hopping",          # sliding-window aggregate, k windows/event (round 3)
     "doc_components",          # iterative large-star/small-star CC over exact simhash pairs (round 3)
+    "doc_triangles",           # degree-ordered triangle enumeration over the near-dup graph (round 4)
     "dedup_neardup",           # end-to-end near-dup dedup: pairs -> CC -> anti-join (round 3)
     "embedding_clusters",      # nearest-centroid assignment, broadcast centroids (round 3)
     "lang_source_rollup",      # single-pass GROUP BY ROLLUP, per-level partials (round 3)

@@ -1575,3 +1575,30 @@ def q_ann_topk_ivfpq(sf_dir: str):
     qids = t.filter(pa.array(mask))["vec_id"].to_numpy()
     out = ann_topk_ivfpq(ivfpq_store_dir(sf_dir), qm, qids, ANN_K, nprobe=16)
     return out.select_columns(["qid", "vec_id", "rank"])
+
+
+def q_doc_triangles(sf_dir: str):
+    """Triangle enumeration over the exact SimHash near-dup pair graph
+    (stages/graph.triangle_list — degree-ordered compact-forward):
+    every 3-clique of mutually-near documents, each produced exactly
+    once by its minimum-(degree, id) vertex. Triangle density is the
+    standard cluster-cohesion signal over a near-dup graph (a clique
+    dedups safely; a sparse star needs verification)."""
+    from geomedea_ray.stages.graph import triangle_list
+
+    pairs = q_simhash_verified(sf_dir).select_columns(["id_a", "id_b"])
+    return triangle_list(pairs, "id_a", "id_b")
+
+
+def doc_triangles_sql(sf_dir: str) -> str:
+    path = simhash_fixture_path(sf_dir)
+    return f"""
+WITH s AS (SELECT doc_id, simhash FROM read_parquet('{path}')),
+e AS (SELECT a.doc_id AS u, b.doc_id AS v
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING})
+SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""

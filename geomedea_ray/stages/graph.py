@@ -369,3 +369,157 @@ def pagerank_exact(edges, nodes, src_col: str = "src", dst_col: str = "dst",
         ranks = rejoined.map_batches(_update, batch_format="pandas")
 
     return ranks
+
+
+def triangle_list(pairs, a_col: str, b_col: str,
+                  num_shards: int | None = None):
+    """EXACT triangle enumeration over an undirected edge stream — the
+    degree-ordered node-iterator ("compact-forward", Latapy 2008,
+    public algorithm): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, generate each low vertex's out-wedges,
+    and close them against the edge set. Each triangle is produced
+    EXACTLY ONCE (by its minimum-order vertex), so no dedup pass
+    follows; the orientation bounds out-degrees by O(√m), which bounds
+    wedge count by O(m^1.5) — a hub with a million neighbors generates
+    no wedge blow-up because hub→* edges point INTO the hub.
+
+    Three bounded exchanges, all int-key:
+    1. degree count (exploded endpoints, per-block partials, sharded
+       sum);
+    2. degrees joined back onto edges (adaptive stages/joins.hash_join
+       — broadcast under its measured byte cap, co-shuffle above);
+    3. wedge generation (shard by source, ONE vectorized per-shard
+       self-merge) unioned with the oriented edges and co-sharded on
+       the wedge's (lo, hi) hash for the closing semi-join.
+
+    Output: one row per triangle, columns (ta, tb, tc) sorted by id.
+    """
+    from geomedea_ray.stages.joins import hash_join
+
+    num_shards = _resolve_shards(pairs, num_shards)
+    # two consumers (degree pass + the degree join) — materialize once
+    # or the upstream pair generator runs twice; the pair stream is
+    # candidate-bounded by the dedup machinery that produces it
+    pairs = pairs.materialize()
+
+    def _endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([df[a_col].to_numpy(np.int64),
+                                df[b_col].to_numpy(np.int64)])
+        out = pd.DataFrame({"node": nodes}).groupby(
+            "node", as_index=False).size().rename(columns={"size": "deg"})
+        out["_shard"] = (out["node"].to_numpy().astype(np.uint64)
+                         % np.uint64(num_shards)).astype(np.int64)
+        return out
+
+    def _deg_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("node", as_index=False)["deg"].sum())
+
+    degrees = (
+        pairs.map_batches(_endpoints, batch_format="pandas",
+                          batch_size=None)
+        .repartition(coalesce_width())
+        .groupby("_shard").map_groups(_deg_sum, batch_format="pandas")
+    )
+
+    with_da = hash_join(pairs, degrees, left_on=a_col, right_on="node",
+                        right_cols=["deg"], num_shards=num_shards)
+    da_col = "deg"
+    with_da = with_da.map_batches(
+        lambda df: df.rename(columns={da_col: "_deg_a"}),
+        batch_format="pandas", batch_size=None)
+    both = hash_join(with_da, degrees, left_on=b_col, right_on="node",
+                     right_cols=["deg"], num_shards=num_shards)
+
+    def _orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[a_col].to_numpy(np.int64)
+        b = df[b_col].to_numpy(np.int64)
+        da = df["_deg_a"].to_numpy(np.int64)
+        db = df["deg"].to_numpy(np.int64)
+        # total order: (deg, id) — a precedes b?
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        sdeg = np.where(a_first, da, db)
+        ddeg = np.where(a_first, db, da)
+        return pd.DataFrame({"_src": src, "_dst": dst,
+                             "_sdeg": sdeg, "_ddeg": ddeg})
+
+    oriented = both.map_batches(_orient, batch_format="pandas",
+                                batch_size=None).materialize()
+
+    def _tag_src(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _shard=(df["_src"].to_numpy().astype(np.uint64)
+                    % np.uint64(num_shards)).astype(np.int64))
+
+    def _wedges(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"_u": pd.Series([], dtype=np.int64),
+                "_lo": pd.Series([], dtype=np.int64),
+                "_hi": pd.Series([], dtype=np.int64)}
+        if "_src" not in df.columns or len(df) == 0:
+            return pd.DataFrame(cols)
+        g = df[["_src", "_dst", "_ddeg"]]
+        m = g.merge(g, on="_src")
+        # each unordered out-neighbour pair once: order by (deg, id)
+        keep = ((m["_ddeg_x"] < m["_ddeg_y"])
+                | ((m["_ddeg_x"] == m["_ddeg_y"])
+                   & (m["_dst_x"] < m["_dst_y"])))
+        m = m[keep]
+        lo = np.minimum(m["_dst_x"].to_numpy(np.int64),
+                        m["_dst_y"].to_numpy(np.int64))
+        hi = np.maximum(m["_dst_x"].to_numpy(np.int64),
+                        m["_dst_y"].to_numpy(np.int64))
+        return pd.DataFrame({"_u": m["_src"].to_numpy(np.int64),
+                             "_lo": lo, "_hi": hi})
+
+    wedges = (
+        oriented.map_batches(_tag_src, batch_format="pandas",
+                             batch_size=None)
+        .groupby("_shard").map_groups(_wedges, batch_format="pandas")
+    )
+
+    def _tag_pair(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if side == 1:  # edges: canonical (lo, hi) by id
+                lo = np.minimum(df["_src"].to_numpy(np.int64),
+                                df["_dst"].to_numpy(np.int64))
+                hi = np.maximum(df["_src"].to_numpy(np.int64),
+                                df["_dst"].to_numpy(np.int64))
+                df = pd.DataFrame({"_lo": lo, "_hi": hi,
+                                   "_u": np.full(len(lo), -1, np.int64)})
+            key = ((df["_lo"].to_numpy(np.int64) << 20)
+                   ^ df["_hi"].to_numpy(np.int64)).astype(np.uint64)
+            return df.assign(_side=np.int8(side),
+                             _shard=(key % np.uint64(num_shards))
+                             .astype(np.int64))
+
+        return fn
+
+    def _close(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"ta": pd.Series([], dtype=np.int64),
+                "tb": pd.Series([], dtype=np.int64),
+                "tc": pd.Series([], dtype=np.int64)}
+        if "_side" not in df.columns:
+            return pd.DataFrame(cols)
+        w = df[df["_side"] == 0]
+        e = df[df["_side"] == 1]
+        if len(w) == 0 or len(e) == 0:
+            return pd.DataFrame(cols)
+        m = w.merge(e[["_lo", "_hi"]].drop_duplicates(),
+                    on=["_lo", "_hi"])
+        if len(m) == 0:
+            return pd.DataFrame(cols)
+        tri = np.sort(np.stack([m["_u"].to_numpy(np.int64),
+                                m["_lo"].to_numpy(np.int64),
+                                m["_hi"].to_numpy(np.int64)], axis=1),
+                      axis=1)
+        return pd.DataFrame({"ta": tri[:, 0], "tb": tri[:, 1],
+                             "tc": tri[:, 2]})
+
+    return (
+        wedges.map_batches(_tag_pair(0), batch_format="pandas",
+                           batch_size=None)
+        .union(oriented.map_batches(_tag_pair(1), batch_format="pandas",
+                                    batch_size=None))
+        .groupby("_shard").map_groups(_close, batch_format="pandas")
+    )

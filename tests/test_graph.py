@@ -165,3 +165,62 @@ def test_coalesce_width_grows_with_bytes(ray_session):
     assert small <= 16                          # kilobyte regime stays tight
     assert big >= 256                           # one block per ~32 MB
     assert coalesce_width(None) == small        # unknown size = cpu floor
+
+
+class TestTriangleList:
+    def test_matches_bruteforce(self, ray_session):
+        import itertools
+
+        import ray.data
+
+        from geomedea_ray.stages.graph import triangle_list
+
+        rng = np.random.default_rng(7)
+        n = 60
+        edges = set()
+        while len(edges) < 220:
+            a, b = rng.integers(0, n, 2)
+            if a != b:
+                edges.add((min(int(a), int(b)), max(int(a), int(b))))
+        df = pd.DataFrame(sorted(edges), columns=["id_a", "id_b"])
+        out = triangle_list(ray.data.from_pandas(df).repartition(3),
+                            "id_a", "id_b", num_shards=5).to_pandas()
+        got = set(map(tuple, out[["ta", "tb", "tc"]].to_numpy()))
+        assert len(got) == len(out), "triangle produced more than once"
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {
+            (a, b, c)
+            for a, b, c in itertools.combinations(range(n), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        }
+        assert got == want and len(want) > 50
+
+    def test_hub_star_has_no_triangles_and_no_blowup(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.graph import triangle_list
+
+        # a 1000-spoke star: the naive u-joins-u wedge generator would
+        # emit ~500k wedges from the hub; degree orientation points
+        # every edge INTO the hub, so out-degrees are 1 and wedge count
+        # is 0 — the output must be empty and fast
+        hub = pd.DataFrame({"id_a": np.zeros(1000, np.int64),
+                            "id_b": np.arange(1, 1001)})
+        out = triangle_list(ray.data.from_pandas(hub).repartition(2),
+                            "id_a", "id_b", num_shards=4).to_pandas()
+        assert len(out) == 0
+
+    def test_triangle_plus_pendant(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.graph import triangle_list
+
+        df = pd.DataFrame({"id_a": [1, 1, 2, 3],
+                           "id_b": [2, 3, 3, 4]})
+        out = triangle_list(ray.data.from_pandas(df), "id_a",
+                            "id_b").to_pandas()
+        assert sorted(map(tuple, out[["ta", "tb", "tc"]].to_numpy())) \
+            == [(1, 2, 3)]
