@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "customer_last_urgent_order",  # LEFT OUTER shuffle hash join (round 3b)
     "lineitem_unpivot",        # wide→long UNPIVOT, zero exchange (round 3b)
     "price_moments",           # exact integer parallel moments (round 3b)
+    "price_zscore",            # per-group feature normalization, broadcast moments (round 4)
     "dedup_keep_best",         # quality-aware near-dup dedup (round 3b)
     "user_hourly_dense",       # gap-filled resample, user×hour zeros (round 3b)
     "user_retention",          # weekly cohort-retention triangle (round 3b)

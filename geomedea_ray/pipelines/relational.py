@@ -1699,3 +1699,101 @@ SELECT COALESCE(e.ckey, c.ck)     AS ckey,
        COALESCE(c.acctbal_c, -1) AS acctbal_c
 FROM e FULL OUTER JOIN c ON e.ckey = c.ck
 """
+
+
+def price_zscore(sf_dir: str, max_key: int = 2000):
+    """Per-group FEATURE NORMALIZATION (the standardize-before-training
+    step) without shuffling rows: the exact integer moments per return
+    flag (one TREE-combined partials pass, shared shape with
+    price_moments) broadcast back over a second streaming pass that
+    emits each row's z-score. The per-row float expression is
+    evaluated in the IDENTICAL operation order as the SQL mirror —
+    μ = sx/n and σ = sqrt(sx2/n − μ·μ) from the same int64 moments,
+    then (x − μ)/σ — so correctly-rounded IEEE ops make the doubles
+    bit-identical, and the emitted value is FLOOR(z·1e6) (an int64 —
+    floor of identical doubles cannot disagree, unlike round-to-even
+    vs round-half-away). Gate output is capped to l_orderkey < max_key to
+    keep the compare frame small; the operator itself streams the full
+    table."""
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    ds = tables.read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_linenumber",
+                              "l_returnflag", "l_extendedprice"])
+
+    def _partial(df):
+        x = np.floor(df["l_extendedprice"].to_numpy(np.float64)).astype(np.int64)
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "x": x, "x2": x * x})
+        out = g.groupby("l_returnflag", as_index=False).agg(
+            n=("x", "size"), sum_x=("x", "sum"), sum_x2=("x2", "sum"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def _combine(df):
+        return df.groupby("l_returnflag", as_index=False)[
+            ["n", "sum_x", "sum_x2"]].sum()
+
+    moments = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .repartition(8)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(_combine, batch_format="pandas", batch_size=None)
+    ).to_pandas()  # one row per return flag — driver-small by domain
+    mom = {
+        r.l_returnflag: (float(r.n), float(r.sum_x), float(r.sum_x2))
+        for r in moments.itertuples()
+    }
+    ref = ray.put(mom)
+
+    def _z(df):
+        df = df[df["l_orderkey"].to_numpy() < max_key]
+        if len(df) == 0:
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                                 "l_linenumber": pd.Series([], dtype=np.int32),
+                                 "z_micro": pd.Series([], dtype=np.int64)})
+        m = get_once(ref)
+        x = np.floor(df["l_extendedprice"].to_numpy(np.float64))
+        flags = df["l_returnflag"].to_numpy()
+        z = np.empty(len(df), np.float64)
+        for f, (n, sx, sx2) in m.items():
+            sel = flags == f
+            mu = sx / n
+            sigma = np.sqrt(sx2 / n - mu * mu)
+            z[sel] = (x[sel] - mu) / sigma
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_linenumber": df["l_linenumber"].to_numpy(np.int32),
+            "z_micro": np.floor(z * 1e6).astype(np.int64),
+        })
+
+    return ds.map_batches(_z, batch_format="pandas")
+
+
+def price_zscore_sql(max_key: int = 2000) -> str:
+    return f"""
+WITH b AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS x
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(x * x) AS BIGINT) AS sum_x2
+  FROM b GROUP BY l_returnflag
+)
+SELECT b.l_orderkey, b.l_linenumber,
+       CAST(FLOOR(((CAST(b.x AS DOUBLE)
+              - CAST(m.sum_x AS DOUBLE) / CAST(m.n AS DOUBLE))
+             / sqrt(CAST(m.sum_x2 AS DOUBLE) / CAST(m.n AS DOUBLE)
+                    - (CAST(m.sum_x AS DOUBLE) / CAST(m.n AS DOUBLE))
+                      * (CAST(m.sum_x AS DOUBLE) / CAST(m.n AS DOUBLE))))
+             * 1e6) AS BIGINT) AS z_micro
+FROM b JOIN m USING (l_returnflag)
+WHERE b.l_orderkey < {max_key}
+"""
