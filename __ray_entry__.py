@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_qty_corr": R.price_qty_corr,                 # grouped Pearson corr via exact integer co-moments
         "events_props_agg": R.events_props_agg,             # vectorized-regex JSON log parse vs real-JSON-parser oracle
         "price_zscore": R.price_zscore,                     # per-group feature normalization (broadcast moments, floor-micro exact)
+        "order_value_ntile": R.order_value_ntile,           # NTILE quantile buckets per group (one co-shuffle, exact fill rule)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
         "user_cumulative_spend": R.user_cumulative_spend,   # running-total window (prefix scan)
@@ -496,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "price_qty_corr": R.PRICE_QTY_CORR_SQL,
         "events_props_agg": R.EVENTS_PROPS_AGG_SQL,
         "price_zscore": R.price_zscore_sql(),
+        "order_value_ntile": R.ORDER_VALUE_NTILE_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "user_cumulative_spend": R.USER_CUMULATIVE_SPEND_SQL,

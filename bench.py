@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "user_spend_movsum",       # ROWS-window moving sum (banded prefix scan)
     "events_sample_bottomk",   # fixed-size bottom-k uniform sample
     "top_events_per_user",     # windowed top-k per group
+    "order_value_ntile",       # NTILE quantile buckets per group (round 4)
     "csv_points_select",       # CSV+WKT source bridge
     "bbox_select_http",        # real-socket HTTP range-read path (round 4)
     "fgb_points_select",       # FlatGeobuf ingest bridge (round 4)

@@ -1797,3 +1797,66 @@ SELECT b.l_orderkey, b.l_linenumber,
 FROM b JOIN m USING (l_returnflag)
 WHERE b.l_orderkey < {max_key}
 """
+
+
+def order_value_ntile(sf_dir: str, n_buckets: int = 4):
+    """Quantile-bucket assignment (NTILE) per order priority — the
+    percentile-feature step before stratified policies: ONE key
+    co-shuffle (each priority's rows land whole in a shard via
+    hash(priority) % shards), in-shard vectorized sort + the exact
+    NTILE fill rule (the first count % n buckets take the ceil size).
+    Deterministic total order: (o_totalprice, o_orderkey) — mirrored
+    verbatim by the SQL window ORDER BY."""
+    ds = tables.read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderpriority",
+                              "o_totalprice"])
+    num_shards = 32
+
+    def _tag(df):
+        from geomedea_ray.functions.text import stable_hash64
+
+        h = stable_hash64(df["o_orderpriority"].astype(str))
+        return df.assign(_shard=(h % np.uint64(num_shards)).astype(np.int64))
+
+    def _ntile(df):
+        if "o_orderkey" not in df.columns or len(df) == 0:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "o_orderpriority": pd.Series([], dtype=object),
+                "tile": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["o_orderpriority", "o_totalprice",
+                             "o_orderkey"], kind="mergesort")
+        out_tiles = np.empty(len(df), np.int64)
+        sizes = df.groupby("o_orderpriority", sort=False).size().to_numpy()
+        pos = 0
+        for c in sizes:
+            r = np.arange(c, dtype=np.int64)
+            small = c // n_buckets
+            big = c % n_buckets
+            cut = big * (small + 1)
+            tile = np.where(
+                r < cut,
+                r // (small + 1),
+                big + (r - cut) // max(small, 1),
+            ) + 1
+            out_tiles[pos: pos + c] = tile
+            pos += c
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_orderpriority": df["o_orderpriority"].to_numpy(object),
+            "tile": out_tiles,
+        })
+
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("_shard").map_groups(_ntile, batch_format="pandas")
+    )
+
+
+ORDER_VALUE_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS tile
+FROM orders
+"""
