@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_agg": R.events_props_agg,             # vectorized-regex JSON log parse vs real-JSON-parser oracle
         "price_zscore": R.price_zscore,                     # per-group feature normalization (broadcast moments, floor-micro exact)
         "order_value_ntile": R.order_value_ntile,           # NTILE quantile buckets per group (one co-shuffle, exact fill rule)
+        "lineitem_order_sortmerge": R.lineitem_order_sortmerge,  # RANGE-partitioned sort-merge plan (same oracle as the hash join)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join
         "user_cumulative_spend": R.user_cumulative_spend,   # running-total window (prefix scan)
@@ -498,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_agg": R.EVENTS_PROPS_AGG_SQL,
         "price_zscore": R.price_zscore_sql(),
         "order_value_ntile": R.ORDER_VALUE_NTILE_SQL,
+        "lineitem_order_sortmerge": R.LINEITEM_ORDER_JOIN_SQL,
         "customers_with_orders": R.CUSTOMERS_WITH_ORDERS_SQL,
         "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "user_cumulative_spend": R.USER_CUMULATIVE_SPEND_SQL,

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "embedding_clusters",      # nearest-centroid assignment, broadcast centroids (round 3)
     "lang_source_rollup",      # single-pass GROUP BY ROLLUP, per-level partials (round 3)
     "lineitem_order_join",     # fact×fact shuffle hash join (round 3)
+    "lineitem_order_sortmerge",  # same join through the range sort-merge plan (round 4)
     "doc_tfidf",               # TF-IDF: partial DF sum + hash join + windowed rank (round 3)
     "doc_fingerprint",         # winnowing rolling-hash fingerprints, zero-exchange map (round 4)
     "pii_redact",              # RE2 PII scrub over the planted corpus (round 3b)

@@ -1860,3 +1860,42 @@ SELECT o_orderkey, o_orderpriority,
            AS tile
 FROM orders
 """
+
+
+def lineitem_order_sortmerge(sf_dir: str):
+    """The SAME fact×fact join as lineitem_order_join, through the
+    RANGE-partitioned SORT-MERGE plan (stages/joins.sort_merge_join):
+    quantile splits from a bounded sampling pass, one range co-shuffle,
+    vectorized searchsorted merge kernel in-shard — no hash table
+    anywhere, output clustered by key per shard. Shares the hash
+    join's oracle: identical rows prove the two physical plans agree."""
+    from geomedea_ray.stages.joins import sort_merge_join
+
+    li = tables.read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def _pre(b: pa.Table) -> pa.Table:
+        price_c = pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))).cast(pa.int64())
+        disc_pct = pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0))).cast(pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"].cast(pa.int64()),
+                "revenue_e4": pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct)),
+            }
+        )
+
+    ords = tables.read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )
+    out = sort_merge_join(
+        li.map_batches(_pre, batch_format="pyarrow", zero_copy_batch=True),
+        ords, "l_orderkey", "o_orderkey",
+        ["o_orderstatus", "o_orderpriority"],
+    )
+    return out.map_batches(
+        lambda df: df[["l_orderkey", "l_linenumber", "revenue_e4",
+                       "o_orderstatus", "o_orderpriority"]],
+        batch_format="pandas", batch_size=None)

@@ -719,3 +719,63 @@ class TestScd2Intervals:
         assert out["valid_to"].tolist() == [2, 5, -1, -1]
         assert out["is_current"].tolist() == [0, 0, 1, 1]
         assert out["v"].tolist() == ["a", "b", "c", "x"]
+
+
+class TestSortMergeJoin:
+    def test_matches_pandas_and_keeps_dtypes(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.joins import sort_merge_join
+
+        rng = np.random.default_rng(31)
+        l = pd.DataFrame({"k": rng.integers(0, 200, 500),
+                          "lv": rng.integers(0, 10**9, 500)})
+        r = pd.DataFrame({"rk": rng.integers(0, 200, 80),
+                          "status": rng.choice(list("ABC"), 80),
+                          "rv": rng.integers(0, 10**9, 80)})
+        out = sort_merge_join(
+            ray.data.from_pandas(l).repartition(3),
+            ray.data.from_pandas(r).repartition(2),
+            "k", "rk", ["status", "rv"], num_shards=4,
+        ).to_pandas()
+        want = l.merge(r, left_on="k", right_on="rk")[
+            ["k", "lv", "status", "rv"]]
+        assert out["k"].dtype == np.int64 and out["rv"].dtype == np.int64
+        a = out.sort_values(list(out.columns)).reset_index(drop=True)
+        b = want.sort_values(list(want.columns)).reset_index(drop=True)
+        assert len(a) == len(b) > 150
+        assert a[["k", "lv", "status", "rv"]].reset_index(drop=True).equals(
+            b.reset_index(drop=True))
+
+    def test_range_shards_cluster_keys(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.joins import sort_merge_join
+
+        # keys 0..999; with range partitioning each output block holds
+        # a contiguous key range (the hash plan would interleave)
+        l = pd.DataFrame({"k": np.arange(1000), "lv": np.arange(1000)})
+        r = pd.DataFrame({"rk": np.arange(1000), "rv": np.arange(1000)})
+        ds = sort_merge_join(ray.data.from_pandas(l).repartition(4),
+                             ray.data.from_pandas(r).repartition(4),
+                             "k", "rk", ["rv"], num_shards=5)
+        ranges = []
+        for b in ds.iter_batches(batch_format="pandas", batch_size=None):
+            if len(b):
+                ranges.append((b["k"].min(), b["k"].max()))
+        ranges.sort()
+        for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+            assert a1 < b0, "range shards overlap"
+
+    def test_empty_sides(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.joins import sort_merge_join
+
+        l = pd.DataFrame({"k": [1, 2], "lv": [10, 20]})
+        r = pd.DataFrame({"rk": pd.Series([], dtype=np.int64),
+                          "rv": pd.Series([], dtype=np.int64)})
+        out = sort_merge_join(ray.data.from_pandas(l),
+                              ray.data.from_pandas(r),
+                              "k", "rk", ["rv"]).to_pandas()
+        assert len(out) == 0
