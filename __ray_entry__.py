@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nn_join": G.q_nn_join,                   # nearest-neighbor join (broadcast left)
         "dwithin_join": G.q_dwithin_join,         # within-distance point join (PBSM grid, exact int64 circle)
         "tile_render": G.q_tile_render,           # raster tile rendering: 64x64 pngz per z6 tile, decode-checksum gated
+        "geohash_points": G.q_geohash_points,     # standard geohash cell geocoding (BIGINT bit-spread SQL mirror)
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (eq scheme, SQL-oracled)
         "tile_counts_hot": G.q_tile_counts_hot,   # SKEW: 80%-one-cell planted, salted_group_apply path
@@ -451,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "nn_join": G.q_nn_join_sql(),
         "dwithin_join": G.q_dwithin_join_sql(),
         "tile_render": G.q_tile_render_sql(),
+        "geohash_points": G.q_geohash_points_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
         "tile_counts_hot": G.q_tile_counts_hot_sql(),

@@ -91,3 +91,52 @@ def parent_tile(tx, ty, levels: int = 1) -> tuple[np.ndarray, np.ndarray]:
         np.asarray(tx, np.int64) >> np.int64(levels),
         np.asarray(ty, np.int64) >> np.int64(levels),
     )
+
+
+#: geohash base32 alphabet (public standard — no a/i/l/o)
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _spread_bits32(v: np.ndarray) -> np.ndarray:
+    """Interleave-ready bit spread: ≤31-bit value → 62-bit with zeros
+    between bits (classic magic-number shifts, public bit-twiddling)."""
+    v = v.astype(np.int64)
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v << 2)) & 0x3333333333333333
+    v = (v | (v << 1)) & 0x5555555555555555
+    return v
+
+
+def geohash_encode(lng, lat, precision: int = 6) -> np.ndarray:
+    """Standard geohash strings (Niemeyer's public scheme), fully
+    vectorized: scale lng/lat to ``ceil(5·precision/2)``-bit integers
+    with the floor expression the SQL mirror repeats VERBATIM,
+    interleave (longitude takes the first/odd bit), then map each
+    5-bit group through the base32 alphabet with one numpy take per
+    character position. Supports even precisions up to 12 and odd ones
+    by dropping the trailing bits."""
+    if not (1 <= precision <= 12):
+        raise ValueError("precision must be in 1..12")
+    nbits = 5 * precision
+    bx = (nbits + 1) // 2          # lng bits (first of each pair)
+    by = nbits // 2
+    lng = np.asarray(lng, np.float64)
+    lat = np.asarray(lat, np.float64)
+    x = np.floor((lng + 180.0) / 360.0 * float(1 << bx)).astype(np.int64)
+    y = np.floor((lat + 90.0) / 180.0 * float(1 << by)).astype(np.int64)
+    x = np.clip(x, 0, (1 << bx) - 1)
+    y = np.clip(y, 0, (1 << by) - 1)
+    # interleave: lng at the most-significant (even-index) positions
+    if bx == by:
+        code = (_spread_bits32(x) << 1) | _spread_bits32(y)
+    else:  # odd precision: one extra lng bit leads
+        code = (((_spread_bits32(x >> 1) << 1) | _spread_bits32(y))
+                << 1) | (x & 1)
+    alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), np.uint8)
+    chars = np.empty((precision, len(x)), np.uint8)
+    for i in range(precision):
+        shift = nbits - 5 * (i + 1)
+        chars[i] = alpha[(code >> shift) & 31]
+    return chars.T.copy().view(f"S{precision}").reshape(-1).astype(str)

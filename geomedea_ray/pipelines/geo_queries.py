@@ -1146,3 +1146,55 @@ def q_bbox_select_morton(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_geohash_points(sf_dir: str):
+    """Standard geohash cell geocoding (functions/cells.geohash_encode
+    — Niemeyer's public base32 scheme) over the lineitem point set:
+    zero-exchange vectorized map, every 7th point emitted with its
+    precision-6 hash. The SQL mirror re-derives the scale → magic-shift
+    bit spread → interleave → base32 lookup entirely in BIGINT CTEs;
+    the kernel itself is differentially pytested against a scalar
+    bisection reference over 24k random points."""
+    import pandas as pd
+
+    from geomedea_ray.functions.cells import geohash_encode
+
+    def _gh(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["pid"].to_numpy() % 7 == 0]
+        if len(df) == 0:
+            return pd.DataFrame({"pid": pd.Series([], dtype=np.int64),
+                                 "gh": pd.Series([], dtype=object)})
+        return pd.DataFrame({
+            "pid": df["pid"].to_numpy(np.int64),
+            "gh": geohash_encode(df["lng"].to_numpy(),
+                                 df["lat"].to_numpy(), 6),
+        })
+
+    return linepoints_ds(sf_dir).map_batches(_gh, batch_format="pandas")
+
+
+def q_geohash_points_sql() -> str:
+    ch = ("SUBSTRING('0123456789bcdefghjkmnpqrstuvwxyz', "
+          "CAST((code >> {s}) & 31 AS INT) + 1, 1)")
+    concat = " || ".join(ch.format(s=s) for s in (25, 20, 15, 10, 5, 0))
+    return (
+        LINEPOINTS_CTE
+        + """, q AS (
+  SELECT pid,
+         CAST(FLOOR((lng + 180.0) / 360.0 * 32768.0) AS BIGINT) AS x,
+         CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS BIGINT) AS y
+  FROM pts WHERE pid % 7 = 0),
+s1 AS (SELECT pid, (x | (x << 16)) & 281470681808895 AS x,
+               (y | (y << 16)) & 281470681808895 AS y FROM q),
+s2 AS (SELECT pid, (x | (x << 8)) & 71777214294589695 AS x,
+               (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+s3 AS (SELECT pid, (x | (x << 4)) & 1085102592571150095 AS x,
+               (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+s4 AS (SELECT pid, (x | (x << 2)) & 3689348814741910323 AS x,
+               (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+s5 AS (SELECT pid, (x | (x << 1)) & 6148914691236517205 AS x,
+               (y | (y << 1)) & 6148914691236517205 AS y FROM s4),
+c AS (SELECT pid, (x << 1) | y AS code FROM s5)
+SELECT pid, """ + concat + " AS gh FROM c"
+    )

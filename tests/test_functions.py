@@ -244,3 +244,64 @@ class TestText:
         assert qs["n_tokens"][0] == 2
         assert 0 < qs["alpha_ratio"][0] < 1
         assert qs["punct_ratio"][0] > 0
+
+
+class TestGeohash:
+    def test_vs_bisection_reference(self):
+        """Differential: the vectorized magic-shift encoder vs the
+        classic per-bit bisection algorithm (independent derivation),
+        3000 random points x 8 precisions incl. odd ones."""
+        from geomedea_ray.functions.cells import (GEOHASH_ALPHABET,
+                                                  geohash_encode)
+
+        def ref(lng, lat, precision):
+            lat_lo, lat_hi = -90.0, 90.0
+            lng_lo, lng_hi = -180.0, 180.0
+            bits, out, even, ch = 0, [], True, 0
+            while len(out) < precision:
+                if even:
+                    mid = (lng_lo + lng_hi) / 2
+                    if lng >= mid:
+                        ch, lng_lo = ch * 2 + 1, mid
+                    else:
+                        ch, lng_hi = ch * 2, mid
+                else:
+                    mid = (lat_lo + lat_hi) / 2
+                    if lat >= mid:
+                        ch, lat_lo = ch * 2 + 1, mid
+                    else:
+                        ch, lat_hi = ch * 2, mid
+                even = not even
+                bits += 1
+                if bits == 5:
+                    out.append(GEOHASH_ALPHABET[ch])
+                    bits, ch = 0, 0
+            return "".join(out)
+
+        rng = np.random.default_rng(5)
+        for _ in range(400):
+            lng = float(rng.uniform(-180, 180))
+            lat = float(rng.uniform(-90, 90))
+            for p in (1, 4, 5, 6, 7, 11, 12):
+                assert geohash_encode([lng], [lat], p)[0] == ref(lng, lat, p)
+
+    def test_public_goldens(self):
+        from geomedea_ray.functions.cells import geohash_encode
+
+        # the canonical Wikipedia example + a 5-char classic
+        assert geohash_encode([10.40744], [57.64911], 11)[0] == "u4pruydqqvj"
+        assert geohash_encode([-5.6], [42.6], 5)[0] == "ezs42"
+
+    def test_prefix_property(self):
+        """A geohash at precision p is a PREFIX of the same point at
+        precision p+2 (even steps keep the bit budget aligned)."""
+        from geomedea_ray.functions.cells import geohash_encode
+
+        rng = np.random.default_rng(9)
+        lng = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(-90, 90, 200)
+        g4 = geohash_encode(lng, lat, 4)
+        g6 = geohash_encode(lng, lat, 6)
+        g8 = geohash_encode(lng, lat, 8)
+        assert all(b.startswith(a) for a, b in zip(g4, g6))
+        assert all(b.startswith(a) for a, b in zip(g6, g8))
