@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_agg": R.events_props_agg,             # vectorized-regex JSON log parse vs real-JSON-parser oracle
         "price_zscore": R.price_zscore,                     # per-group feature normalization (broadcast moments, floor-micro exact)
         "order_value_ntile": R.order_value_ntile,           # NTILE quantile buckets per group (one co-shuffle, exact fill rule)
+        "price_quantiles_kll": R.price_quantiles_kll,       # mergeable KLL quantile sketch (rows-only; error-bound pytest)
         "lineitem_order_sortmerge": R.lineitem_order_sortmerge,  # RANGE-partitioned sort-merge plan (same oracle as the hash join)
         "customers_with_orders": R.customers_with_orders,       # broadcast SEMI join
         "customers_without_orders": R.customers_without_orders, # broadcast ANTI join

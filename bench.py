@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "decontaminate",           # benchmark 8-gram scan vs broadcast eval set (round 3b)
     "frequent_bigrams",        # exact heavy hitters: candidates + recount (round 3b)
     "price_quantiles",         # continuous-domain radix-selection quantiles (round 3b)
+    "price_quantiles_kll",     # mergeable KLL quantile sketch, unbounded-domain path (round 4)
     "pack_sequences",          # banded global prefix sum -> sequence bins (round 3b)
     "orders_upsert",           # CDC newest-wins merge (round 3b)
     "lang_source_cube",        # single-pass GROUP BY CUBE (round 3b)

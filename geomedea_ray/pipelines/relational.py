@@ -1899,3 +1899,17 @@ def lineitem_order_sortmerge(sf_dir: str):
         lambda df: df[["l_orderkey", "l_linenumber", "revenue_e4",
                        "o_orderstatus", "o_orderpriority"]],
         batch_format="pandas", batch_size=None)
+
+
+def price_quantiles_kll(sf_dir: str):
+    """Approximate price quantiles via the mergeable KLL sketch
+    (stages/sketch.KLLSketch) — the UNBOUNDED-domain scale path next
+    to the exact histogram/radix operators: per-block kilobyte
+    sketches, one deterministic-order merge. Rows-only gate entry
+    (sketch by design); rank-error bound, mergeability and
+    byte-determinism are pytest-asserted."""
+    from geomedea_ray.stages.sketch import kll_quantiles
+
+    ds = tables.read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return kll_quantiles(ds, "l_extendedprice",
+                         [0.01, 0.25, 0.50, 0.75, 0.99])

@@ -452,3 +452,146 @@ class CountMinSketch:
             idx = ((h1 + np.uint64(d) * h2) % np.uint64(width)).astype(np.int64)
             est = np.minimum(est, self.m[d, idx])
         return est
+
+
+# ------------------------------------------------- KLL quantile sketch
+
+#: compactor width — rank error is O(1/k); k=200 measures < 1% in tests
+KLL_K = 200
+
+
+class KLLSketch:
+    """Mergeable quantile sketch (the KLL/MRL compactor scheme —
+    Karnin-Lang-Liberty 2016, public algorithm), DETERMINISTIC: the
+    compaction offset alternates with a per-level compaction counter
+    instead of a coin flip, so identical input yields identical bytes
+    and the rerun gate can hash it. Level i items carry weight 2^i;
+    a full level sorts and keeps alternating elements, pushing them
+    one level up. ~k·log(n/k) floats of state regardless of n — the
+    scale path for quantiles over UNBOUNDED domains (the exact
+    histogram/radix operators need bounded or re-scannable ones)."""
+
+    def __init__(self, k: int = KLL_K):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.flips: list[int] = [0]
+
+    def _cap(self, h: int) -> int:
+        # geometrically shrinking capacities, floor of 8
+        depth = len(self.levels)
+        return max(int(self.k * (2.0 / 3.0) ** (depth - 1 - h)), 8)
+
+    def add(self, values: np.ndarray) -> "KLLSketch":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self._cap(h) * 2:
+                buf = np.sort(self.levels[h], kind="mergesort")
+                off = self.flips[h] & 1
+                self.flips[h] += 1
+                kept = buf[off::2]
+                self.levels[h] = np.empty(0, np.float64)
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                    self.flips.append(0)
+                self.levels[h + 1] = np.concatenate(
+                    [self.levels[h + 1], kept])
+            h += 1
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+            self.flips.append(0)
+        for h, lv in enumerate(other.levels):
+            self.levels[h] = np.concatenate([self.levels[h], lv])
+            self.flips[h] += other.flips[h]
+        self._compress()
+        return self
+
+    def quantiles(self, qs) -> np.ndarray:
+        vals, ws = [], []
+        for h, lv in enumerate(self.levels):
+            vals.append(lv)
+            ws.append(np.full(len(lv), 1 << h, np.int64))
+        v = np.concatenate(vals)
+        w = np.concatenate(ws)
+        order = np.argsort(v, kind="mergesort")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1] if len(cw) else 0
+        out = np.empty(len(qs), np.float64)
+        for i, q in enumerate(qs):
+            target = q * total
+            out[i] = v[min(np.searchsorted(cw, target, side="left"),
+                           len(v) - 1)] if len(v) else np.nan
+        return out
+
+    # ---- byte serialization (partials travel as one cell per block)
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<i", len(self.levels))
+        parts = [head]
+        for lv, fl in zip(self.levels, self.flips):
+            parts.append(struct.pack("<ii", len(lv), fl))
+            parts.append(lv.tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, b: bytes, k: int = KLL_K) -> "KLLSketch":
+        import struct
+
+        s = cls(k)
+        (n_levels,) = struct.unpack_from("<i", b, 0)
+        off = 4
+        s.levels, s.flips = [], []
+        for _ in range(n_levels):
+            n, fl = struct.unpack_from("<ii", b, off)
+            off += 8
+            s.levels.append(np.frombuffer(b, np.float64, n, off).copy())
+            s.flips.append(fl)
+            off += 8 * n
+        return s
+
+
+def kll_quantiles(ds, col: str, qs, k: int = KLL_K):
+    """Distributed quantiles via the KLL sketch: one sketch per block
+    (kilobytes, independent of rows), partials merged in ONE final
+    task in a DETERMINISTIC order (sorted by each partial's content
+    key — KLL merge is not commutative, so arrival order must not
+    leak into the result). Returns a one-row Dataset with one column
+    per requested quantile. Approximate by design: rank error O(1/k),
+    pytest-measured; exact quantiles stay the job of the histogram /
+    radix-selection operators on bounded domains."""
+    import hashlib
+
+    import pandas as pd
+
+    qs = list(qs)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(k).add(df[col].to_numpy(np.float64))
+        b = sk.to_bytes()
+        key = hashlib.sha256(b).hexdigest()
+        return pd.DataFrame({"_key": [key], "sk": [b]})
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("_key", kind="mergesort")
+        acc = KLLSketch(k)
+        for b in df["sk"]:
+            acc.merge(KLLSketch.from_bytes(b, k))
+        vals = acc.quantiles(qs)
+        return pd.DataFrame({f"q{int(q * 100):02d}": [float(v)]
+                             for q, v in zip(qs, vals)})
+
+    return (
+        ds.map_batches(_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(_final, batch_format="pandas", batch_size=None)
+    )

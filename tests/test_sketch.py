@@ -173,3 +173,62 @@ class TestCountMin:
         # standard bound: overshoot ≤ e/width · N (whp); allow 3 misses
         bound = np.ceil(np.e / 2048 * len(vals))
         assert ((est - true) <= bound).sum() >= 47
+
+
+class TestKLL:
+    def test_rank_error_bound_and_determinism(self):
+        from geomedea_ray.stages.sketch import KLLSketch
+
+        rng = np.random.default_rng(13)
+        data = np.concatenate([rng.normal(100, 15, 120_000),
+                               rng.exponential(50, 80_000)])
+        sk1 = KLLSketch().add(data)
+        sk2 = KLLSketch().add(data)
+        assert sk1.to_bytes() == sk2.to_bytes()  # deterministic
+        qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        est = sk1.quantiles(qs)
+        sd = np.sort(data)
+        for q, e in zip(qs, est):
+            # rank of the estimate vs the requested rank
+            r = np.searchsorted(sd, e) / len(sd)
+            assert abs(r - q) < 0.015, (q, r)
+
+    def test_merge_equals_whole_within_bound(self):
+        from geomedea_ray.stages.sketch import KLLSketch
+
+        rng = np.random.default_rng(21)
+        data = rng.uniform(0, 1000, 150_000)
+        halves = KLLSketch().add(data[:70_000]).merge(
+            KLLSketch().add(data[70_000:]))
+        qs = [0.1, 0.5, 0.9]
+        est = halves.quantiles(qs)
+        sd = np.sort(data)
+        for q, e in zip(qs, est):
+            r = np.searchsorted(sd, e) / len(sd)
+            assert abs(r - q) < 0.02, (q, r)
+        # state stays ~k log(n/k) floats, not O(n)
+        assert sum(len(lv) for lv in halves.levels) < 4000
+
+    def test_bytes_roundtrip(self):
+        from geomedea_ray.stages.sketch import KLLSketch
+
+        rng = np.random.default_rng(3)
+        sk = KLLSketch().add(rng.normal(size=50_000))
+        rt = KLLSketch.from_bytes(sk.to_bytes())
+        assert all(np.array_equal(a, b)
+                   for a, b in zip(sk.levels, rt.levels))
+        assert sk.flips == rt.flips
+
+    def test_distributed_matches_driver_order_invariance(self, ray_session):
+        import ray.data
+
+        from geomedea_ray.stages.sketch import kll_quantiles
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame({"v": rng.normal(0, 1, 40_000)})
+        a = kll_quantiles(ray.data.from_pandas(df).repartition(4),
+                          "v", [0.5]).to_pandas()
+        b = kll_quantiles(ray.data.from_pandas(df).repartition(4),
+                          "v", [0.5]).to_pandas()
+        assert a.equals(b)  # deterministic across runs
+        assert abs(float(a["q50"].iloc[0])) < 0.05  # near true median 0
