@@ -600,7 +600,10 @@ def distinct_keys(ds, key_col: str) -> np.ndarray:
         return pa.table({key_col: pa.array(np.unique(v))})
 
     parts = ds.map_batches(_u, batch_format="pyarrow", zero_copy_batch=True)
-    return np.unique(parts.to_pandas()[key_col].to_numpy())
+    pdf = parts.to_pandas()
+    if key_col not in pdf.columns:  # zero-block input carries no schema
+        return np.array([], dtype=np.int64)
+    return np.unique(pdf[key_col].to_numpy())
 
 
 def semi_anti_filter(ds, key_col: str, keys: np.ndarray, anti: bool = False):
@@ -626,6 +629,77 @@ def semi_anti_filter(ds, key_col: str, keys: np.ndarray, anti: bool = False):
         return batch.filter(pa.array(~hit if anti else hit))
 
     return ds.map_batches(_flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: key-set broadcast budget for semi_anti_join — same class as
+#: hash_join's BROADCAST_JOIN_BYTES but keys-only payloads, so the
+#: default matches paragraph_dedup's hot-set ceiling.
+SEMI_ANTI_BROADCAST_BYTES = 64 << 20
+
+
+def semi_anti_join(
+    ds,
+    key_col: str,
+    keys_ds,
+    row_cols: list[str],
+    anti: bool = False,
+    broadcast_cap_bytes: int = SEMI_ANTI_BROADCAST_BYTES,
+    num_shards: int | None = None,
+    out_dtypes: dict | None = None,
+):
+    """SEMI/ANTI join of ``ds`` against a key DATASET whose MEASURED
+    size picks the plan — the adaptive decision hash_join and
+    paragraph_dedup already make, packaged for the keep-policy dedup
+    family (round-4 verdict item 1: an unconditional driver resolve +
+    broadcast drop set dies at 100 TB with a high dup rate).
+
+    - keys ≤ ``broadcast_cap_bytes``: per-block-distinct key stream →
+      driver (bounded by the cap), sorted once, ``ray.put`` once;
+      membership is one searchsorted per probe batch (zero shuffle,
+      probe streams) — exactly ``semi_anti_filter``.
+    - larger: NO driver set — both sides co-shuffle on
+      ``hash(key) % num_shards`` and each shard resolves membership
+      with one vectorized ``isin``. The keys side ships only its key
+      column.
+
+    ``row_cols`` declares ``ds``'s output columns so single-side
+    shards emit a uniform schema (the hash_join._merge reindex guard —
+    schema unification is per-block). Integer payload columns ride
+    through key-side blocks as nulls in the shuffle plan and surface
+    as float64; pass ``out_dtypes`` to cast them back (broadcast plan
+    output is returned untouched — dtypes never widen there).
+    Plans are row-for-row identical (pytest-forced in
+    tests/test_dedup_adaptive.py)."""
+    assert key_col in row_cols, "row_cols must include the key column"
+    keys_mat = keys_ds.materialize()
+    if (keys_mat.size_bytes() or 0) <= broadcast_cap_bytes:
+        keys = distinct_keys(keys_mat, key_col)
+        return semi_anti_filter(ds, key_col, keys, anti=anti)
+
+    num_shards = _resolve_shards(ds, num_shards)
+
+    def _tag(side: int, cols: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols]
+            return df.assign(_side=np.int8(side),
+                             _shard=_shard_of(df[key_col], num_shards))
+
+        return fn
+
+    rows = ds.map_batches(_tag(0, row_cols), batch_format="pandas")
+    keys = keys_mat.map_batches(_tag(1, [key_col]), batch_format="pandas")
+
+    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df[df["_side"] == 0].reindex(columns=row_cols)
+        kvals = df.loc[df["_side"] == 1, key_col].to_numpy()
+        hit = rows[key_col].isin(kvals).to_numpy()
+        out = rows[~hit if anti else hit]
+        if out_dtypes:
+            out = out.astype(out_dtypes)
+        return out
+
+    return rows.union(keys).groupby("_shard").map_groups(
+        _resolve, batch_format="pandas")
 
 
 def cumulative_sum(
