@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from geomedea_ray.stages.images import Reencode, binary_views
 
         def _verify(batch: pa.Table) -> pa.Table:
+            # size-group vectorized like the engine stages (round-4
+            # verdict item 8): decode originals via decode_size_groups,
+            # decode the matching re-encodings into a SECOND workspace
+            # (the shared decode stack is reused per group), then one
+            # vectorized per-row MSE/PSNR over each stack.
             orig = binary_views(batch["bytes"])
             fmts = batch["fmt"].to_pylist()
             ws = batch["w"].to_numpy()
@@ -101,10 +106,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             re_enc = Reencode("qnt")(batch)
             new = binary_views(re_enc["bytes"])
             psnr_ok = np.empty(len(orig), bool)
-            for i in range(len(orig)):
-                a = codecs.decode(orig[i], fmts[i], int(ws[i]), int(hs[i]))
-                b = codecs.decode(new[i], "qnt", int(ws[i]), int(hs[i]))
-                psnr_ok[i] = codecs.psnr(a, b) >= 40.0
+            for idxs, stack in codecs.decode_size_groups(orig, fmts, ws, hs):
+                k, hh, ww, _ = stack.shape
+                other = codecs.workspace(
+                    "reenc_verify_stack", np.uint8, k * hh * ww * 3
+                ).reshape(k, hh, ww, 3)
+                for j, i in enumerate(idxs):
+                    other[j] = codecs.decode(new[i], "qnt", ww, hh)
+                diff = stack.astype(np.int32) - other.astype(np.int32)
+                mse = np.mean((diff * diff).reshape(k, -1), axis=1)
+                ok = np.ones(k, bool)
+                nz = mse > 0
+                ok[nz] = 10.0 * np.log10(255.0 * 255.0 / mse[nz]) >= 40.0
+                psnr_ok[idxs] = ok
             return pa.table(
                 {
                     "image_id": batch["image_id"],

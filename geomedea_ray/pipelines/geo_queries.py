@@ -1182,8 +1182,10 @@ def q_geohash_points_sql() -> str:
         LINEPOINTS_CTE
         + """, q AS (
   SELECT pid,
-         CAST(FLOOR((lng + 180.0) / 360.0 * 32768.0) AS BIGINT) AS x,
-         CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS BIGINT) AS y
+         LEAST(CAST(FLOOR((lng + 180.0) / 360.0 * 32768.0) AS BIGINT),
+               32767) AS x,
+         LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS BIGINT),
+               32767) AS y
   FROM pts WHERE pid % 7 = 0),
 s1 AS (SELECT pid, (x | (x << 16)) & 281470681808895 AS x,
                (y | (y << 16)) & 281470681808895 AS y FROM q),

@@ -1399,21 +1399,45 @@ def events_props_agg(sf_dir: str):
     n / Σk / max k as exact int64 partials, TREE combine. The oracle is
     genuinely differential: DuckDB parses the same strings with its
     REAL JSON parser (json_extract), so a regex that misread even one
-    row hash-mismatches."""
+    row hash-mismatches.
+
+    NULL semantics mirror DuckDB's (round-4 ADVICE): the regex is
+    anchored to a TOP-LEVEL key position (``[{,]\\s*"k"``, so a
+    ``"k":`` embedded inside a string value can't false-match a
+    brace-adjacent position), and a row where it misses counts in
+    ``n`` (COUNT(*)) but is EXCLUDED from sum/max (SUM/MAX skip NULL;
+    an all-null group yields null, via nullable Int64 + min_count).
+    Matched values go through ``astype(int64)`` directly from the
+    digit strings — never a float intermediate."""
     ds = tables.read(sf_dir, "events", columns=["event_type", "props"])
 
     def _partial(df):
-        k = (df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
-             .astype(np.int64))
-        g = pd.DataFrame({"event_type": df["event_type"], "k": k})
-        out = g.groupby("event_type", as_index=False).agg(
-            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        s = df["props"].str.extract(r'[{,]\s*"k"\s*:\s*(-?\d+)',
+                                    expand=False)
+        m = s.notna().to_numpy()
+        et = df["event_type"].to_numpy()
+        n = (pd.DataFrame({"event_type": et})
+             .groupby("event_type", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        agg = (pd.DataFrame({"event_type": et[m],
+                             "k": s[m].astype(np.int64).to_numpy()})
+               .groupby("event_type", as_index=False)
+               .agg(sum_k=("k", "sum"), max_k=("k", "max")))
+        out = n.merge(agg, on="event_type", how="left")
         out["n"] = out["n"].astype(np.int64)
+        out["sum_k"] = out["sum_k"].astype("Int64")
+        out["max_k"] = out["max_k"].astype("Int64")
         return out
 
     def _combine(df):
-        return df.groupby("event_type", as_index=False).agg(
-            n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max"))
+        out = df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"),
+            sum_k=("sum_k", lambda v: v.sum(min_count=1)),
+            max_k=("max_k", "max"))
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_k"] = out["sum_k"].astype("Int64")
+        out["max_k"] = out["max_k"].astype("Int64")
+        return out
 
     return (
         ds.map_batches(_partial, batch_format="pandas")

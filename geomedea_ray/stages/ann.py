@@ -904,6 +904,12 @@ def pq_encode(m: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return codes
 
 
+#: input-size ceiling for materializing ann_topk_pq's input once for
+#: its three consumers (sample / ADC scan / re-rank) instead of
+#: re-running the upstream chain per consumer.
+PQ_MATERIALIZE_INPUT_BYTES = 4 << 30
+
+
 def ann_topk_pq(
     ds,
     query_matrix: np.ndarray,
@@ -945,7 +951,16 @@ def ann_topk_pq(
     """
     import ray
 
-    from geomedea_ray.util import get_once
+    from geomedea_ray.util import get_once, size_hint
+
+    # THREE consumers of ds (codebook sample, ADC scan, exact re-rank):
+    # a lazy non-trivial upstream would re-run once per consumer
+    # (round-4 ADVICE / two-consumer rule). Size-gated like
+    # q_doc_tfidf: materialize when the table fits the object store
+    # comfortably; past that, streaming re-reads beat spilling.
+    hint = size_hint(ds)
+    if hint is not None and hint <= PQ_MATERIALIZE_INPUT_BYTES:
+        ds = ds.materialize()
 
     qm = _l2_normalize(np.asarray(query_matrix, np.float64))
     qids = np.asarray(qids)

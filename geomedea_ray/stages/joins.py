@@ -1205,6 +1205,20 @@ def sort_merge_join(
 
     from geomedea_ray.util import get_once
 
+    # the left side is consumed TWICE (quantile sampling pass, then the
+    # tagged join pass) — materialize once so a non-trivial upstream
+    # chain doesn't re-run per consumer (the round-4 two-consumer rule;
+    # the range exchange would have materialized these blocks anyway).
+    left = left.materialize()
+    schemas = (left.schema(), right.schema())
+    # project the right side to exactly the declared join columns:
+    # _merge classifies any OTHER column as a left column (lcols is
+    # derived from the unified shard frame), so an unprojected right
+    # input would silently emit NaN-upcast garbage for them.
+    right = right.map_batches(
+        lambda df: df[[right_on] + [c for c in right_cols if c != right_on]],
+        batch_format="pandas", batch_size=None)
+
     num_shards = _resolve_shards(left, num_shards)
 
     def _sample(df: pd.DataFrame) -> pd.DataFrame:
@@ -1251,7 +1265,7 @@ def sort_merge_join(
     import pyarrow as _pa
 
     decl: dict[str, np.dtype] = {}
-    for sch in (left.schema(), right.schema()):
+    for sch in schemas:
         for name, typ in zip(sch.names, sch.types):
             if isinstance(typ, _pa.DataType) and (
                     _pa.types.is_integer(typ) or _pa.types.is_boolean(typ)):

@@ -390,3 +390,40 @@ class TestIVFPQStore:
                         sample_rows=1000)
         with pytest.raises(ValueError):
             ann_topk_ivfpq(store, allv[:1], np.array([0]), 5)
+
+
+def test_store_writer_refuses_nonempty_dir(ray_session, tmp_path):
+    """_write_sorted_store's orphan sweep deletes unmanifested parquet;
+    that is only safe on a fresh dir, so a dir already holding ANY
+    parquet must be refused outright (never swept), while non-parquet
+    foreign files survive the build untouched (round-4 verdict item 5)."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    from geomedea_ray.stages.ann import build_bucketed_store
+
+    rng = np.random.default_rng(3)
+    n, dim = 64, 8
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(rng.normal(size=(n, dim)).astype(np.float32)),
+                              pa.list_(pa.float32(), dim)),
+    })
+
+    live = tmp_path / "live_store"
+    live.mkdir()
+    foreign = live / "someone-elses-data.parquet"
+    pq.write_table(pa.table({"x": [1, 2, 3]}), foreign)
+    with pytest.raises(RuntimeError, match="empty target dir"):
+        build_bucketed_store(ray.data.from_arrow(tbl), str(live), nbits=4)
+    assert foreign.exists()  # refused, not swept
+    assert pq.ParquetFile(foreign).metadata.num_rows == 3
+
+    fresh = tmp_path / "fresh_store"
+    fresh.mkdir()
+    marker = fresh / "NOTES.txt"
+    marker.write_text("not a parquet file")
+    meta = build_bucketed_store(ray.data.from_arrow(tbl), str(fresh), nbits=4)
+    assert marker.read_text() == "not a parquet file"  # non-parquet survives
+    assert sum(f["rows"] for f in meta["files"]) == n

@@ -305,3 +305,34 @@ class TestGeohash:
         g8 = geohash_encode(lng, lat, 8)
         assert all(b.startswith(a) for a, b in zip(g4, g6))
         assert all(b.startswith(a) for a, b in zip(g6, g8))
+
+    def test_domain_edge_clamps_and_matches_sql_mirror(self):
+        """lng=180 / lat=90 scale to 2^15 before the clamp; the engine
+        clips to 32767 and the SQL mirror must LEAST() identically
+        (round-4 ADVICE: a latent kernel/oracle divergence at the
+        domain edge). Differential: the FULL mirror SQL run over a
+        substituted boundary-point CTE vs the engine kernel."""
+        import duckdb
+
+        from geomedea_ray.functions.cells import geohash_encode
+        from geomedea_ray.pipelines.geo_queries import (LINEPOINTS_CTE,
+                                                        q_geohash_points_sql)
+
+        pts = [(0, 180.0, 90.0), (7, -180.0, -90.0), (14, 180.0, -90.0),
+               (21, 179.999999, 89.999999), (28, 0.0, 0.0)]
+        values = ", ".join(f"({pid}, {lng!r}, {lat!r})" for pid, lng, lat in pts)
+        # pid % 7 = 0 keeps every row in the mirror's filter
+        cte = f"""
+WITH pts AS (
+  SELECT * FROM (VALUES {values}) AS t(pid, lng, lat)
+)
+"""
+        sql = q_geohash_points_sql()
+        assert sql.startswith(LINEPOINTS_CTE)
+        sql = cte + sql[len(LINEPOINTS_CTE):]
+        want = duckdb.connect().execute(sql + " ORDER BY pid").df()
+        got = geohash_encode([p[1] for p in pts], [p[2] for p in pts], 6)
+        assert list(want["gh"]) == list(got)
+        # the clamp really engaged: 180/90 is the all-ones max cell
+        assert got[0] == "zzzzzz"
+        assert got[1] == "000000"

@@ -779,3 +779,28 @@ class TestSortMergeJoin:
                               ray.data.from_pandas(r),
                               "k", "rk", ["rv"]).to_pandas()
         assert len(out) == 0
+
+    def test_unprojected_right_extra_columns_dropped(self, ray_session):
+        """A right input carrying columns NOT listed in right_cols used
+        to leak them through _merge as NaN-upcast left columns; they
+        must now be projected away before tagging (round-4 ADVICE)."""
+        import ray.data
+
+        from geomedea_ray.stages.joins import sort_merge_join
+
+        l = pd.DataFrame({"k": np.arange(20, dtype=np.int64),
+                          "lv": np.arange(20, dtype=np.int64) * 3})
+        r = pd.DataFrame({"rk": np.arange(0, 20, 2, dtype=np.int64),
+                          "rv": np.arange(10, dtype=np.int64),
+                          "junk": np.arange(10, dtype=np.int64) * 99,
+                          "junk2": list("abcdefghij")})
+        out = sort_merge_join(ray.data.from_pandas(l).repartition(2),
+                              ray.data.from_pandas(r).repartition(2),
+                              "k", "rk", ["rv"], num_shards=3).to_pandas()
+        assert sorted(out.columns) == ["k", "lv", "rv"]
+        want = l.merge(r[["rk", "rv"]], left_on="k", right_on="rk")[
+            ["k", "lv", "rv"]]
+        a = out.sort_values("k").reset_index(drop=True)
+        b = want.sort_values("k").reset_index(drop=True)
+        assert a.equals(b)
+        assert a["rv"].dtype == np.int64
