@@ -84,9 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def _image_reencode(sf_dir: str):
-        """Transcode every image to qnt and verify the input_hint
-        invariant per row: decoded-pixel PSNR >= 40 dB vs the
-        original (exact for lossless sources)."""
+        """Transcode every image to BOTH lossy codecs (qnt + dct8) and
+        verify the input_hint invariant per row for each: decoded-pixel
+        PSNR >= 40 dB vs the original (exact for lossless sources).
+        psnr_ok = both targets hold (mirrors the oracle fixture)."""
         import numpy as np
         import pyarrow as pa
 
@@ -103,21 +104,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fmts = batch["fmt"].to_pylist()
             ws = batch["w"].to_numpy()
             hs = batch["h"].to_numpy()
-            re_enc = Reencode("qnt")(batch)
-            new = binary_views(re_enc["bytes"])
+            targets = ("qnt", "dct8")
+            new = {t: binary_views(Reencode(t)(batch)["bytes"]) for t in targets}
             psnr_ok = np.empty(len(orig), bool)
             for idxs, stack in codecs.decode_size_groups(orig, fmts, ws, hs):
                 k, hh, ww, _ = stack.shape
                 other = codecs.workspace(
                     "reenc_verify_stack", np.uint8, k * hh * ww * 3
                 ).reshape(k, hh, ww, 3)
-                for j, i in enumerate(idxs):
-                    other[j] = codecs.decode(new[i], "qnt", ww, hh)
-                diff = stack.astype(np.int32) - other.astype(np.int32)
-                mse = np.mean((diff * diff).reshape(k, -1), axis=1)
                 ok = np.ones(k, bool)
-                nz = mse > 0
-                ok[nz] = 10.0 * np.log10(255.0 * 255.0 / mse[nz]) >= 40.0
+                for t in targets:
+                    for j, i in enumerate(idxs):
+                        other[j] = codecs.decode(new[t][i], t, ww, hh)
+                    diff = stack.astype(np.int32) - other.astype(np.int32)
+                    mse = np.mean((diff * diff).reshape(k, -1), axis=1)
+                    nz = mse > 0
+                    ok[nz] &= 10.0 * np.log10(255.0 * 255.0 / mse[nz]) >= 40.0
                 psnr_ok[idxs] = ok
             return pa.table(
                 {
@@ -307,86 +309,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Reorder so the 50-entry window covers EVERY family — flagship
     # image chain, audio/video, ANN/embeddings, text dedup, curation,
     # spatial core — plus a rotating slice of the relational tail.
+    # ROUND-5 rotation (VERDICT item 4, audited by tools/window_audit.py):
+    # every entry that had NEVER been driver-verified in rounds 1-4
+    # (23 of them) comes inside the window; 23 r4-driver-green rows
+    # rotate out, each with its machinery/oracle still exercised by an
+    # in-window sibling (noted inline). Rows whose CONTENT or CODE
+    # changed this round stay in-window on purpose: the image
+    # decode-family rows (dct8 joined the fixture FMTS — bytes/fmt
+    # changed), dedup_neardup / dedup_keep_best / doc_components (the
+    # adaptive semi_anti_join + shared pair cache), events_props_agg
+    # (NULL-semantics mirror), image_reencode (now verifies qnt AND
+    # dct8), and the lance rows kept below (fixture _r6 rebuild).
     priority = [
-        # flagship / image (driver-unchecked in r3)
-        # image_phash_dedup (r2-driver-green, locally green all round)
-        # rotated out for events_props_agg (new r4); image_phash_neardup
-        # keeps the phash-dedup machinery driver-exercised (it runs over
-        # the dedup representatives). training_prep (r2-driver-green)
-        # rotated out for tile_render (new r4) — its chain stays
-        # driver-exercised through the in-window lance_sink row, whose
-        # oracle IS the prep SQL wrapped in a GROUP BY.
+        # --- kept: flagship / image (fixture content changed: dct8) ---
+        # evicted vs r4 window: image_tile_counts (tile-count machinery
+        # in-window via image_spatial_join_tiles + tile_render),
+        # image_similar (ANN machinery via the 5 in-window ann_topk_*
+        # rows; its phash-based input columns are fmt-independent)
         "image_spatial_join_tiles", "image_decode_stats",
-        "image_phash_neardup", "image_tile_counts",
-        "image_tile_mosaic", "image_brightness_quantiles",
-        "image_thumbnails", "image_reencode", "image_similar",
-        # minhash_verified (r2-driver-green, locally green all round)
-        # rotated out below for image_augment (new r4)
-        "image_augment",
-        # audio / video (driver-unchecked in r3)
-        "audio_features", "video_frames",
-        # ANN / embeddings (driver-unchecked in r3; ann_radius and
-        # ann_topk — r2-driver-green, locally green all round — rotate
-        # out for dwithin_join and price_qty_corr; ann_topk_lance
-        # in-window shares ann_topk's oracle so that oracle stays
-        # driver-exercised)
-        "kmeans_embeddings", "embedding_clusters",
-        "cluster_balanced_sample",
-        # label_centroids + embedding_neardup (r2-driver-green, locally
-        # green all round) rotated out so events_customer_outer and
-        # ref_countries_area (both NEW r4) fit inside the window.
-        # text dedup / graph (driver-unchecked in r3)
-        # dedup_text (r2-driver-green, locally green all round) rotates
-        # out for dedup_paragraphs, this session's new dedup family op
+        "image_phash_neardup", "image_tile_mosaic",
+        "image_brightness_quantiles", "image_thumbnails",
+        "image_reencode", "image_augment",
+        # audio kept; video_frames (r4-green, static media fixture)
+        # evicted — audio_features keeps the synth-media differential
+        # machinery exercised
+        "audio_features",
+        # embeddings: kmeans kept; embedding_clusters +
+        # cluster_balanced_sample (r4-green, static fixture) evicted —
+        # the incoming ann_topk_ivf/pq/ivfpq/lance_indexed rows
+        # exercise the same embedding store machinery
+        "kmeans_embeddings",
+        # --- kept: text dedup (pair-cache/semi_anti_join changed r5) ---
+        # evicted: doc_tfidf, doc_pagerank, jaccard_join,
+        # doc_fingerprint, pack_sequences, doc_repetition (all r4-green,
+        # static documents fixture; graph machinery stays exercised by
+        # incoming doc_triangles over the SAME shared pair cache, text
+        # kernels by in-window pii_redact/decontaminate + incoming
+        # top_ngrams/lang_token_quantiles)
         "dedup_paragraphs", "dedup_neardup", "dedup_keep_best", "doc_components",
-        "doc_tfidf", "simhash_verified", "doc_pagerank",
-        "jaccard_join", "doc_fingerprint",
-        # curation (driver-unchecked in r3)
-        "pii_redact", "decontaminate", "pack_sequences", "doc_repetition",
-        # Lance-semantics versioned table (NEW in r4 — needs driver rows)
-        "lance_read_latest", "lance_time_travel", "lance_take",
-        "lance_compact", "flagship_lance", "lance_filtered",
-        "lance_incremental", "lance_sink", "lance_read_latest_http",
+        "simhash_verified", "pii_redact", "decontaminate",
+        # --- kept: versioned-table representatives (fixture _r6) ---
+        # evicted: lance_time_travel, lance_take, lance_compact,
+        # lance_filtered, lance_incremental, lance_read_latest_http
+        # (all r4-green; lance_read_latest reads v7 = the full
+        # compact+merge_insert+evolution chain, flagship_lance +
+        # lance_sink keep write/consume paths, and incoming
+        # ann_topk_lance_indexed exercises index-at-version +
+        # incremental tail + deletion liveness)
+        "lance_read_latest", "flagship_lance", "lance_sink",
         "ann_topk_lance",
-        # spatial core (reference parity — keep in every window).
-        # tile_counts / tile_pyramid_deep / knn / knn_indexed were
-        # driver-green in r3 and rotate OUT this round so the round-4
-        # queries (geojson_roundtrip's new digest oracle,
-        # tile_counts_hot, fgb_points_select, bbox_select_http, the
-        # lance family) land inside the window; spatial_count and
-        # hilbert_scan (r3-driver-green, locally green all round) rotate
-        # out for the reference-fixture differentials (the reference's
-        # OWN places.json / countries.geojson inputs, hash-checked).
-        # bbox_select and props_select (both r3-driver-green) rotate out
-        # this session: bbox_select_http returns the same rows against
-        # the same oracle over real sockets, and fgb_points_select /
-        # csv_points_select share props_select's oracle — the oracles
-        # stay driver-exercised while three round-4 queries
-        # (geojson_roundtrip, tile_counts_hot, events_customer_outer)
-        # come inside the 50-entry window.
-        "bbox_select_http",
-        "ref_places_select", "ref_countries_bbox",
-        # embedding_neardup (r2-driver-green, locally green all round)
-        # rotated out above for ref_countries_area (new r4)
-        "ref_countries_area",
-        "fgb_points_select", "geojson_roundtrip",
-        "tile_counts_hot",
-        "events_customer_outer",
-        "dwithin_join",
-        "price_qty_corr",
-        "events_props_agg",
-        # training_prep (r2-driver-green; its full chain also runs
-        # driver-checked inside flagship_lance's in-window row) rotates
-        # out for tile_render (new r4)
-        "tile_render",
-        "bbox_select", "props_select",
-        "spatial_count", "hilbert_scan",
+        # --- kept: spatial core / reference parity ---
+        # evicted: ref_countries_bbox + ref_countries_area (r4-green;
+        # ref_places_select keeps the reference-fixture differential
+        # machinery), tile_counts_hot (r4-green; skew-split machinery
+        # also runs inside in-window tile_render + the hot-cell pytest
+        # gate), dwithin_join (r4-green; cell-replicated spatial join
+        # also exercised by in-window image_spatial_join_tiles PIP),
+        # events_customer_outer + price_qty_corr (r4-green; outer-join
+        # NULL handling via incoming orders_upsert/sortmerge rows,
+        # floor-micro float gate via incoming price_zscore)
+        "bbox_select_http", "ref_places_select", "fgb_points_select",
+        "geojson_roundtrip", "events_props_agg", "tile_render",
+        # --- incoming: never driver-verified before round 5 ---
+        "geohash_points", "doc_triangles", "price_zscore",
+        "order_value_ntile", "price_quantiles_kll",
+        "lineitem_order_sortmerge", "ann_topk_ivf", "ann_topk_pq",
+        "ann_topk_ivfpq", "ann_topk_lance_indexed",
+        "price_quantiles", "frequent_bigrams", "lang_token_quantiles",
+        "top_ngrams", "distinct_users_hll", "doc_sample_stratified",
+        "source_lang_pivot", "lang_source_rollup", "lang_source_cube",
+        "orders_upsert", "user_spend_movsum", "events_sample_bottomk",
+        "jsonl_docs_agg",
+        # --- past the 50-cutoff: deliberate tail (all driver-green in
+        # r3/r4; ordering keeps family grouping for the full-registry
+        # artifact) ---
+        "image_tile_counts", "image_similar", "video_frames",
+        "embedding_clusters", "cluster_balanced_sample",
+        "doc_tfidf", "doc_pagerank", "jaccard_join", "doc_fingerprint",
+        "pack_sequences", "doc_repetition",
+        "lance_time_travel", "lance_take", "lance_compact",
+        "lance_filtered", "lance_incremental", "lance_read_latest_http",
+        "ref_countries_bbox", "ref_countries_area", "tile_counts_hot",
+        "events_customer_outer", "dwithin_join", "price_qty_corr",
+        "bbox_select", "props_select", "spatial_count", "hilbert_scan",
         "cell_compact", "pip_join", "knn", "tile_counts",
         "tile_pyramid_deep", "knn_indexed",
-        # relational representatives (full family was green in r3; rotate)
         "q1_pricing", "lineitem_order_join", "hot_user_events_join",
-        "price_quantiles",  # orders_scd2 (r3-driver-green) rotated out for doc_fingerprint
-        "frequent_bigrams",  # user_retention (r3-driver-green) rotated out for jaccard_join
     ]
     ordered = {k: registry[k] for k in priority if k in registry}
     ordered.update(registry)  # long tail keeps its family grouping

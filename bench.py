@@ -492,6 +492,16 @@ def main():
     else:
         result = run_suite(sf_dir, num_cpus, BENCH_QUERIES)
     print(json.dumps(result))
+    if "--json" in sys.argv:
+        # full artifact (round-4 VERDICT item 3): the driver's
+        # BENCH_rN.json keeps only a 2,000-char tail of stdout, so
+        # per-query round-over-round diffing needs a complete file —
+        # write the SAME result object (timings + rows + prune) to the
+        # given path, e.g. BENCH_FULL_r5.json
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
 
     import ray
 

@@ -145,9 +145,10 @@ def image_versioned_table(sf_dir: str) -> VersionedTable:
         except (OSError, ValueError, KeyError):
             return False
 
-    # rev suffix: bump when the version-chain derivation changes —
-    # validation can't detect a predicate change in an existing build
-    root = cached_dir(os.path.join(CACHE_ROOT, f"images_lance_n{n}_r5"),
+    # rev suffix: bump when the version-chain derivation OR the base
+    # fixture content changes — validation can't detect a predicate
+    # change in an existing build (_r6: dct8 joined the fixture FMTS)
+    root = cached_dir(os.path.join(CACHE_ROOT, f"images_lance_n{n}_r6"),
                       _build, _valid)
     return VersionedTable(root)
 

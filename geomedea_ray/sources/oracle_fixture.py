@@ -82,8 +82,13 @@ def _derive_chunk(rows: pa.Table) -> dict:
         thumb[idxs] = (tq.astype(np.float32) / div)
         for j, i in zip(range(len(idxs)), idxs):
             a = stack[j]
-            b = codecs.decode(codecs.encode(a, "qnt"), "qnt", int(ws[i]), int(hs[i]))
-            psnr_ok[i] = codecs.psnr(a, b) >= 40.0
+            # BOTH lossy codecs must hold the input_hint invariant per
+            # row (round-5: dct8 joined qnt as a genuinely lossy leg)
+            ok = True
+            for lossy in ("qnt", "dct8"):
+                b = codecs.decode(codecs.encode(a, lossy), lossy, int(ws[i]), int(hs[i]))
+                ok = ok and codecs.psnr(a, b) >= 40.0
+            psnr_ok[i] = ok
 
     from geomedea_ray.stages.images import Augment
 
@@ -145,10 +150,11 @@ def oracle_images_path(n: int, seed: int = 42, cache_root: str = CACHE_ROOT) -> 
         pq.write_table(pa.concat_tables(chunks), tmp, compression="zstd")
 
     return cached_file(
-        # _v2: augment columns added this session — the rev suffix
-        # invalidates pre-augment caches (CLAUDE.md round-4 rule:
-        # validation cannot detect a schema change inside an existing
-        # build, so the NAME carries the revision)
-        os.path.join(cache_root, f"images_oracle_n{n}_seed{seed}_v2.parquet"),
+        # _v3: dct8 in the fixture FMTS mix (round 5; _v2 added the
+        # augment columns) — the rev suffix invalidates stale caches
+        # (CLAUDE.md round-4 rule: validation cannot detect a content
+        # change inside an existing build, so the NAME carries the
+        # revision)
+        os.path.join(cache_root, f"images_oracle_n{n}_seed{seed}_v3.parquet"),
         _build, expected_rows=n,
     )

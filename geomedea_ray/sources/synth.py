@@ -31,7 +31,11 @@ import pyarrow as pa
 from geomedea_ray.functions import codecs
 
 SIZES = (32, 64)  # (w == h, divisible by 8 for phash)
-FMTS = ("raw", "pngz", "qnt")
+# raw/pngz lossless; qnt + dct8 lossy (both with PSNR ≥ 40 dB by
+# construction — functions/codecs.py). dct8 joined the mix in round 5
+# (VERDICT item 7): the _v2 cache-key suffix below invalidates the
+# 3-fmt fixtures.
+FMTS = ("raw", "pngz", "qnt", "dct8")
 DUP_RATE = 20  # every 20th row duplicates the pixels of row i - 7
 DUP_BACK = 7
 
@@ -42,25 +46,35 @@ _WORDS = (
 ).split()
 
 
+def synth_pixels(i: int, seed: int = 42) -> np.ndarray:
+    """The ORIGINAL (pre-encoding) pixels of row ``i`` — the reference
+    point for the input_hint per-row invariant (decoded-pixel allclose,
+    PSNR ≥ 40 dB for lossy fmts). Duplicate rows resolve to their
+    source row's pixels."""
+    src = i - DUP_BACK if (i % DUP_RATE == 0 and i >= DUP_BACK) else i
+    rng = np.random.default_rng((seed, src))
+    size = SIZES[int(rng.integers(0, len(SIZES)))]
+    # procedural content: two-axis gradient + band noise
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64) / size
+    base = np.stack(
+        [
+            255 * (0.5 + 0.5 * np.sin(2 * np.pi * (xx * rng.uniform(0.5, 3) + rng.uniform()))),
+            255 * yy,
+            255 * xx,
+        ],
+        axis=2,
+    )
+    noise = rng.integers(-20, 21, base.shape)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
 def synth_image_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
     """Generate rows for the given global row ids (vector of int64)."""
     image_id, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
     for i in ids.tolist():
         src = i - DUP_BACK if (i % DUP_RATE == 0 and i >= DUP_BACK) else i
-        rng = np.random.default_rng((seed, src))
-        size = SIZES[int(rng.integers(0, len(SIZES)))]
-        # procedural content: two-axis gradient + band noise
-        yy, xx = np.mgrid[0:size, 0:size].astype(np.float64) / size
-        base = np.stack(
-            [
-                255 * (0.5 + 0.5 * np.sin(2 * np.pi * (xx * rng.uniform(0.5, 3) + rng.uniform()))),
-                255 * yy,
-                255 * xx,
-            ],
-            axis=2,
-        )
-        noise = rng.integers(-20, 21, base.shape)
-        pixels = np.clip(base + noise, 0, 255).astype(np.uint8)
+        pixels = synth_pixels(i, seed=seed)
+        size = pixels.shape[0]
         fmt = FMTS[i % len(FMTS)] if src == i else FMTS[src % len(FMTS)]
         cap_rng = np.random.default_rng((seed, src, 1))
         words = [_WORDS[int(w)] for w in cap_rng.integers(0, len(_WORDS), 6)]
@@ -115,7 +129,9 @@ def image_table_path(n: int, seed: int = 42, cache_root: str = "/tmp/geomedea_ra
         )
 
     return cached_table(
-        os.path.join(cache_root, f"images_n{n}_seed{seed}"), _build, expected_rows=n
+        # _v2: dct8 added to FMTS (round 5) — bytes/fmt columns changed,
+        # the name carries the revision (CLAUDE.md round-4 rule)
+        os.path.join(cache_root, f"images_n{n}_seed{seed}_v2"), _build, expected_rows=n
     )
 
 

@@ -47,6 +47,16 @@ FEATS = [
      "properties": {"name": "mpoly", "n": 99}},
     {"type": "Feature", "geometry": None,
      "properties": {"name": "nogeom"}},
+    {"type": "Feature",
+     "geometry": {"type": "GeometryCollection", "geometries": [
+         {"type": "Point", "coordinates": [7.5, -1.25]},
+         {"type": "LineString",
+          "coordinates": [[0.0, 0.0], [2.5, 2.5]]},
+         {"type": "Polygon",
+          "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0],
+                           [0.0, 0.0]]]},
+     ]},
+     "properties": {"name": "gc", "n": 5}},
 ]
 
 
@@ -161,12 +171,33 @@ class TestFgbFile:
         with pytest.raises(ValueError, match="not a FlatGeobuf"):
             read_fgb_header(p)
 
-    def test_geometrycollection_rejected(self, tmp_path):
+    def test_geometrycollection_roundtrip(self, tmp_path):
+        """GC encodes as a parts vector of self-describing geometry
+        tables (the reference's recursive geozero scheme,
+        geozero_writer.rs:206-609) — including NESTED collections."""
         gc = [{"type": "Feature",
-               "geometry": {"type": "GeometryCollection", "geometries": []},
-               "properties": {}}]
-        with pytest.raises(NotImplementedError):
-            write_fgb(str(tmp_path / "gc.fgb"), gc)
+               "geometry": {"type": "GeometryCollection", "geometries": [
+                   {"type": "Point", "coordinates": [1.0, 2.0]},
+                   {"type": "MultiPolygon", "coordinates": [
+                       [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]]},
+                   {"type": "GeometryCollection", "geometries": [
+                       {"type": "LineString",
+                        "coordinates": [[-5.0, -5.0], [5.0, 5.0]]}]},
+               ]},
+               "properties": {"k": 1}}]
+        p = str(tmp_path / "gc.fgb")
+        write_fgb(p, gc)
+        _, header_type, count, _ = read_fgb_header(p)
+        assert header_type == 7 and count == 1  # uniform → GC code
+        # envelope (header slot 1) folds every nested coordinate
+        with open(p, "rb") as f:
+            f.read(8)
+            (hsize,) = struct.unpack("<I", f.read(4))
+            h = FBTable.root(f.read(hsize))
+        assert h.scalar_vector(1, "d") == [-5.0, -5.0, 5.0, 5.0]
+        back = read_fgb(p)
+        assert back[0]["geometry"] == gc[0]["geometry"]
+        assert back[0]["properties"] == {"k": 1}
 
     def test_packed_rtree_size(self):
         # public formula facts: no index at node_size 0 / count 0;

@@ -179,6 +179,51 @@ class TestCodecs:
         with pytest.raises(ValueError):
             codecs.decode(b"", "bogus", 1, 1)
 
+    def test_dct8_psnr_guarantee_on_adversarial_content(self):
+        """PSNR >= 40 dB is a worst-case theorem for multiple-of-8 dims
+        (codecs._DCT_QTAB comment): pure uniform noise is the content
+        class closest to the adversarial half-step-everywhere case."""
+        for seed in range(8):
+            img = self._img(64, 64, seed)
+            out = codecs.decode(codecs.encode(img, "dct8"), "dct8", 64, 64)
+            assert codecs.psnr(img, out) >= 40.0
+        # smooth content should land far above the floor
+        yy, xx = np.mgrid[0:32, 0:32].astype(np.float64) / 32
+        smooth = np.clip(np.stack([255 * xx, 255 * yy, 128 + 0 * xx], 2), 0, 255).astype(np.uint8)
+        out = codecs.decode(codecs.encode(smooth, "dct8"), "dct8", 32, 32)
+        assert codecs.psnr(smooth, out) >= 46.0
+
+    def test_dct8_deterministic_and_lossy(self):
+        img = self._img(32, 32, 11)
+        b1, b2 = codecs.encode(img, "dct8"), codecs.encode(img.copy(), "dct8")
+        assert b1 == b2, "encode must be byte-deterministic"
+        out = codecs.decode(b1, "dct8", 32, 32)
+        assert np.array_equal(codecs.decode(b1, "dct8", 32, 32), out)
+        assert not np.array_equal(out, img), "dct8 must be genuinely lossy on noise"
+        # decode→re-encode is a fixed point (coefficients already on
+        # the quantization grid): second-generation loss is zero
+        out2 = codecs.decode(codecs.encode(out, "dct8"), "dct8", 32, 32)
+        assert codecs.psnr(out, out2) >= 40.0
+
+    def test_dct8_non_multiple_of_8_dims(self):
+        """Edge-replicated padding roundtrips odd sizes (the guarantee
+        is stated for multiple-of-8; padding keeps a healthy margin)."""
+        img = self._img(21, 13, 5)
+        out = codecs.decode(codecs.encode(img, "dct8"), "dct8", 21, 13)
+        assert out.shape == (13, 21, 3)
+        assert codecs.psnr(img, out) >= 40.0
+
+    def test_dct8_compresses_fixture_style_content(self):
+        """On gradient+noise content (the synth fixture class) dct8
+        must actually compress — it is a transform codec, not a stub."""
+        rng = np.random.default_rng(2)
+        yy, xx = np.mgrid[0:64, 0:64].astype(np.float64) / 64
+        base = np.stack([255 * (0.5 + 0.5 * np.sin(2 * np.pi * xx)), 255 * yy, 255 * xx], 2)
+        img = np.clip(base + rng.integers(-20, 21, base.shape), 0, 255).astype(np.uint8)
+        enc = codecs.encode(img, "dct8")
+        assert len(enc) < len(codecs.encode(img, "pngz"))
+        assert len(enc) < img.nbytes
+
     def test_phash_deterministic_and_robust(self):
         img = self._img(64, 64, 7)
         h1 = codecs.average_phash(img)

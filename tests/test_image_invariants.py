@@ -39,30 +39,33 @@ def test_captions_exact_and_pixels_close(table_rows):
 
 
 def test_lossy_psnr_vs_prequantization_pixels(table_rows):
-    """For qnt rows: decoded pixels vs the oracle's ORIGINAL (raw)
-    pixels must meet PSNR >= 40 dB (allclose-with-bound for the lossy
-    fmt); raw/pngz must be exactly equal."""
+    """The input_hint per-row invariant against the TRUE pre-encoding
+    pixels (synth_pixels): decoded lossy rows (qnt, dct8) must meet
+    PSNR >= 40 dB vs the original; raw/pngz must be exactly equal."""
+    from geomedea_ray.sources.synth import synth_pixels
+
     ids = list(range(0, 300))
     oracle = {r["image_id"]: r for r in oracle_image_rows(ids).to_pylist()}
     checked_lossy = checked_lossless = 0
     for iid, o in oracle.items():
         got = table_rows[iid]
         decoded = codecs.decode(got["bytes"], got["fmt"], got["w"], got["h"])
-        if got["fmt"] == "qnt":
-            # reconstruct pre-quantization pixels: re-encode oracle's
-            # decoded pixels losslessly is impossible from qnt alone, so
-            # compare against the qnt round-trip bound per codec design
-            assert codecs.psnr(decoded, decoded) == float("inf")
-            # |err| <= 2/channel by construction → PSNR >= 40 vs any
-            # original; verify the error bound against the bucket centers
-            q = (decoded >> 2) << 2
-            assert int(np.abs(decoded.astype(int) - q.astype(int)).max()) <= 3
+        original = synth_pixels(int(iid.split("-")[1]))
+        if got["fmt"] in codecs.LOSSY_FMTS:
+            assert codecs.psnr(original, decoded) >= 40.0
+            if got["fmt"] == "qnt":
+                # |err| <= 2/channel by construction; verify the error
+                # bound against the bucket centers
+                q = (decoded >> 2) << 2
+                assert int(np.abs(decoded.astype(int) - q.astype(int)).max()) <= 3
             checked_lossy += 1
         else:
-            b = codecs.decode(o["bytes"], o["fmt"], o["w"], o["h"])
-            assert np.array_equal(decoded, b)
+            assert np.array_equal(decoded, original)
             checked_lossless += 1
-    assert checked_lossy > 50 and checked_lossless > 100
+        # both sides decode the SAME stored encoding → bit-equal always
+        b = codecs.decode(o["bytes"], o["fmt"], o["w"], o["h"])
+        assert np.array_equal(decoded, b)
+    assert checked_lossy > 100 and checked_lossless > 100
 
 
 def test_duplicate_rows_share_pixels_and_phash(table_rows):

@@ -6,6 +6,19 @@ down. Exit 0 iff the job succeeded and printed the bench contract's
 single JSON line.
 
     python tools/submit_job.py [sf_dir]
+    python tools/submit_job.py --two-node [sf_dir]
+
+``--two-node`` (round-4 VERDICT item 9): the closest this sandbox gets
+to a REAL multi-node run — a head node and a second `ray start`
+worker node, each with its OWN raylet and plasma object store, so
+blocks crossing nodes go through the object-manager TCP transfer path
+(not same-store shared memory). Runs the flagship scaled headline on
+1 node × 8 CPUs, adds the second 8-CPU node, re-runs on the 2-node
+cluster, and prints both throughputs + the 1→2 node efficiency.
+Honest caveats baked into the output: both "nodes" share one memory
+bus and one page cache, so the datapoint under-reports what separate
+hardware would deliver on DRAM-bound stages and over-reports storage
+locality.
 
 Two submission transports, picked at runtime:
 
@@ -98,8 +111,103 @@ def _finish(status: str, logs: str) -> int:
     return 0
 
 
+def _wait_for_cpus(want: float, timeout: float = 60.0) -> float:
+    """Poll the running cluster until >= want CPUs are registered."""
+    code = (
+        "import ray, time, sys\n"
+        "ray.init(address='auto', include_dashboard=False, logging_level='ERROR')\n"
+        f"deadline = time.time() + {timeout}\n"
+        "cpus = 0\n"
+        "while time.time() < deadline:\n"
+        "    cpus = ray.cluster_resources().get('CPU', 0)\n"
+        f"    if cpus >= {want}:\n"
+        "        break\n"
+        "    time.sleep(0.5)\n"
+        "print(int(cpus))\n"
+    )
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=timeout + 30)
+    out = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    return float(out[-1]) if out else 0.0
+
+
+def _headline_scaled_on_cluster(sf_dir: str, label_cpus: int) -> dict:
+    """Run `bench.py --headline-scaled` as a detached driver attached
+    to the RUNNING cluster; return its parsed JSON contract line."""
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    env.update({"GRAFT_SF_DIR": sf_dir, "RAY_GRAFT_CPUS": str(label_cpus),
+                "GRAFT_USE_CLUSTER": "1", "PYTHONPATH": REPO})
+    proc = subprocess.run([sys.executable, "bench.py", "--headline-scaled"],
+                          env=env, capture_output=True, text=True,
+                          timeout=1800, cwd=REPO)
+    if proc.returncode != 0:
+        print(proc.stdout[-1500:] + proc.stderr[-1500:], file=sys.stderr)
+        raise RuntimeError("headline job failed on the running cluster")
+    line = [ln for ln in proc.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_two_node(sf_dir: str) -> int:
+    subprocess.run(["ray", "stop", "--force"], capture_output=True)
+    boot_env = dict(os.environ)
+    boot_env.pop("RAY_ADDRESS", None)
+    per_node_cpus = 8
+    subprocess.run(["ray", "start", "--head",
+                    "--num-cpus", str(per_node_cpus),
+                    "--port", "6379",
+                    "--dashboard-host", "127.0.0.1",
+                    "--disable-usage-stats"],
+                   check=True, env=boot_env, capture_output=True, text=True)
+    try:
+        assert _wait_for_cpus(per_node_cpus) >= per_node_cpus
+        print(f"1-node cluster up ({per_node_cpus} CPUs) — running flagship")
+        r1 = _headline_scaled_on_cluster(sf_dir, per_node_cpus)
+        t1 = r1["headline_rows_per_s"]
+        print(f"1 node : {t1:,.0f} rows/s (best wall {r1['value']} s)")
+
+        # second node: own raylet + own plasma store on this box; Ray
+        # Data blocks that cross nodes ride the object-manager TCP path
+        subprocess.run(["ray", "start", "--address", "127.0.0.1:6379",
+                        "--num-cpus", str(per_node_cpus),
+                        "--disable-usage-stats"],
+                       check=True, env=boot_env, capture_output=True,
+                       text=True)
+        got = _wait_for_cpus(2 * per_node_cpus)
+        assert got >= 2 * per_node_cpus, f"worker node never joined ({got} CPUs)"
+        print(f"2-node cluster up ({int(got)} CPUs) — running flagship")
+        r2 = _headline_scaled_on_cluster(sf_dir, 2 * per_node_cpus)
+        t2 = r2["headline_rows_per_s"]
+        eff = t2 / (2 * t1)
+        result = {
+            "metric": "two_node_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "nodes": 2,
+            "cpus_per_node": per_node_cpus,
+            "rows_per_s_1node": t1,
+            "rows_per_s_2node": t2,
+            "input_rows": r2["headline_input_rows"],
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "note": "two ray start nodes (separate raylets + plasma stores, "
+                    "object-manager TCP between them) on ONE box: shared "
+                    "memory bus + page cache — honest lower bound for "
+                    "separate hardware on DRAM-bound stages.",
+        }
+        print(json.dumps(result))
+        return 0 if eff > 0 else 1
+    finally:
+        subprocess.run(["ray", "stop", "--force"], capture_output=True)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--two-node" in sys.argv:
+        return run_two_node(args[0] if args else "/root/testdata/sf0.1")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     subprocess.run(["ray", "stop", "--force"], capture_output=True)
     boot_env = dict(os.environ)
     boot_env.pop("RAY_ADDRESS", None)  # head start must not self-connect
