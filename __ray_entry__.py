@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dwithin_join": G.q_dwithin_join,         # within-distance point join (PBSM grid, exact int64 circle)
         "tile_render": G.q_tile_render,           # raster tile rendering: 64x64 pngz per z6 tile, decode-checksum gated
         "geohash_points": G.q_geohash_points,     # standard geohash cell geocoding (BIGINT bit-spread SQL mirror)
+        "hex_cell_points": G.q_hex_cell_points,   # H3-style axial hex geocoding (cube-round IEEE-identical SQL mirror, round 5)
         "pip_join": G.q_pip_join,                 # §7.2 step 5
         "tile_counts": G.q_tile_counts,           # §7.2 step 6 (eq scheme, SQL-oracled)
         "tile_counts_hot": G.q_tile_counts_hot,   # SKEW: 80%-one-cell planted, salted_group_apply path
@@ -326,8 +327,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window via image_spatial_join_tiles + tile_render),
         # image_similar (ANN machinery via the 5 in-window ann_topk_*
         # rows; its phash-based input columns are fmt-independent)
+        # image_tile_mosaic (r4-green; its thumb-decode path + oracle
+        # columns are exercised by in-window image_thumbnails, and it
+        # was locally re-verified hash-green over the new 4-fmt
+        # fixture) rotates out for hex_cell_points (NEW round 5)
         "image_spatial_join_tiles", "image_decode_stats",
-        "image_phash_neardup", "image_tile_mosaic",
+        "image_phash_neardup",
         "image_brightness_quantiles", "image_thumbnails",
         "image_reencode", "image_augment",
         # audio kept; video_frames (r4-green, static media fixture)
@@ -371,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_select_http", "ref_places_select", "fgb_points_select",
         "geojson_roundtrip", "events_props_agg", "tile_render",
         # --- incoming: never driver-verified before round 5 ---
+        "hex_cell_points",
         "geohash_points", "doc_triangles", "price_zscore",
         "order_value_ntile", "price_quantiles_kll",
         "lineitem_order_sortmerge", "ann_topk_ivf", "ann_topk_pq",
@@ -383,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the 50-cutoff: deliberate tail (all driver-green in
         # r3/r4; ordering keeps family grouping for the full-registry
         # artifact) ---
+        "image_tile_mosaic",
         "image_tile_counts", "image_similar", "video_frames",
         "embedding_clusters", "cluster_balanced_sample",
         "doc_tfidf", "doc_pagerank", "jaccard_join", "doc_fingerprint",
@@ -476,6 +483,7 @@ def oracle_sql() -> dict[str, str]:
         "dwithin_join": G.q_dwithin_join_sql(),
         "tile_render": G.q_tile_render_sql(),
         "geohash_points": G.q_geohash_points_sql(),
+        "hex_cell_points": G.q_hex_cell_points_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
         "tile_counts_hot": G.q_tile_counts_hot_sql(),

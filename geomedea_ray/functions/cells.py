@@ -140,3 +140,64 @@ def geohash_encode(lng, lat, precision: int = 6) -> np.ndarray:
         shift = nbits - 5 * (i + 1)
         chars[i] = alpha[(code >> shift) & 31]
     return chars.T.copy().view(f"S{precision}").reshape(-1).astype(str)
+
+
+# ----------------------------------------------------------------------
+# hexagonal cells (H3-style axial grid — the north rule names "H3/S2";
+# the Hilbert quadtree above is the S2-like leg, this is the hex leg)
+
+#: sqrt(3)/3 and 2/3 as the EXACT doubles both the kernel and the SQL
+#: mirror multiply by (the SQL embeds repr() of these — the shortest
+#: roundtripping decimal parses back to the identical double, so every
+#: downstream IEEE op is bit-identical on both sides)
+HEX_SQRT3_3 = float(np.sqrt(3.0) / 3.0)   # 0.5773502691896257
+HEX_TWO_THIRDS = 2.0 / 3.0                # 0.6666666666666666
+
+
+def hex_cell(lng, lat, res: int = 5):
+    """Axial hex-cell assignment (pointy-top, plate-carrée plane).
+
+    This is OUR hex grid semantics — H3's public API shape (lnglat →
+    hex cell id at a resolution) over a documented planar projection
+    (equirectangular; H3's icosahedral gnomonic projection needs
+    spherical tables out of scope here). Cell size ``s = 360 / 2^res``
+    degrees. Returns ``(q, r)`` axial coordinates as int64 arrays.
+
+    Exactly hash-mirrorable in SQL: axial fractional coords → cube
+    rounding, every float op written in the IDENTICAL IEEE order on
+    both sides, rounding via FLOOR(v + 0.5) (NEVER round() — DuckDB
+    half-away vs numpy half-even, CLAUDE.md round-3 rule), strict
+    ``>`` comparisons for the cube-round fix so ties take the same
+    branch everywhere."""
+    if not (0 <= res <= 20):
+        raise ValueError("res must be in 0..20")
+    lng = np.asarray(lng, np.float64)
+    lat = np.asarray(lat, np.float64)
+    s = 360.0 / float(1 << res)
+    qf = (HEX_SQRT3_3 * lng - lat / 3.0) / s
+    rf = (HEX_TWO_THIRDS * lat) / s
+    yf = -qf - rf
+    rq = np.floor(qf + 0.5)
+    ry = np.floor(yf + 0.5)
+    rr = np.floor(rf + 0.5)
+    dq = np.abs(rq - qf)
+    dy = np.abs(ry - yf)
+    dr = np.abs(rr - rf)
+    # cube-round: fix the coordinate with the largest rounding error so
+    # q + y + r == 0 again; fixing y leaves (q, r) as rounded
+    fix_q = (dq > dy) & (dq > dr)
+    fix_r = (~fix_q) & (~(dy > dr))
+    q = np.where(fix_q, -ry - rr, rq)
+    r = np.where(fix_r, -rq - ry, rr)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def hex_center(q, r, res: int = 5):
+    """Planar center of an axial hex cell — the inverse map used by the
+    containment pytest (hex_cell(hex_center(q, r)) == (q, r))."""
+    q = np.asarray(q, np.float64)
+    r = np.asarray(r, np.float64)
+    s = 360.0 / float(1 << res)
+    lat = 1.5 * s * r
+    lng = np.sqrt(3.0) * s * q + lat / np.sqrt(3.0)
+    return lng, lat

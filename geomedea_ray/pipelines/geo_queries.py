@@ -1200,3 +1200,62 @@ s5 AS (SELECT pid, (x | (x << 1)) & 6148914691236517205 AS x,
 c AS (SELECT pid, (x << 1) | y AS code FROM s5)
 SELECT pid, """ + concat + " AS gh FROM c"
     )
+
+
+def q_hex_cell_points(sf_dir: str):
+    """H3-style hexagonal cell geocoding (functions/cells.hex_cell —
+    axial coords + cube rounding on a plate-carrée plane) over the
+    lineitem point set: zero-exchange vectorized map, every 7th point
+    (offset 3 — a different slice than geohash_points) emitted with
+    its res-5 axial cell. The SQL mirror re-derives axial fractionals
+    → cube rounding with every float op in the IDENTICAL IEEE order
+    (constants embedded as repr-roundtripped doubles, FLOOR(v+0.5)
+    rounding, strict > comparisons), so int64 (hq, hr) hash-match
+    bit-for-bit; the kernel also has center-containment and scalar
+    differential pytests."""
+    import pandas as pd
+
+    from geomedea_ray.functions.cells import hex_cell
+
+    def _hx(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["pid"].to_numpy() % 7 == 3]
+        if len(df) == 0:
+            return pd.DataFrame({"pid": pd.Series([], dtype=np.int64),
+                                 "hq": pd.Series([], dtype=np.int64),
+                                 "hr": pd.Series([], dtype=np.int64)})
+        q, r = hex_cell(df["lng"].to_numpy(), df["lat"].to_numpy(), 5)
+        return pd.DataFrame({"pid": df["pid"].to_numpy(np.int64),
+                             "hq": q, "hr": r})
+
+    return linepoints_ds(sf_dir).map_batches(_hx, batch_format="pandas")
+
+
+def q_hex_cell_points_sql() -> str:
+    from geomedea_ray.functions.cells import HEX_SQRT3_3, HEX_TWO_THIRDS
+
+    # res=5 → s = 360/32 = 11.25 (exactly representable); constants as
+    # repr-roundtripped doubles via string cast (a bare decimal literal
+    # would be DECIMAL-typed — string→DOUBLE parse is correctly rounded)
+    c1 = f"CAST('{HEX_SQRT3_3!r}' AS DOUBLE)"
+    c2 = f"CAST('{HEX_TWO_THIRDS!r}' AS DOUBLE)"
+    return (
+        LINEPOINTS_CTE
+        + f""", h AS (
+  SELECT pid,
+         ({c1} * lng - lat / 3.0) / 11.25 AS qf,
+         ({c2} * lat) / 11.25 AS rf
+  FROM pts WHERE pid % 7 = 3),
+h2 AS (SELECT pid, qf, rf, -qf - rf AS yf FROM h),
+h3 AS (SELECT pid, qf, rf, yf,
+       FLOOR(qf + 0.5) AS rq, FLOOR(yf + 0.5) AS ry,
+       FLOOR(rf + 0.5) AS rr FROM h2),
+h4 AS (SELECT pid, rq, ry, rr,
+       ABS(rq - qf) AS dq, ABS(ry - yf) AS dy, ABS(rr - rf) AS dr
+       FROM h3)
+SELECT pid,
+       CAST(CASE WHEN dq > dy AND dq > dr THEN -ry - rr
+                 ELSE rq END AS BIGINT) AS hq,
+       CAST(CASE WHEN NOT (dq > dy AND dq > dr) AND NOT (dy > dr)
+                 THEN -rq - ry ELSE rr END AS BIGINT) AS hr
+FROM h4"""
+    )

@@ -381,3 +381,92 @@ WITH pts AS (
         # the clamp really engaged: 180/90 is the all-ones max cell
         assert got[0] == "zzzzzz"
         assert got[1] == "000000"
+
+
+class TestHexCells:
+    def test_scalar_differential(self):
+        """Vectorized hex_cell vs a scalar python re-derivation of the
+        same axial + cube-round scheme (float ops in the same order)."""
+        import math
+
+        from geomedea_ray.functions.cells import (HEX_SQRT3_3,
+                                                  HEX_TWO_THIRDS, hex_cell)
+
+        def ref(lng, lat, res):
+            s = 360.0 / float(1 << res)
+            qf = (HEX_SQRT3_3 * lng - lat / 3.0) / s
+            rf = (HEX_TWO_THIRDS * lat) / s
+            yf = -qf - rf
+            rq, ry, rr = (math.floor(v + 0.5) for v in (qf, yf, rf))
+            dq, dy, dr = abs(rq - qf), abs(ry - yf), abs(rr - rf)
+            if dq > dy and dq > dr:
+                rq = -ry - rr
+            elif not (dy > dr):
+                rr = -rq - ry
+            return int(rq), int(rr)
+
+        rng = np.random.default_rng(11)
+        lng = rng.uniform(-180, 180, 3000)
+        lat = rng.uniform(-90, 90, 3000)
+        for res in (0, 3, 5, 9):
+            q, r = hex_cell(lng, lat, res)
+            for i in range(0, 3000, 7):
+                assert (int(q[i]), int(r[i])) == ref(float(lng[i]),
+                                                     float(lat[i]), res)
+
+    def test_center_containment(self):
+        """The planar center of every cell maps back to that cell
+        (cube rounding is a true nearest-hex assignment)."""
+        from geomedea_ray.functions.cells import hex_cell, hex_center
+
+        for res in (3, 5, 7):
+            q = np.arange(-20, 21)
+            Q, R = np.meshgrid(q, q)
+            lng, lat = hex_center(Q.ravel(), R.ravel(), res)
+            m = (np.abs(lng) < 179) & (np.abs(lat) < 89)
+            q2, r2 = hex_cell(lng[m], lat[m], res)
+            assert np.array_equal(q2, Q.ravel()[m])
+            assert np.array_equal(r2, R.ravel()[m])
+
+    def test_neighbor_cells_are_adjacent(self):
+        """Points slightly either side of a cell-center midpoint fall
+        into the two respective cells (no gaps/overlaps at seams)."""
+        from geomedea_ray.functions.cells import hex_cell, hex_center
+
+        lng0, lat0 = hex_center([3], [2], 5)
+        lng1, lat1 = hex_center([4], [2], 5)
+        eps = 1e-6
+        mid = (lng0[0] + lng1[0]) / 2.0
+        q, r = hex_cell([mid - eps, mid + eps], [lat0[0], lat0[0]], 5)
+        assert (int(q[0]), int(r[0])) == (3, 2)
+        assert (int(q[1]), int(r[1])) == (4, 2)
+
+    def test_sql_mirror_differential(self):
+        """The FULL mirror SQL over a substituted point CTE vs the
+        kernel — including near-seam points where the cube-round fix
+        branches matter (pid % 7 == 3 keeps rows in the filter)."""
+        import duckdb
+
+        from geomedea_ray.functions.cells import hex_cell, hex_center
+        from geomedea_ray.pipelines.geo_queries import (
+            LINEPOINTS_CTE, q_hex_cell_points_sql)
+
+        rng = np.random.default_rng(23)
+        lngs = list(rng.uniform(-180, 180, 40))
+        lats = list(rng.uniform(-90, 90, 40))
+        # seam stress: points at and just off cell centers and corners
+        cq, cr = hex_center(np.arange(-3, 4), np.arange(-3, 4), 5)
+        for a, b in zip(cq, cr):
+            lngs += [float(a), float(a) + 5.624999, float(a) - 5.625001]
+            lats += [float(b), float(b) + 3.375, float(b) - 3.375001]
+        pids = [3 + 7 * i for i in range(len(lngs))]
+        values = ", ".join(f"({p}, {x!r}, {y!r})"
+                           for p, x, y in zip(pids, lngs, lats))
+        cte = f"\nWITH pts AS (\n  SELECT * FROM (VALUES {values}) AS t(pid, lng, lat)\n)\n"
+        sql = q_hex_cell_points_sql()
+        assert sql.startswith(LINEPOINTS_CTE)
+        sql = cte + sql[len(LINEPOINTS_CTE):]
+        want = duckdb.connect().execute(sql + " ORDER BY pid").df()
+        q, r = hex_cell(np.array(lngs), np.array(lats), 5)
+        assert list(want["hq"]) == q.tolist()
+        assert list(want["hr"]) == r.tolist()
