@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": _image_thumbnails,
         "image_augment": F.image_augment_q,       # deterministic flip/rot/crop, integer-exact corner probes
         "image_reencode": _image_reencode,
+        "image_pack_multimodal": F.image_pack_multimodal_q,  # ViT patch+caption token packing via the exact banded prefix scan (round 5)
         "training_prep": _training_prep,          # composite end-to-end prep chain
         "image_similar": F.image_similar,         # thumbnail-embedding similarity search
         # --- audio/video modalities (stages/media.py) ---
@@ -351,8 +352,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incoming doc_triangles over the SAME shared pair cache, text
         # kernels by in-window pii_redact/decontaminate + incoming
         # top_ngrams/lang_token_quantiles)
+        # decontaminate (r4-green; planted-corpus machinery + text
+        # kernels exercised by in-window pii_redact over the SAME
+        # curation fixture) rotates out for image_pack_multimodal
+        # (NEW round 5)
         "dedup_paragraphs", "dedup_neardup", "dedup_keep_best", "doc_components",
-        "simhash_verified", "pii_redact", "decontaminate",
+        "simhash_verified", "pii_redact",
         # --- kept: versioned-table representatives (fixture _r6) ---
         # evicted: lance_time_travel, lance_take, lance_compact,
         # lance_filtered, lance_incremental, lance_read_latest_http
@@ -376,7 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_select_http", "ref_places_select", "fgb_points_select",
         "geojson_roundtrip", "events_props_agg", "tile_render",
         # --- incoming: never driver-verified before round 5 ---
-        "hex_cell_points",
+        "image_pack_multimodal", "hex_cell_points",
         "geohash_points", "doc_triangles", "price_zscore",
         "order_value_ntile", "price_quantiles_kll",
         "lineitem_order_sortmerge", "ann_topk_ivf", "ann_topk_pq",
@@ -389,7 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the 50-cutoff: deliberate tail (all driver-green in
         # r3/r4; ordering keeps family grouping for the full-registry
         # artifact) ---
-        "image_tile_mosaic",
+        "image_tile_mosaic", "decontaminate",
         "image_tile_counts", "image_similar", "video_frames",
         "embedding_clusters", "cluster_balanced_sample",
         "doc_tfidf", "doc_pagerank", "jaccard_join", "doc_fingerprint",

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "price_quantiles",         # continuous-domain radix-selection quantiles (round 3b)
     "price_quantiles_kll",     # mergeable KLL quantile sketch, unbounded-domain path (round 4)
     "pack_sequences",          # banded global prefix sum -> sequence bins (round 3b)
+    "image_pack_multimodal",   # ViT patch+caption token packing, same scan (round 5)
     "orders_upsert",           # CDC newest-wins merge (round 3b)
     "lang_source_cube",        # single-pass GROUP BY CUBE (round 3b)
     "urgent_order_lineitems",  # bloom-pruned shuffle hash join (round 3b)

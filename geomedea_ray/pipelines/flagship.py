@@ -396,3 +396,56 @@ def image_similar(sf_dir: str, k: int = IMAGE_SIMILAR_K,
     ds = thumbs.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
     out = ann_topk(ds, qm, np.asarray(query_ids, np.int64), k)
     return out.select_columns(["qid", "vec_id", "rank"])
+
+
+#: multimodal packing: ViT patch size + training-sequence token budget
+PACK_MM_PATCH = 8
+PACK_MM_BUDGET = 1024
+
+
+def image_pack_multimodal_q(sf_dir: str):
+    """ViT-style MULTIMODAL sequence packing — the image-axis analogue
+    of curation.q_pack_sequences: every image costs
+    ``(w//8)·(h//8)`` patch tokens plus its caption's whitespace token
+    count, and the corpus is packed in image_id order into fixed
+    1024-token training sequences. Each image gets the sequence id and
+    offset where it STARTS (concat-and-chunk semantics — an item may
+    straddle a boundary, exactly like LLM text packing).
+
+    Distribution: the exact banded prefix scan
+    (stages/joins.banded_prefix_sum — per-band partials, driver carry
+    over band summaries only, one band-grouped pass); nothing
+    row-sized ever reaches the driver, so the plan is the 100-TB shape
+    of a global ordered scan."""
+    import numpy as np
+    import pandas as pd
+
+    from geomedea_ray.stages.joins import banded_prefix_sum
+
+    ds = images_ds(sf_dir, columns=["image_id", "w", "h", "caption"])
+
+    def _cost(df: pd.DataFrame) -> pd.DataFrame:
+        iid = df["image_id"].str.slice(4).astype(np.int64)
+        patches = (df["w"].to_numpy(np.int64) // PACK_MM_PATCH) * (
+            df["h"].to_numpy(np.int64) // PACK_MM_PATCH)
+        # .str.split() (whitespace runs) == SQL's single-space split
+        # with the non-empty filter on this corpus (captions are
+        # single-space joined)
+        ntok = df["caption"].str.split().str.len().to_numpy(np.int64)
+        return pd.DataFrame({"iid": iid, "image_id": df["image_id"],
+                             "cost": patches + ntok})
+
+    packed = banded_prefix_sum(
+        ds.map_batches(_cost, batch_format="pandas"),
+        order_col="iid", val_col="cost")
+
+    def _bins(df: pd.DataFrame) -> pd.DataFrame:
+        cum0 = df["cum0"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "image_id": df["image_id"],
+            "cost": df["cost"].to_numpy(np.int64),
+            "seq_id": cum0 // PACK_MM_BUDGET,
+            "seq_offset": cum0 % PACK_MM_BUDGET,
+        })
+
+    return packed.map_batches(_bins, batch_format="pandas")

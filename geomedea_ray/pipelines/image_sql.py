@@ -169,6 +169,28 @@ SELECT qid, vec_id, "rank" FROM r WHERE "rank" <= {k}"""
     )
 
 
+def pack_multimodal_sql(n: int) -> str:
+    from geomedea_ray.pipelines.flagship import PACK_MM_BUDGET, PACK_MM_PATCH
+
+    p = PACK_MM_PATCH
+    return img_cte(n) + f""", t AS (
+  SELECT image_id,
+         CAST((w // {p}) * (h // {p})
+              + len(list_filter(string_split(caption, ' '), x -> x <> ''))
+              AS BIGINT) AS cost
+  FROM img),
+c AS (
+  SELECT image_id, cost,
+         CAST(COALESCE(SUM(cost) OVER (ORDER BY image_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum0
+  FROM t)
+SELECT image_id, cost,
+       cum0 // {PACK_MM_BUDGET} AS seq_id,
+       cum0 % {PACK_MM_BUDGET} AS seq_offset
+FROM c"""
+
+
 def image_oracle_sqls(sf_dir: str) -> dict[str, str]:
     """All image-surface oracle statements for one scale tag. Building
     them materializes the fixture parquet (cached, single-process)."""
@@ -187,4 +209,5 @@ def image_oracle_sqls(sf_dir: str) -> dict[str, str]:
         "image_reencode": reencode_sql(n),
         "training_prep": training_prep_sql(n),
         "image_similar": image_similar_sql(n),
+        "image_pack_multimodal": pack_multimodal_sql(n),
     }

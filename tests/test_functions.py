@@ -213,6 +213,30 @@ class TestCodecs:
         assert out.shape == (13, 21, 3)
         assert codecs.psnr(img, out) >= 40.0
 
+    def test_dct8_matches_definitional_dct(self):
+        """The GEMM block transform vs the DIRECT DCT-II definition
+        (a(u)a(v) ΣΣ x[i,j] cos((2i+1)uπ/16) cos((2j+1)vπ/16)) — an
+        independent oracle for the transform math, and the inverse
+        must reconstruct the block (orthonormality)."""
+        from geomedea_ray.functions import codecs
+
+        rng = np.random.default_rng(3)
+        blocks = rng.normal(scale=50.0, size=(5, 8, 8))
+        got = codecs._dct2d_blocks(blocks, codecs._DCT_C)
+        i = np.arange(8)
+        a = np.full(8, np.sqrt(2.0 / 8.0))
+        a[0] = np.sqrt(1.0 / 8.0)
+        want = np.zeros_like(got)
+        for b in range(5):
+            for u in range(8):
+                for v in range(8):
+                    cu = np.cos((2 * i + 1) * u * np.pi / 16.0)
+                    cv = np.cos((2 * i + 1) * v * np.pi / 16.0)
+                    want[b, u, v] = a[u] * a[v] * (blocks[b] * np.outer(cu, cv)).sum()
+        assert np.allclose(got, want, atol=1e-9)
+        back = codecs._dct2d_blocks(got, codecs._DCT_C.T)
+        assert np.allclose(back, blocks, atol=1e-9)
+
     def test_dct8_compresses_fixture_style_content(self):
         """On gradient+noise content (the synth fixture class) dct8
         must actually compress — it is a transform codec, not a stub."""

@@ -52,3 +52,30 @@ def test_partitioned_write_with_lineage(ray_session, tmp_path):
 
     for r in summary.itertuples():
         assert pq.ParquetFile(r.path).metadata.num_rows == r.rows
+
+
+class TestImagePackMultimodal:
+    def test_packing_invariants(self, ray_session):
+        """Distributed ViT patch+caption packing vs a single-process
+        cumsum over the same costs: identical assignment, and the
+        concat-and-chunk reconstruction holds (each row's cum0 =
+        seq_id * budget + seq_offset, strictly increasing by cost)."""
+        import numpy as np
+
+        from geomedea_ray.pipelines.flagship import (
+            PACK_MM_BUDGET, image_pack_multimodal_q)
+
+        df = image_pack_multimodal_q("/root/testdata/sf0.001").to_pandas()
+        df = df.sort_values("image_id").reset_index(drop=True)
+        assert len(df) == 2000
+        cum0 = df["seq_id"].to_numpy(np.int64) * PACK_MM_BUDGET + \
+            df["seq_offset"].to_numpy(np.int64)
+        cost = df["cost"].to_numpy(np.int64)
+        # single-process oracle: exclusive cumsum in image_id order
+        want = np.cumsum(cost) - cost
+        assert np.array_equal(cum0, want)
+        # seq ids are monotone and every sequence except the last is
+        # filled to at least budget (an item may straddle the boundary)
+        assert (np.diff(df["seq_id"].to_numpy(np.int64)) >= 0).all()
+        # costs: 6-word caption + "#id" = 7 tokens, 16 or 64 patches
+        assert set(np.unique(cost).tolist()) == {23, 71}
