@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- image+caption table (flagship; SQL-oracled vs the single-process fixture) ---
         "image_decode_stats": _image_decode_stats,
         "image_phash_dedup": _image_phash_dedup,
+        "image_dctphash_dedup": F.image_dctphash_dedup,  # TRUE DCT pHash computed from decoded pixels, hash-shard dedup (round 5)
         "image_phash_neardup": F.image_phash_neardup,  # banded-Hamming near-dup over dedup reps (exact ≤3 set)
         "image_spatial_join_tiles": F.spatial_join_tiles,
         "image_tile_counts": F.image_tile_counts,
@@ -331,8 +332,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image_tile_mosaic (r4-green; its thumb-decode path + oracle
         # columns are exercised by in-window image_thumbnails, and it
         # was locally re-verified hash-green over the new 4-fmt
-        # fixture) rotates out for hex_cell_points (NEW round 5)
-        "image_spatial_join_tiles", "image_decode_stats",
+        # fixture) rotates out for hex_cell_points (NEW round 5);
+        # image_decode_stats (r4-green; the decode path stays heavily
+        # driver-exercised via image_reencode — all rows, both lossy
+        # codecs — plus brightness_quantiles and thumbnails, and its
+        # mean/std oracle columns overlap brightness) rotates out for
+        # image_dctphash_dedup (NEW round 5 — decode → 32×32 DCT →
+        # median threshold → hash-shard dedup, differential oracle)
+        "image_spatial_join_tiles", "image_dctphash_dedup",
         "image_phash_neardup",
         "image_brightness_quantiles", "image_thumbnails",
         "image_reencode", "image_augment",
@@ -394,7 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- past the 50-cutoff: deliberate tail (all driver-green in
         # r3/r4; ordering keeps family grouping for the full-registry
         # artifact) ---
-        "image_tile_mosaic", "decontaminate",
+        "image_tile_mosaic", "decontaminate", "image_decode_stats",
         "image_tile_counts", "image_similar", "video_frames",
         "embedding_clusters", "cluster_balanced_sample",
         "doc_tfidf", "doc_pagerank", "jaccard_join", "doc_fingerprint",

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "image_tile_counts",
     "image_tile_mosaic",       # per-tile element-wise thumbnail sums (round 3)
     "image_phash_dedup",
+    "image_dctphash_dedup",    # TRUE DCT pHash from decoded pixels + dedup (round 5)
     "image_decode_stats",
     "spatial_write",          # the write pipeline (Hilbert sort + index), always cold
     "bbox_select",

@@ -36,19 +36,20 @@ LOSSY_FMTS = frozenset({"qnt", "dct8"})
 KNOWN_FMTS = LOSSLESS_FMTS | LOSSY_FMTS
 
 
-def _dct_matrix() -> np.ndarray:
-    """Orthonormal 8×8 DCT-II matrix (float64): C @ C.T == I, so the
+def _dct_matrix(n: int = 8) -> np.ndarray:
+    """Orthonormal n×n DCT-II matrix (float64): C @ C.T == I, so the
     transform preserves L2 norms — the PSNR guarantee below rests on
     that (coefficient-domain quantization error == pixel-domain
     error, Parseval)."""
-    k = np.arange(8, dtype=np.float64)
-    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
-    c *= np.sqrt(2.0 / 8.0)
-    c[0, :] = np.sqrt(1.0 / 8.0)
+    k = np.arange(n, dtype=np.float64)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2.0 * n))
+    c *= np.sqrt(2.0 / n)
+    c[0, :] = np.sqrt(1.0 / n)
     return c
 
 
 _DCT_C = _dct_matrix()
+_DCT_C32 = _dct_matrix(32)
 
 # Frequency-weighted quantization steps q[u,v] = min(1 + u + v, 4).
 # Why these numbers: rint quantization error is ≤ q/2 per coefficient,
@@ -78,16 +79,16 @@ _ZZ_INV = np.argsort(_ZZ, kind="stable")
 
 
 def _dct2d_blocks(blocks: np.ndarray, m: np.ndarray) -> np.ndarray:
-    """Apply ``m @ B @ m.T`` to every 8×8 block of a (nb, 8, 8) stack
+    """Apply ``m @ B @ m.T`` to every n×n block of a (nb, n, n) stack
     via two FLAT 2D GEMMs — einsum / broadcast-matmul over thousands of
     tiny blocks is per-block-overhead-bound (measured 5.8 ms to encode
     one 64×64 image; this form is ~20×)."""
-    nb = blocks.shape[0]
-    # T1 = B @ m.T        (nb,8,8)
-    t = blocks.reshape(nb * 8, 8) @ m.T
+    nb, n, _ = blocks.shape
+    # T1 = B @ m.T        (nb,n,n)
+    t = blocks.reshape(nb * n, n) @ m.T
     # m @ T1 = (T1.T @ m.T).T
-    t = np.ascontiguousarray(t.reshape(nb, 8, 8).transpose(0, 2, 1)).reshape(nb * 8, 8) @ m.T
-    return t.reshape(nb, 8, 8).transpose(0, 2, 1)
+    t = np.ascontiguousarray(t.reshape(nb, n, n).transpose(0, 2, 1)).reshape(nb * n, n) @ m.T
+    return t.reshape(nb, n, n).transpose(0, 2, 1)
 
 
 def _dct8_encode(pixels: np.ndarray) -> bytes:
@@ -212,6 +213,43 @@ def average_phash_batch(stack: np.ndarray) -> np.ndarray:
     weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
     with np.errstate(over="ignore"):
         return (bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def dct_phash_batch(stack: np.ndarray) -> np.ndarray:
+    """True DCT-based perceptual hash (the PUBLIC pHash scheme, e.g.
+    the `imagehash` library: grayscale → 32×32 → DCT-II → top-left
+    8×8 coefficients → median threshold → 64 bits) over a
+    (k, h, w, 3) uint8 stack of SAME-SIZE images, h == w a multiple
+    of 32. Deterministic: integer grayscale ((r+g+b)//3) and integer
+    block-mean downsample feed a float64 DCT (correctly-rounded IEEE
+    ops — bit-stable across runs), np.median of the 64 low-frequency
+    coefficients as the threshold, strict > comparison, LSB-first
+    bit packing. Returns signed int64 like ``average_phash``.
+
+    This complements the table's ``phash`` column (average-hash,
+    stored at generation time): dct_phash is computed FROM DECODED
+    PIXELS by the pipeline, so it exercises decode + transform +
+    dedup end-to-end and is robust to the lossy codecs' noise (DCT
+    low-frequency coefficients barely move under qnt/dct8 error)."""
+    k, h, w, _ = stack.shape
+    if h != w or h % 32:
+        raise ValueError(f"dct_phash needs square multiple-of-32 dims, got {w}x{h}")
+    gray = stack.sum(axis=3, dtype=np.uint32) // 3                  # (k, h, w)
+    f = h // 32
+    if f > 1:  # exact integer block-mean downsample to 32×32
+        gray = gray.reshape(k, 32, f, 32, f).sum(axis=(2, 4), dtype=np.uint32) // (f * f)
+    coeff = _dct2d_blocks(gray.astype(np.float64), _DCT_C32)        # (k, 32, 32)
+    low = coeff[:, :8, :8].reshape(k, 64)
+    med = np.median(low, axis=1)[:, None]
+    bits = (low > med).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    with np.errstate(over="ignore"):
+        return (bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
+def dct_phash(pixels: np.ndarray) -> int:
+    """Scalar convenience wrapper over ``dct_phash_batch``."""
+    return int(dct_phash_batch(pixels[None])[0])
 
 
 #: grow-only per-process scratch arrays. On this VM first-touch page

@@ -449,3 +449,34 @@ def image_pack_multimodal_q(sf_dir: str):
         })
 
     return packed.map_batches(_bins, batch_format="pandas")
+
+
+def image_dctphash_dedup(sf_dir: str):
+    """Exact image dedup on the TRUE DCT perceptual hash (the public
+    pHash scheme — functions/codecs.dct_phash_batch), computed FROM
+    DECODED PIXELS by the pipeline rather than read from the table's
+    stored average-hash column: the full decode → 32×32 DCT → median
+    threshold → hash-shard dedup chain runs distributed, and the
+    oracle fixture recomputes the hash single-process (differential,
+    like decode_stats' mean_px/phash_rt columns)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geomedea_ray.functions import codecs
+    from geomedea_ray.stages.dedup import phash_dedup
+    from geomedea_ray.stages.images import binary_views
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        blobs = binary_views(batch["bytes"])
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        out = np.empty(batch.num_rows, np.int64)
+        for idxs, stack in codecs.decode_size_groups(blobs, fmts, ws, hs):
+            out[idxs] = codecs.dct_phash_batch(stack)
+        return pa.table({"image_id": batch["image_id"],
+                         "phash": pa.array(out, pa.int64())})
+
+    ds = images_ds(sf_dir, columns=["image_id", "bytes", "w", "h", "fmt"]).map_batches(
+        _hash, batch_format="pyarrow", zero_copy_batch=True)
+    return phash_dedup(ds)

@@ -169,6 +169,15 @@ SELECT qid, vec_id, "rank" FROM r WHERE "rank" <= {k}"""
     )
 
 
+def dctphash_dedup_sql(n: int) -> str:
+    # the fixture's dct_phash column is the single-process recompute of
+    # the same decode → DCT → median-threshold kernel (differential)
+    return img_cte(n) + (
+        "SELECT MIN(image_id) AS image_id, dct_phash AS phash "
+        "FROM img GROUP BY dct_phash"
+    )
+
+
 def pack_multimodal_sql(n: int) -> str:
     from geomedea_ray.pipelines.flagship import PACK_MM_BUDGET, PACK_MM_PATCH
 
@@ -210,4 +219,5 @@ def image_oracle_sqls(sf_dir: str) -> dict[str, str]:
         "training_prep": training_prep_sql(n),
         "image_similar": image_similar_sql(n),
         "image_pack_multimodal": pack_multimodal_sql(n),
+        "image_dctphash_dedup": dctphash_dedup_sql(n),
     }

@@ -74,7 +74,9 @@ def _derive_chunk(rows: pa.Table) -> dict:
     thumb_q = np.empty((n, 64), np.int64)
     thumb = np.empty((n, 64), np.float32)
     psnr_ok = np.empty(n, bool)
+    dct_ph = np.empty(n, np.int64)
     for idxs, stack in codecs.decode_size_groups(blobs, fmts, ws, hs):
+        dct_ph[idxs] = codecs.dct_phash_batch(stack)
         tq = _thumb_q_from_stack(stack)
         thumb_q[idxs] = tq
         k, h, w, _ = stack.shape
@@ -110,6 +112,7 @@ def _derive_chunk(rows: pa.Table) -> dict:
         "thumb": thumb,
         "thumb_q": thumb_q,
         "psnr_ok": psnr_ok,
+        "dct_phash": dct_ph,
     }
 
 
@@ -141,6 +144,7 @@ def oracle_images_path(n: int, seed: int = 42, cache_root: str = CACHE_ROOT) -> 
                 "thumb": pa.array(list(d["thumb"]), pa.list_(pa.float32(), 64)),
                 "thumb_q": pa.array(list(d["thumb_q"]), pa.list_(pa.int64(), 64)),
                 "psnr_ok": pa.array(d["psnr_ok"], pa.bool_()),
+                "dct_phash": pa.array(d["dct_phash"], pa.int64()),
                 "aug_w": pa.array(d["aug_w"], pa.int64()),
                 "aug_h": pa.array(d["aug_h"], pa.int64()),
                 "aug_sum": pa.array(d["aug_sum"], pa.int64()),
@@ -150,11 +154,11 @@ def oracle_images_path(n: int, seed: int = 42, cache_root: str = CACHE_ROOT) -> 
         pq.write_table(pa.concat_tables(chunks), tmp, compression="zstd")
 
     return cached_file(
-        # _v3: dct8 in the fixture FMTS mix (round 5; _v2 added the
-        # augment columns) — the rev suffix invalidates stale caches
-        # (CLAUDE.md round-4 rule: validation cannot detect a content
-        # change inside an existing build, so the NAME carries the
-        # revision)
-        os.path.join(cache_root, f"images_oracle_n{n}_seed{seed}_v3.parquet"),
+        # _v4: dct_phash column (round 5; _v3 = dct8 in the FMTS mix +
+        # dual-codec psnr_ok, _v2 = augment columns) — the rev suffix
+        # invalidates stale caches (CLAUDE.md round-4 rule: validation
+        # cannot detect a content change inside an existing build, so
+        # the NAME carries the revision)
+        os.path.join(cache_root, f"images_oracle_n{n}_seed{seed}_v4.parquet"),
         _build, expected_rows=n,
     )

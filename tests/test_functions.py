@@ -494,3 +494,50 @@ class TestHexCells:
         q, r = hex_cell(np.array(lngs), np.array(lats), 5)
         assert list(want["hq"]) == q.tolist()
         assert list(want["hr"]) == r.tolist()
+
+
+class TestDctPhash:
+    def _img(self, size, seed):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float64) / size
+        base = np.stack([255 * (0.5 + 0.5 * np.sin(2 * np.pi * xx)),
+                         255 * yy, 255 * xx], 2)
+        return np.clip(base + rng.integers(-20, 21, base.shape),
+                       0, 255).astype(np.uint8)
+
+    def test_batch_equals_scalar_and_deterministic(self):
+        from geomedea_ray.functions import codecs
+
+        stack = np.stack([self._img(64, s) for s in range(6)])
+        b = codecs.dct_phash_batch(stack)
+        assert all(int(b[i]) == codecs.dct_phash(stack[i]) for i in range(6))
+        assert np.array_equal(b, codecs.dct_phash_batch(stack.copy()))
+
+    def test_robust_to_lossy_codecs(self):
+        """The point of a DCT hash: low-frequency coefficients barely
+        move under qnt/dct8 quantization noise — hamming stays small
+        while distinct images stay far apart."""
+        from geomedea_ray.functions import codecs
+
+        for size in (32, 64):
+            img = self._img(size, 1)
+            h = codecs.dct_phash(img)
+            for fmt in ("qnt", "dct8"):
+                rt = codecs.decode(codecs.encode(img, fmt), fmt, size, size)
+                d = int(codecs.hamming64(np.array([h]),
+                                         np.array([codecs.dct_phash(rt)]))[0])
+                assert d <= 8, (size, fmt, d)
+        a = codecs.dct_phash(self._img(32, 2))
+        b = codecs.dct_phash(self._img(32, 3))
+        assert int(codecs.hamming64(np.array([a]), np.array([b]))[0]) >= 12
+
+    def test_planted_duplicates_collapse(self):
+        """synth's exact pixel duplicates share the dct_phash (dedup
+        ground truth, same invariant as the stored average-hash)."""
+        from geomedea_ray.functions import codecs
+        from geomedea_ray.sources.synth import DUP_BACK, DUP_RATE, synth_pixels
+
+        for dup in range(DUP_RATE, 200, DUP_RATE):
+            a = synth_pixels(dup)
+            b = synth_pixels(dup - DUP_BACK)
+            assert codecs.dct_phash(a) == codecs.dct_phash(b)

@@ -7,6 +7,17 @@ single JSON line.
 
     python tools/submit_job.py [sf_dir]
     python tools/submit_job.py --two-node [sf_dir]
+    python tools/submit_job.py --two-node-resume [sf_dir]
+
+``--two-node-resume`` (round 5): the north rule's resume clause ON the
+multi-node deployment — a checkpointed per-partition job
+(pipelines/resumable.resumable_map over the image-table fragments) is
+submitted to the live 2-node cluster, the DRIVER process is SIGKILLed
+mid-job once the lineage log shows committed partitions, and a second
+submission of the same job must skip every committed partition, rerun
+only the rest, and produce the complete output (row-count-verified).
+The cluster survives the driver kill — exactly the deployment property
+a `ray job submit` retry relies on.
 
 ``--two-node`` (round-4 VERDICT item 9): the closest this sandbox gets
 to a REAL multi-node run — a head node and a second `ray start`
@@ -47,6 +58,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)  # the script lives in tools/ — the
+    # package import (verification + the --resume-driver entrypoint)
+    # needs the repo root
 DASH = "http://127.0.0.1:8265"
 
 
@@ -203,8 +218,152 @@ def run_two_node(sf_dir: str) -> int:
         subprocess.run(["ray", "stop", "--force"], capture_output=True)
 
 
+def _resume_batch_fn(table, budget_tokens: int = 0):
+    """The checkpointed per-partition transform: decode-verify every
+    image and emit per-row integer stats (decode is the expensive,
+    realistic part — the demo needs partitions that take real time).
+    Module-level so both driver invocations hash it identically
+    (op_chain_hash) and cloudpickle ships it to remote-node workers."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geomedea_ray.functions import codecs
+    from geomedea_ray.stages.images import binary_views
+
+    blobs = binary_views(table["bytes"])
+    fmts = table["fmt"].to_pylist()
+    ws = table["w"].to_numpy()
+    hs = table["h"].to_numpy()
+    total = np.empty(len(blobs), np.int64)
+    for idxs, stack in codecs.decode_size_groups(blobs, fmts, ws, hs):
+        k = stack.shape[0]
+        total[idxs] = stack.reshape(k, -1).sum(axis=1, dtype=np.int64)
+    return pa.table({"image_id": table["image_id"],
+                     "px_sum": pa.array(total, pa.int64())})
+
+
+def _resume_driver(out_dir: str, sf_dir: str) -> int:
+    """Detached-driver entrypoint: attach to the running cluster and
+    run (or resume) the checkpointed job. Prints one JSON line."""
+    import ray
+
+    ray.init(address="auto", include_dashboard=False, logging_level="ERROR")
+    from geomedea_ray.pipelines.flagship import n_images_for
+    from geomedea_ray.pipelines.resumable import resumable_map
+    from geomedea_ray.sources.synth import image_table_path
+
+    res = resumable_map(
+        image_table_path(n_images_for(sf_dir)), out_dir, _resume_batch_fn,
+        job_id="two-node-resume-demo",
+        columns=["image_id", "bytes", "w", "h", "fmt"],
+        # cap concurrency so partitions commit in waves — the parent
+        # needs a real mid-job window to SIGKILL into (16 fragments at
+        # full width would all commit near-simultaneously)
+        concurrency=2,
+    )
+    print(json.dumps({"processed": res["processed"], "skipped": res["skipped"]}))
+    ray.shutdown()
+    return 0
+
+
+def run_two_node_resume(sf_dir: str) -> int:
+    import glob
+    import signal
+
+    subprocess.run(["ray", "stop", "--force"], capture_output=True)
+    boot_env = dict(os.environ)
+    boot_env.pop("RAY_ADDRESS", None)
+    per_node = 8
+    subprocess.run(["ray", "start", "--head", "--num-cpus", str(per_node),
+                    "--port", "6379", "--dashboard-host", "127.0.0.1",
+                    "--disable-usage-stats"],
+                   check=True, env=boot_env, capture_output=True, text=True)
+    try:
+        subprocess.run(["ray", "start", "--address", "127.0.0.1:6379",
+                        "--num-cpus", str(per_node), "--disable-usage-stats"],
+                       check=True, env=boot_env, capture_output=True, text=True)
+        assert _wait_for_cpus(2 * per_node) >= 2 * per_node
+        out_dir = f"/tmp/geomedea_ray_resume_demo_{os.getpid()}"
+        env = dict(boot_env, PYTHONPATH=REPO)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--resume-driver", out_dir, sf_dir]
+
+        # phase A: submit, then SIGKILL the driver once the lineage
+        # log shows committed partitions (mid-job by construction)
+        log_path = os.path.join(out_dir, "lineage.jsonl")
+        proc = subprocess.Popen(cmd, env=env, cwd=REPO,
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        committed_at_kill = 0
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if os.path.exists(log_path):
+                with open(log_path) as f:
+                    committed_at_kill = sum(1 for _ in f)
+                if committed_at_kill >= 3:
+                    break
+            if proc.poll() is not None:
+                break  # finished before we could kill — demo degenerate
+            time.sleep(0.2)
+        killed_midway = proc.poll() is None
+        if killed_midway:
+            os.kill(proc.pid, signal.SIGKILL)
+            proc.wait()
+        print(f"phase A: driver SIGKILLed with {committed_at_kill} "
+              f"partitions committed (mid-job={killed_midway})")
+
+        # the CLUSTER must have survived the driver kill
+        assert _wait_for_cpus(2 * per_node, timeout=30) >= 2 * per_node
+
+        # phase B: resubmit — must skip every committed partition
+        proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                              text=True, timeout=900)
+        if proc.returncode != 0:
+            print(proc.stdout[-1500:] + proc.stderr[-1500:], file=sys.stderr)
+            raise RuntimeError("resume driver failed")
+        line = [ln for ln in proc.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        b = json.loads(line)
+
+        # verify: complete output, nothing double-counted
+        import pyarrow.parquet as pq
+
+        from geomedea_ray.pipelines.flagship import n_images_for
+
+        parts = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+        rows = sum(pq.read_metadata(p).num_rows for p in parts)
+        want = n_images_for(sf_dir)
+        ok = (rows == want and b["skipped"] >= committed_at_kill
+              and killed_midway and b["processed"] >= 1)
+        result = {
+            "metric": "two_node_resume",
+            "value": 1 if ok else 0,
+            "unit": "ok",
+            "nodes": 2,
+            "partitions_total": b["processed"] + b["skipped"],
+            "committed_at_kill": committed_at_kill,
+            "resume_skipped": b["skipped"],
+            "resume_processed": b["processed"],
+            "output_rows": rows,
+            "expected_rows": want,
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "note": "driver SIGKILLed mid-job on a live 2-node cluster; "
+                    "resubmission skipped every lineage-committed partition "
+                    "and completed the output (row-count-verified).",
+        }
+        print(json.dumps(result))
+        return 0 if ok else 1
+    finally:
+        subprocess.run(["ray", "stop", "--force"], capture_output=True)
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--resume-driver" in sys.argv:
+        i = sys.argv.index("--resume-driver")
+        return _resume_driver(sys.argv[i + 1], sys.argv[i + 2])
+    if "--two-node-resume" in sys.argv:
+        return run_two_node_resume(args[0] if args else "/root/testdata/sf0.1")
     if "--two-node" in sys.argv:
         return run_two_node(args[0] if args else "/root/testdata/sf0.1")
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
