@@ -821,7 +821,12 @@ def watermark_late_flags(
     def _band(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(_band=(df[arrival_col].to_numpy(np.int64) // band))
 
-    banded = ds.map_batches(_band, batch_format="pandas")
+    # two consumers (partial-max pass, then the flag pass) + per-block
+    # groupby exchange cost — same treatment as banded_prefix_sum:
+    # materialize once, coalesce before the band groupby
+    banded = ds.map_batches(_band, batch_format="pandas").materialize()
+    if banded.num_blocks() > 8:
+        banded = banded.repartition(8)
 
     # phase 1: per-band max ts — per-BLOCK partials (one tiny row per
     # band per block) combined on the driver; no shuffle (the groupby
