@@ -188,3 +188,38 @@ def test_list_fragments_sorted(tmp_path):
         "a.parquet",
         "b.parquet",
     ]
+
+
+class TestRound5Tools:
+    def test_window_audit_clean(self):
+        """tools/window_audit.py is the rotation gate: exit 0 = every
+        registry entry is either in the current window or was
+        driver-verified in a past round, and no eviction violations."""
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "window_audit.py")],
+            capture_output=True, text=True, timeout=120)
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "NEVER windowed and NOT in current window (0)" in proc.stdout
+
+    def test_resume_batch_fn_matches_direct_decode(self):
+        """The two-node-resume demo's per-partition transform equals a
+        direct per-row decode+sum (the demo's row-count check plus this
+        keeps the transform honest)."""
+        import numpy as np
+
+        from geomedea_ray.functions import codecs
+        from geomedea_ray.sources.synth import synth_image_batch
+        from tools.submit_job import _resume_batch_fn
+
+        rows = synth_image_batch(np.arange(0, 40, dtype=np.int64))
+        out = _resume_batch_fn(rows)
+        assert out.num_rows == 40
+        got = out["px_sum"].to_numpy()
+        for i in range(40):
+            px = codecs.decode(rows["bytes"][i].as_py(), rows["fmt"][i].as_py(),
+                               rows["w"][i].as_py(), rows["h"][i].as_py())
+            assert int(got[i]) == int(px.astype(np.int64).sum())
