@@ -187,3 +187,96 @@ class TestBloomProperties:
         assert bf.contains(pd.Series(np.array(keys, np.int32))).all()
         assert bf.contains(pd.Series(np.array(keys, np.uint16) if max(keys) < 2**16
                                      else np.array(keys, np.int64))).all()
+
+
+class TestDct8Properties:
+    @given(st.integers(0, 2**31 - 1), st.sampled_from([8, 16, 32, 40, 64]))
+    @settings(max_examples=40, deadline=None)
+    def test_psnr_floor_and_determinism_any_content(self, seed, size):
+        """The 40 dB floor is a worst-case theorem for multiple-of-8
+        dims — hold it on ARBITRARY uint8 content, and the encoding
+        must be byte-deterministic with an idempotent decode."""
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+        b = codecs.encode(img, "dct8")
+        assert b == codecs.encode(img.copy(), "dct8")
+        out = codecs.decode(b, "dct8", size, size)
+        assert codecs.psnr(img, out) >= 40.0
+        assert np.array_equal(out, codecs.decode(b, "dct8", size, size))
+        # second generation is a fixed point of the quantization grid
+        out2 = codecs.decode(codecs.encode(out, "dct8"), "dct8", size, size)
+        assert codecs.psnr(out, out2) >= 40.0
+
+    @given(st.integers(0, 2**31 - 1),
+           st.integers(9, 41), st.integers(9, 41))
+    @settings(max_examples=25, deadline=None)
+    def test_odd_dims_roundtrip(self, seed, w, h):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = codecs.decode(codecs.encode(img, "dct8"), "dct8", w, h)
+        assert out.shape == (h, w, 3)
+        # padding softens the multiple-of-8 theorem; 38 dB still holds
+        # with huge margin in practice (typical ~47)
+        assert codecs.psnr(img, out) >= 38.0
+
+
+class TestHexCellProperties:
+    @given(st.lists(st.tuples(st.integers(-15, 15), st.integers(-15, 15)),
+                    min_size=1, max_size=40),
+           st.integers(2, 8),
+           st.floats(min_value=-0.45, max_value=0.45, allow_nan=False),
+           st.floats(min_value=-0.45, max_value=0.45, allow_nan=False))
+    @settings(max_examples=40, deadline=None)
+    def test_perturbed_center_stays_in_cell(self, cells, res, fx, fy):
+        """Any point strictly inside a hex's inradius maps to that
+        hex: perturb each center by < inradius (inradius = sqrt(3)/2
+        · s·… for this axial metric, conservatively 0.45 of the
+        center-to-edge distance) and the assignment must not move."""
+        from geomedea_ray.functions.cells import hex_cell, hex_center
+
+        q = np.array([c[0] for c in cells])
+        r = np.array([c[1] for c in cells])
+        lng, lat = hex_center(q, r, res)
+        s = 360.0 / float(1 << res)
+        # pointy-top hexes: inradius = sqrt(3)/2 * s in this metric's
+        # y-units; perturb well inside it
+        dl = fx * s * 0.8
+        dp = fy * s * 0.8
+        m = (np.abs(lng + dl) < 178) & (np.abs(lat + dp) < 88)
+        if not m.any():
+            return
+        q2, r2 = hex_cell(lng[m] + dl, lat[m] + dp, res)
+        assert np.array_equal(q2, q[m])
+        assert np.array_equal(r2, r[m])
+
+    @given(st.lists(st.tuples(lngs, lats), min_size=1, max_size=60),
+           st.integers(0, 10))
+    @settings(max_examples=40, deadline=None)
+    def test_total_and_deterministic(self, pts, res):
+        """Every point gets exactly one cell; vectorized == rerun."""
+        from geomedea_ray.functions.cells import hex_cell
+
+        lng = np.array([p[0] for p in pts])
+        lat = np.array([p[1] for p in pts])
+        q1, r1 = hex_cell(lng, lat, res)
+        q2, r2 = hex_cell(lng.copy(), lat.copy(), res)
+        assert np.array_equal(q1, q2) and np.array_equal(r1, r2)
+        assert q1.dtype == np.int64 and len(q1) == len(pts)
+
+
+class TestDctPhashProperties:
+    @given(st.integers(0, 2**31 - 1), st.sampled_from([32, 64]))
+    @settings(max_examples=25, deadline=None)
+    def test_lossy_roundtrip_moves_few_bits(self, seed, size):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float64) / size
+        base = np.stack([255 * (0.5 + 0.5 * np.sin(2 * np.pi * xx)),
+                         255 * yy, 255 * xx], 2)
+        img = np.clip(base + rng.integers(-20, 21, base.shape),
+                      0, 255).astype(np.uint8)
+        h = codecs.dct_phash(img)
+        for fmt in ("qnt", "dct8"):
+            rt = codecs.decode(codecs.encode(img, fmt), fmt, size, size)
+            d = int(codecs.hamming64(np.array([h]),
+                                     np.array([codecs.dct_phash(rt)]))[0])
+            assert d <= 10, (seed, size, fmt, d)
