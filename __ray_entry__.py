@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_indexed": G.q_knn_indexed,           # §7.2 step 7 (packed-index path)
         "nn_join": G.q_nn_join,                   # nearest-neighbor join (broadcast left)
         "dwithin_join": G.q_dwithin_join,         # within-distance point join (PBSM grid, exact int64 circle)
+        "nearest_segment_snap": G.q_nearest_segment,  # map-matching: snap points to nearest line segment (broadcast small side, round 5)
         "tile_render": G.q_tile_render,           # raster tile rendering: 64x64 pngz per z6 tile, decode-checksum gated
         "geohash_points": G.q_geohash_points,     # standard geohash cell geocoding (BIGINT bit-spread SQL mirror)
         "hex_cell_points": G.q_hex_cell_points,   # H3-style axial hex geocoding (cube-round IEEE-identical SQL mirror, round 5)
@@ -339,9 +340,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mean/std oracle columns overlap brightness) rotates out for
         # image_dctphash_dedup (NEW round 5 — decode → 32×32 DCT →
         # median threshold → hash-shard dedup, differential oracle)
+        # image_brightness_quantiles (r4-green; decode machinery stays
+        # driver-exercised via image_reencode/thumbnails/dctphash,
+        # quantile machinery via in-window price_quantiles +
+        # lang_token_quantiles) rotates out for nearest_segment_snap
+        # (NEW round 5)
         "image_spatial_join_tiles", "image_dctphash_dedup",
-        "image_phash_neardup",
-        "image_brightness_quantiles", "image_thumbnails",
+        "image_phash_neardup", "image_thumbnails",
         "image_reencode", "image_augment",
         # audio kept; video_frames (r4-green, static media fixture)
         # evicted — audio_features keeps the synth-media differential
@@ -388,7 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_select_http", "ref_places_select", "fgb_points_select",
         "geojson_roundtrip", "events_props_agg", "tile_render",
         # --- incoming: never driver-verified before round 5 ---
-        "image_pack_multimodal", "hex_cell_points",
+        "nearest_segment_snap", "image_pack_multimodal", "hex_cell_points",
         "geohash_points", "doc_triangles", "price_zscore",
         "order_value_ntile", "price_quantiles_kll",
         "lineitem_order_sortmerge", "ann_topk_ivf", "ann_topk_pq",
@@ -402,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r3/r4; ordering keeps family grouping for the full-registry
         # artifact) ---
         "image_tile_mosaic", "decontaminate", "image_decode_stats",
+        "image_brightness_quantiles",
         "image_tile_counts", "image_similar", "video_frames",
         "embedding_clusters", "cluster_balanced_sample",
         "doc_tfidf", "doc_pagerank", "jaccard_join", "doc_fingerprint",
@@ -496,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_render": G.q_tile_render_sql(),
         "geohash_points": G.q_geohash_points_sql(),
         "hex_cell_points": G.q_hex_cell_points_sql(),
+        "nearest_segment_snap": G.q_nearest_segment_sql(),
         "pip_join": G.q_pip_join_sql(),
         "tile_counts": G.q_tile_counts_sql(),
         "tile_counts_hot": G.q_tile_counts_hot_sql(),

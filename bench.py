@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "tile_render",             # raster tiles: 64x64 pngz per z6 tile (round 4)
     "geohash_points",          # standard geohash geocoding, bit-spread SQL mirror (round 4)
     "hex_cell_points",         # H3-style axial hex geocoding, cube-round IEEE mirror (round 5)
+    "nearest_segment_snap",    # map-matching snap: broadcast segments, exact projection (round 5)
     "q1_pricing",
     "revenue_by_nation",
     "brand_revenue_by_region", # 4-way broadcast dimension join (round 3)

@@ -1259,3 +1259,120 @@ SELECT pid,
                  THEN -rq - ry ELSE rr END AS BIGINT) AS hr
 FROM h4"""
     )
+
+
+def q_nearest_segment(sf_dir: str):
+    """Map-matching primitive: snap each sampled point to its NEAREST
+    LINE SEGMENT (exact point-to-segment projection distance, the op a
+    GPS-trace → road-network pipeline runs per ping).
+
+    Segments are a deterministic derivation of the linepoints fixture
+    (pid % 11 == 5: endpoint = the point, offset = bounded integer
+    hashes of pid — ±0.99°), so both sides rebuild them from lineitem.
+    The segment table is the SMALL side (road networks are; 55k rows ×
+    32 B at sf0.1): shipped once via ray.put like pip_join's polygons,
+    each batch computes the full vectorized distance matrix in
+    float-chunked blocks — zero shuffle. Exactness: the projection
+    clamp + distance is written in the IDENTICAL IEEE op order as the
+    SQL mirror, the winner is (d2, seg_id)-lexicographic, and the
+    emitted d2_micro = FLOOR(d2 * 1e6) (floor of identical doubles
+    cannot disagree — CLAUDE.md round-4 float-gate rule)."""
+    import pandas as pd
+    import ray
+
+    from geomedea_ray.util import get_once
+
+    # small side: segments, resolved driver-side (bounded by contract —
+    # pid % 11 stride of the point set; 1.8 MB at sf0.1)
+    segs = linepoints_ds(sf_dir).map_batches(
+        lambda df: df[df["pid"].to_numpy() % 11 == 5],
+        batch_format="pandas").to_pandas()
+    sid = segs["pid"].to_numpy(np.int64)
+    ax = segs["lng"].to_numpy(np.float64)
+    ay = segs["lat"].to_numpy(np.float64)
+    dxi = (sid * 131) % 199 - 99
+    dyi = (sid * 181) % 199 - 99
+    bx = ax + dxi / 100.0
+    by = ay + dyi / 100.0
+    order = np.argsort(sid, kind="stable")
+    seg_ref = ray.put((sid[order], ax[order], ay[order],
+                       bx[order], by[order]))
+
+    def _snap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["pid"].to_numpy() % 37 == 0]
+        if len(df) == 0:
+            return pd.DataFrame({"pid": pd.Series([], dtype=np.int64),
+                                 "seg_id": pd.Series([], dtype=np.int64),
+                                 "d2_micro": pd.Series([], dtype=np.int64)})
+        sid, ax, ay, bx, by = get_once(seg_ref)
+        dx = bx - ax
+        dy = by - ay
+        len2 = dx * dx + dy * dy
+        px_all = df["lng"].to_numpy(np.float64)
+        py_all = df["lat"].to_numpy(np.float64)
+        n = len(px_all)
+        best_sid = np.empty(n, np.int64)
+        best_d2 = np.empty(n, np.float64)
+        # chunk the (points × segments) matrix to bound temporaries
+        for lo in range(0, n, 256):
+            px = px_all[lo:lo + 256, None]
+            py = py_all[lo:lo + 256, None]
+            tn = (px - ax) * dx + (py - ay) * dy
+            with np.errstate(invalid="ignore", divide="ignore"):
+                t = np.clip(tn / len2, 0.0, 1.0)
+            t = np.where(len2 == 0.0, 0.0, t)
+            cx = ax + t * dx
+            cy = ay + t * dy
+            d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+            j = np.argmin(d2, axis=1)  # sid is ascending → argmin's
+            # first-minimum == (d2, seg_id)-lexicographic winner
+            k = np.arange(d2.shape[0])
+            best_sid[lo:lo + 256] = sid[j]
+            best_d2[lo:lo + 256] = d2[k, j]
+        return pd.DataFrame({
+            "pid": df["pid"].to_numpy(np.int64),
+            "seg_id": best_sid,
+            "d2_micro": np.floor(best_d2 * 1e6).astype(np.int64),
+        })
+
+    from geomedea_ray.stages.dedup import dedup_exact
+
+    snapped = linepoints_ds(sf_dir).map_batches(_snap, batch_format="pandas")
+    # the point fixture carries duplicate pids (identical coordinates →
+    # identical snap rows); the SQL mirror's per-pid rank collapses
+    # them, so dedup the (tiny) OUTPUT stream the scale-safe way
+    return dedup_exact(snapped, "pid", order_col="seg_id")
+
+
+def q_nearest_segment_sql() -> str:
+    return (
+        LINEPOINTS_CTE
+        + """, segs AS (
+  SELECT pid AS seg_id, lng AS ax, lat AS ay,
+         lng + CAST((pid * 131) % 199 - 99 AS DOUBLE) / 100.0 AS bx,
+         lat + CAST((pid * 181) % 199 - 99 AS DOUBLE) / 100.0 AS by
+  FROM pts WHERE pid % 11 = 5),
+p AS (SELECT pid, lng AS px, lat AS py FROM pts WHERE pid % 37 = 0),
+d AS (
+  SELECT p.pid, s.seg_id,
+         (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay) AS len2,
+         (p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay) AS tn,
+         p.px, p.py, s.ax, s.ay, s.bx, s.by
+  FROM p CROSS JOIN segs s),
+c AS (
+  SELECT pid, seg_id, px, py,
+         ax + (CASE WHEN len2 = 0.0 THEN 0.0
+                    ELSE LEAST(GREATEST(tn / len2, 0.0), 1.0) END) * (bx - ax) AS cx,
+         ay + (CASE WHEN len2 = 0.0 THEN 0.0
+                    ELSE LEAST(GREATEST(tn / len2, 0.0), 1.0) END) * (by - ay) AS cy
+  FROM d),
+r AS (
+  SELECT pid, seg_id,
+         (px - cx) * (px - cx) + (py - cy) * (py - cy) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY pid
+                            ORDER BY (px - cx) * (px - cx) + (py - cy) * (py - cy),
+                                     seg_id) AS rn
+  FROM c)
+SELECT pid, seg_id, CAST(FLOOR(d2 * 1e6) AS BIGINT) AS d2_micro
+FROM r WHERE rn = 1"""
+    )

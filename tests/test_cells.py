@@ -361,3 +361,84 @@ class TestTileRender:
         r = out.iloc[0]
         gray = codecs.decode(r["bytes"], "pngz", 64, 64)[:, :, 0]
         assert gray.max() == 255 and int(r["n_points"]) == 300
+
+
+class TestNearestSegmentSnap:
+    def test_matches_bruteforce(self, ray_session):
+        """Distributed snap vs a scalar brute-force over the same
+        derived segments (projection clamp re-derived independently
+        with plain python floats)."""
+        from geomedea_ray.pipelines.geo_queries import (linepoints_ds,
+                                                        q_nearest_segment)
+
+        sf = "/root/testdata/sf0.001"
+        got = q_nearest_segment(sf).to_pandas().sort_values("pid").reset_index(drop=True)
+        pts = linepoints_ds(sf).to_pandas()
+        segs = pts[pts["pid"] % 11 == 5]
+        sid = segs["pid"].to_numpy(np.int64)
+        ax = segs["lng"].to_numpy()
+        ay = segs["lat"].to_numpy()
+        bx = ax + ((sid * 131) % 199 - 99) / 100.0
+        by = ay + ((sid * 181) % 199 - 99) / 100.0
+
+        def brute(px, py):
+            best = None
+            for i in range(len(sid)):
+                dx, dy = bx[i] - ax[i], by[i] - ay[i]
+                ln2 = dx * dx + dy * dy
+                t = 0.0 if ln2 == 0.0 else min(max(((px - ax[i]) * dx + (py - ay[i]) * dy) / ln2, 0.0), 1.0)
+                cx, cy = ax[i] + t * dx, ay[i] + t * dy
+                d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+                k = (d2, int(sid[i]))
+                if best is None or k < best:
+                    best = k
+            return best
+
+        sample = pts[pts["pid"] % 37 == 0].drop_duplicates("pid")
+        assert len(got) == len(sample)
+        by_pid = {int(r.pid): (int(r.seg_id), int(r.d2_micro))
+                  for r in got.itertuples()}
+        checked = 0
+        for r in sample.itertuples():
+            if checked >= 40:
+                break
+            d2, s = brute(float(r.lng), float(r.lat))
+            assert by_pid[int(r.pid)] == (s, int(np.floor(d2 * 1e6)))
+            checked += 1
+        assert checked == 40
+
+    def test_projection_clamp_endpoints(self):
+        """Points beyond either endpoint snap to the endpoint (t
+        clamps), points beside the middle snap to the interior."""
+        import duckdb
+
+        from geomedea_ray.pipelines.geo_queries import (LINEPOINTS_CTE,
+                                                        q_nearest_segment_sql)
+
+        # one segment (pid=5 → %11==5): substitute a tiny CTE and
+        # place probe points (pid%37==0) around it
+        seg_pid = 5
+        dxi = (seg_pid * 131) % 199 - 99
+        dyi = (seg_pid * 181) % 199 - 99
+        ax, ay = 10.0, 20.0
+        bx, by = ax + dxi / 100.0, ay + dyi / 100.0
+        # probes BEYOND each endpoint along the segment direction
+        # (t < 0 / t > 1 by construction) and one beside the middle
+        dx, dy = bx - ax, by - ay
+        probes = [(0, ax - dx, ay - dy), (37, bx + dx, by + dy),
+                  (74, (ax + bx) / 2 - dy, (ay + by) / 2 + dx)]
+        values = f"({seg_pid}, {ax!r}, {ay!r}), " + ", ".join(
+            f"({p}, {x!r}, {y!r})" for p, x, y in probes)
+        cte = f"\nWITH pts AS (\n  SELECT * FROM (VALUES {values}) AS t(pid, lng, lat)\n)\n"
+        sql = q_nearest_segment_sql()
+        assert sql.startswith(LINEPOINTS_CTE)
+        out = duckdb.connect().execute(
+            cte + sql[len(LINEPOINTS_CTE):] + " ORDER BY pid").df()
+        assert list(out["seg_id"]) == [seg_pid] * 3
+        ln2 = dx * dx + dy * dy
+        # clamped to the endpoints: distance == |d| exactly
+        assert int(out["d2_micro"][0]) == int(np.floor(ln2 * 1e6))
+        assert int(out["d2_micro"][1]) == int(np.floor(ln2 * 1e6))
+        # the perpendicular mid probe projects to the interior at
+        # distance |d| as well (offset was the rotated direction)
+        assert int(out["d2_micro"][2]) == int(np.floor(ln2 * 1e6))
