@@ -1282,9 +1282,19 @@ def q_nearest_segment(sf_dir: str):
 
     from geomedea_ray.util import get_once
 
+    # the point stream feeds TWO consumers (segment derivation, then
+    # the snap pass). Deliberately NOT materialized despite the
+    # two-consumer rule: the upstream is a trivial 2-int-column read +
+    # map, and materializing hands the snap map BLOCK-sized batches —
+    # its per-chunk temporaries then blow up into this VM's
+    # first-touch page-fault pathology (measured: 3.5 s lazy →
+    # 23-104 s materialized at sf0.1). The rule is for NON-trivial
+    # upstreams; this one re-runs in milliseconds.
+    points = linepoints_ds(sf_dir)
+
     # small side: segments, resolved driver-side (bounded by contract —
     # pid % 11 stride of the point set; 1.8 MB at sf0.1)
-    segs = linepoints_ds(sf_dir).map_batches(
+    segs = points.map_batches(
         lambda df: df[df["pid"].to_numpy() % 11 == 5],
         batch_format="pandas").to_pandas()
     sid = segs["pid"].to_numpy(np.int64)
@@ -1337,7 +1347,11 @@ def q_nearest_segment(sf_dir: str):
 
     from geomedea_ray.stages.dedup import dedup_exact
 
-    snapped = linepoints_ds(sf_dir).map_batches(_snap, batch_format="pandas")
+    # explicit batch_size: ~28 filtered points per 1024-row batch keeps
+    # the (points × segments) temporaries at ~12 MB — block-sized
+    # batches would allocate 100+ MB per chunk and pay the first-touch
+    # fault cost on every batch
+    snapped = points.map_batches(_snap, batch_format="pandas", batch_size=1024)
     # the point fixture carries duplicate pids (identical coordinates →
     # identical snap rows); the SQL mirror's per-pid rank collapses
     # them, so dedup the (tiny) OUTPUT stream the scale-safe way
